@@ -1,0 +1,328 @@
+"""Vectorized 2D geometry primitives on raw numpy coordinate arrays.
+
+Conventions
+-----------
+- A **ring** is an (n, 2) float64 array of vertices, NOT explicitly
+  closed (the closing edge last→first is implicit).
+- A **polygon** is ``(shell, [hole, ...])``; shell CCW, holes CW by
+  convention but all functions use signed areas so orientation-safe.
+- A **polyline** is an (n, 2) float64 array.
+- Serialized form for DataFrame transport: ``(ring_sizes, coords)``
+  where coords is the flat ``[x0, y0, x1, y1, ...]`` concatenation of
+  shell then holes and ring_sizes the vertex count of each ring.
+
+These replace the pygeos columnar kernels the reference relies on
+(kblock/batch_1b_generate_blocks.py:31-76, batch_4_compute_k.py:58-82)
+— same vectorized-columnar execution style, zero per-row Python in the
+hot paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-9
+
+
+# ---------------------------------------------------------------- basics
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive)."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_area(shell: np.ndarray, holes: list[np.ndarray] | None = None) -> float:
+    a = abs(ring_area(shell))
+    for h in holes or []:
+        a -= abs(ring_area(h))
+    return a
+
+
+def ring_perimeter(ring: np.ndarray) -> float:
+    d = np.diff(np.vstack([ring, ring[:1]]), axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def polyline_length(line: np.ndarray) -> float:
+    if len(line) < 2:
+        return 0.0
+    d = np.diff(line, axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid of a ring (falls back to vertex mean)."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    xn = np.roll(x, -1)
+    yn = np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if abs(a) < EPS:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + xn) * cross).sum() / (6.0 * a)
+    cy = ((y + yn) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def bbox(coords: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(coords[:, 0].min()),
+        float(coords[:, 1].min()),
+        float(coords[:, 0].max()),
+        float(coords[:, 1].max()),
+    )
+
+
+# ------------------------------------------------- point-in-polygon (PIP)
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: bool mask of points inside ring.
+
+    Points exactly on an edge may land either way (consistent with the
+    reference's GEOS ``intersects`` semantics being applied to interior
+    points; tests avoid on-edge ambiguity by construction).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1 = ring[:, 0]
+    y1 = ring[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    # (n_points, n_edges) crossing test, chunked to bound memory
+    chunk = max(1, int(4_000_000 / max(len(x1), 1)))
+    for s in range(0, len(px), chunk):
+        e = min(s + chunk, len(px))
+        X = px[s:e, None]
+        Y = py[s:e, None]
+        cond = (y1[None, :] > Y) != (y2[None, :] > Y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[None, :] + (Y - y1[None, :]) * (x2 - x1)[None, :] / (
+                (y2 - y1)[None, :]
+            )
+        crossed = cond & (X < xint)
+        inside[s:e] = crossed.sum(axis=1) % 2 == 1
+    return inside
+
+
+def points_in_polygon(
+    px: np.ndarray, py: np.ndarray, shell: np.ndarray,
+    holes: list[np.ndarray] | None = None,
+) -> np.ndarray:
+    mask = points_in_ring(px, py, shell)
+    for h in holes or []:
+        mask &= ~points_in_ring(px, py, h)
+    return mask
+
+
+# ----------------------------------------------------------- distances
+
+def point_segments_dist(
+    px: float, py: float, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Distance from one point to each segment (a[i] → b[i])."""
+    ab = b - a
+    ap = np.array([px, py]) - a
+    denom = (ab * ab).sum(axis=1)
+    t = np.where(denom > 0, (ap * ab).sum(axis=1) / np.maximum(denom, EPS), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    d = proj - np.array([px, py])
+    return np.sqrt((d * d).sum(axis=1))
+
+
+def points_to_segments_mindist(
+    px: np.ndarray, py: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Min distance from each point to the segment set. Vectorized
+    (n_points × n_segments), chunked."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ab = b - a  # (m,2)
+    denom = np.maximum((ab * ab).sum(axis=1), EPS)  # (m,)
+    out = np.empty(len(px))
+    chunk = max(1, int(2_000_000 / max(len(a), 1)))
+    for s in range(0, len(px), chunk):
+        e = min(s + chunk, len(px))
+        P = np.stack([px[s:e], py[s:e]], axis=1)  # (c,2)
+        ap = P[:, None, :] - a[None, :, :]  # (c,m,2)
+        t = np.clip((ap * ab[None, :, :]).sum(axis=2) / denom[None, :], 0.0, 1.0)
+        proj = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+        d2 = ((proj - P[:, None, :]) ** 2).sum(axis=2)
+        out[s:e] = np.sqrt(d2.min(axis=1))
+    return out
+
+
+def segments_min_dist(a1, b1, a2, b2) -> float:
+    """Min distance between two segments."""
+    if segments_intersect(a1, b1, a2, b2):
+        return 0.0
+    return min(
+        point_segments_dist(a1[0], a1[1], a2[None, :], b2[None, :])[0],
+        point_segments_dist(b1[0], b1[1], a2[None, :], b2[None, :])[0],
+        point_segments_dist(a2[0], a2[1], a1[None, :], b1[None, :])[0],
+        point_segments_dist(b2[0], b2[1], a1[None, :], b1[None, :])[0],
+    )
+
+
+# --------------------------------------------------- segment intersection
+
+def _cross(o, a, b):
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def segments_intersect(a1, b1, a2, b2) -> bool:
+    d1 = _cross(a2, b2, a1)
+    d2 = _cross(a2, b2, b1)
+    d3 = _cross(a1, b1, a2)
+    d4 = _cross(a1, b1, b2)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+    def on(p, q, r):
+        return (
+            abs(_cross(p, q, r)) < EPS
+            and min(p[0], q[0]) - EPS <= r[0] <= max(p[0], q[0]) + EPS
+            and min(p[1], q[1]) - EPS <= r[1] <= max(p[1], q[1]) + EPS
+        )
+    return on(a1, b1, a2) or on(a1, b1, b2) or on(a2, b2, a1) or on(a2, b2, b1)
+
+
+def segment_intersection_params(a1, b1, a2, b2):
+    """Proper-intersection parameters (t, u) of a1+t(b1-a1) = a2+u(b2-a2),
+    or None if parallel."""
+    r = b1 - a1
+    s = b2 - a2
+    denom = r[0] * s[1] - r[1] * s[0]
+    if abs(denom) < EPS:
+        return None
+    qp = a2 - a1
+    t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+    u = (qp[0] * r[1] - qp[1] * r[0]) / denom
+    return t, u
+
+
+# -------------------------------------------- polygon/box clipping (S-H)
+
+def clip_ring_to_box(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
+    """Sutherland–Hodgman clip of a ring by an axis-aligned box.
+
+    Box is convex so S-H is exact. Returns clipped ring (possibly
+    empty). Used for pixel↔polygon overlap areas (the reference's
+    pixel boxes, kblock/batch_3_model_population.py:174-183)."""
+    out = ring
+    for axis, lim, keep_ge in (
+        (0, xmin, True), (0, xmax, False), (1, ymin, True), (1, ymax, False),
+    ):
+        if len(out) == 0:
+            return out
+        pts = out
+        nxt = np.roll(pts, -1, axis=0)
+        v = pts[:, axis]
+        vn = nxt[:, axis]
+        ins = v >= lim if keep_ge else v <= lim
+        ins_n = vn >= lim if keep_ge else vn <= lim
+        res = []
+        for i in range(len(pts)):
+            p, q = pts[i], nxt[i]
+            if ins[i]:
+                res.append(p)
+            if ins[i] != ins_n[i]:
+                t = (lim - v[i]) / (vn[i] - v[i])
+                res.append(p + t * (q - p))
+        out = np.asarray(res, dtype=np.float64).reshape(-1, 2)
+    return out
+
+
+def box_polygon_overlap_area(
+    shell: np.ndarray, holes: list[np.ndarray] | None,
+    xmin, ymin, xmax, ymax,
+) -> float:
+    a = abs(ring_area(clip_ring_to_box(shell, xmin, ymin, xmax, ymax))) \
+        if len(shell) >= 3 else 0.0
+    for h in holes or []:
+        c = clip_ring_to_box(h, xmin, ymin, xmax, ymax)
+        if len(c) >= 3:
+            a -= abs(ring_area(c))
+    return max(a, 0.0)
+
+
+# -------------------------------------------- polyline ∩ polygon clipping
+
+def clip_polyline_to_polygon(
+    line: np.ndarray, shell: np.ndarray,
+    holes: list[np.ndarray] | None = None,
+) -> list[np.ndarray]:
+    """Clip a polyline to a polygon: split every segment at boundary
+    crossings, keep pieces whose midpoint is inside. Returns a list of
+    2-point segments (adequate for length/buffer/peel logic; the
+    reference's ``pygeos.intersection(streets, block)``,
+    batch_4_compute_k.py:86)."""
+    rings = [shell] + list(holes or [])
+    edges_a = np.vstack([r for r in rings])
+    edges_b = np.vstack([np.roll(r, -1, axis=0) for r in rings])
+    pieces: list[np.ndarray] = []
+    for i in range(len(line) - 1):
+        p, q = line[i], line[i + 1]
+        ts = [0.0, 1.0]
+        for j in range(len(edges_a)):
+            pr = segment_intersection_params(p, q, edges_a[j], edges_b[j])
+            if pr is None:
+                continue
+            t, u = pr
+            if -EPS <= t <= 1 + EPS and -EPS <= u <= 1 + EPS:
+                ts.append(min(max(t, 0.0), 1.0))
+        ts = sorted(set(ts))
+        for k in range(len(ts) - 1):
+            t0, t1 = ts[k], ts[k + 1]
+            if t1 - t0 < EPS:
+                continue
+            mid = p + ((t0 + t1) / 2.0) * (q - p)
+            if points_in_polygon(
+                np.array([mid[0]]), np.array([mid[1]]), shell, holes
+            )[0]:
+                pieces.append(np.vstack([p + t0 * (q - p), p + t1 * (q - p)]))
+    return pieces
+
+
+# ----------------------------------------------------- polyline sampling
+
+def sample_polyline(line: np.ndarray, step: float) -> np.ndarray:
+    """Points along a polyline every ``step`` units (incl. endpoints)."""
+    if len(line) < 2:
+        return line.copy()
+    out = [line[0]]
+    for i in range(len(line) - 1):
+        p, q = line[i], line[i + 1]
+        seg = np.sqrt(((q - p) ** 2).sum())
+        n = int(seg // step)
+        for k in range(1, n + 1):
+            out.append(p + (k * step / seg) * (q - p))
+        out.append(q)
+    return np.unique(np.asarray(out), axis=0)
+
+
+# ------------------------------------------------------- serialization
+
+def pack_rings(shell: np.ndarray, holes: list[np.ndarray] | None = None):
+    """→ (ring_sizes:list[int], flat_coords:list[float]) for DataFrame
+    transport as (array<int>, array<double>) columns."""
+    rings = [shell] + list(holes or [])
+    sizes = [len(r) for r in rings]
+    coords = np.concatenate([r.reshape(-1) for r in rings]) if rings else np.array([])
+    return sizes, coords.tolist()
+
+
+def unpack_rings(sizes, coords):
+    """Inverse of :func:`pack_rings`."""
+    flat = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    rings = []
+    off = 0
+    for s in sizes:
+        rings.append(flat[off : off + int(s)])
+        off += int(s)
+    return (rings[0], rings[1:]) if rings else (np.zeros((0, 2)), [])
