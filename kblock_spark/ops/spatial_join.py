@@ -1,0 +1,127 @@
+"""Tile-indexed spatial joins (the engine's core join strategy).
+
+The reference accelerates point-in-polygon joins with an in-process
+STRtree (kblock/batch_2_prepare_buildings.py:66-86). Distributed
+equivalent: polygons are exploded onto the grid cells they cover,
+points carry their cell id, and the join is a plain Catalyst equi-join
+on ``cell`` followed by exact ray-casting refinement inside an
+Arrow-batched ``mapInPandas`` — geometry travels WITH the rows, so the
+refine stage is shuffle-free and scales to any polygon count. Salting
+hooks handle hotspot cells (the weighted_qcut analogue,
+batch_4_compute_k.py:508-516).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..geo.geom import points_in_polygon, unpack_rings
+from ..geo.tiling import DEFAULT_CELL_DEG, cells_covering_polygon
+
+
+def make_covering_cells_udf(cell_deg: float = DEFAULT_CELL_DEG):
+    @pandas_udf("array<long>")
+    def covering(ring_sizes: pd.Series, coords: pd.Series) -> pd.Series:
+        out = []
+        for sizes, cs in zip(ring_sizes, coords):
+            shell, holes = unpack_rings(sizes, cs)
+            out.append(cells_covering_polygon(shell, holes, cell_deg).tolist())
+        return pd.Series(out)
+
+    return covering
+
+
+def polygons_with_cells(
+    polys: DataFrame, cell_deg: float = DEFAULT_CELL_DEG
+) -> DataFrame:
+    """Explode each polygon onto its covering cells → one row per
+    (polygon, cell). The h3 polygon_to_cells analogue."""
+    cov = make_covering_cells_udf(cell_deg)
+    return polys.withColumn("cell", F.explode(cov("ring_sizes", "coords")))
+
+
+def _pip_refine_factory(poly_key: str, out_schema: str):
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            # vectorize per candidate polygon within the Arrow batch
+            for _, idx in pdf.groupby(poly_key, sort=False).indices.items():
+                sizes = pdf["__ring_sizes"].iloc[idx[0]]
+                coords = pdf["__coords"].iloc[idx[0]]
+                shell, holes = unpack_rings(sizes, coords)
+                px = pdf["lon"].to_numpy()[idx]
+                py = pdf["lat"].to_numpy()[idx]
+                keep[idx] = points_in_polygon(px, py, shell, holes)
+            out = pdf.loc[keep].drop(columns=["__ring_sizes", "__coords"])
+            if len(out):
+                yield out
+
+    return refine
+
+
+def assign_points_to_polygons(
+    points: DataFrame,
+    polys: DataFrame,
+    point_cols: list[str],
+    poly_key: str = "block_id",
+    poly_cols: list[str] | None = None,
+    cell_deg: float = DEFAULT_CELL_DEG,
+    broadcast_polys: bool = True,
+    salt_buckets: int = 0,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Point-in-polygon join (the reference's hot join, batch_2:66-86).
+
+    points: must carry ``lon``, ``lat``, ``cell`` columns.
+    Returns points columns + poly_key (+ poly_cols).
+
+    broadcast_polys: the polygon side (with exploded cells) is usually
+    the small dimension (blocks ≪ points, cf. batch_4:535 reading all
+    blocks of a chunk at once) → broadcast hash join, zero shuffle of
+    the fact side. Set False at planetary polygon counts to get a
+    shuffled equi-join on ``cell``; with AQE skew-join splitting, or
+    ``salt_buckets > 0`` to shard hotspot cells explicitly.
+    """
+    poly_cols = poly_cols or []
+    pc = polygons_with_cells(
+        polys.select(poly_key, *poly_cols, "ring_sizes", "coords"), cell_deg
+    ).withColumnRenamed("ring_sizes", "__ring_sizes").withColumnRenamed(
+        "coords", "__coords"
+    )
+    pts = points
+    if salt_buckets and not broadcast_polys:
+        # salt: points pick a random shard, polygons replicate to all
+        pts = pts.withColumn(
+            "__salt", (F.pmod(F.xxhash64(*point_cols), F.lit(salt_buckets))).cast("int")
+        )
+        pc = pc.withColumn(
+            "__salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))
+        )
+        on = ["cell", "__salt"]
+    else:
+        on = ["cell"]
+    right = F.broadcast(pc) if broadcast_polys else pc
+    cand = pts.join(right, on=on, how="inner")
+    out_cols = point_cols + ["cell", poly_key] + poly_cols
+    schema_df = cand.select(*out_cols, "__ring_sizes", "__coords")
+    refined = schema_df.mapInPandas(
+        _pip_refine_factory(poly_key, ""), schema=schema_df.drop("__ring_sizes", "__coords").schema
+    )
+    if dedupe:
+        # a point on a shared block edge can pass PIP for 2 polygons →
+        # deterministic keep-first by poly key (reference dedups via
+        # geohash rank then drop_duplicates, batch_2:216-231)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*point_cols).orderBy(poly_key)
+        refined = (
+            refined.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return refined
