@@ -306,6 +306,39 @@ def sample_polyline(line: np.ndarray, step: float) -> np.ndarray:
     return np.unique(np.asarray(out), axis=0)
 
 
+# ------------------------------------------------------------ hulls
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns hull vertices CCW."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(iterable):
+        h: list[np.ndarray] = []
+        for p in iterable:
+            while len(h) >= 2 and _cross(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def convex_hull_indices(points: np.ndarray) -> np.ndarray:
+    """Indices (into points) of the convex hull vertices."""
+    hull = convex_hull(points)
+    pts = np.asarray(points, dtype=np.float64)
+    idx = []
+    for h in hull:
+        d = ((pts - h) ** 2).sum(axis=1)
+        idx.append(int(np.argmin(d)))
+    return np.unique(np.asarray(idx, dtype=np.int64))
+
+
 # ------------------------------------------------------- serialization
 
 def pack_rings(shell: np.ndarray, holes: list[np.ndarray] | None = None):

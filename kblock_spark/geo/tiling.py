@@ -145,6 +145,18 @@ def cells_covering_polygon(
     return cand[keep]
 
 
+def expand_cells(cells: np.ndarray, k: int = 1) -> np.ndarray:
+    """Union of k_ring(c, k) over an array of cells (vectorized)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    ix = cells >> np.int64(32)
+    iy = cells & np.int64(0xFFFFFFFF)
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    ox, oy = np.meshgrid(offs, offs)
+    gx = ix[:, None] + ox.reshape(-1)[None, :]
+    gy = iy[:, None] + oy.reshape(-1)[None, :]
+    return np.unique((gx.reshape(-1) << np.int64(32)) | gy.reshape(-1))
+
+
 def k_ring(cell: int, k: int = 1) -> np.ndarray:
     """Cells within Chebyshev distance k (incl. center) — the grid
     analogue of h3.grid_disk, used for kNN ring expansion (reference's
