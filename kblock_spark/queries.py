@@ -1,0 +1,1025 @@
+"""Driver-contract query registry: Spark DataFrame plans + DuckDB
+oracle SQL, kept side-by-side so they cannot drift.
+
+Each entry re-expresses an operator family from SURVEY.md §2 over the
+driver's TPC-H-ish tables, or a training-data-pipeline operator
+(dedup / similarity / text analysis) over documents/embeddings.
+
+Cross-engine determinism discipline (so the driver's value-hash
+matches):
+- money/measure sums are DECIMAL(18,2) (exact), never raw double sums;
+- doubles only ever arise by dividing/sqrt-ing *identical* exact
+  values (same operands → bit-identical IEEE result in both engines);
+- the shared hash is the first 12 hex chars of md5 cast to BIGINT
+  (verified identical in Spark and DuckDB);
+- embeddings are quantized to integers (round(x*1000)) so dot
+  products are exact integer arithmetic;
+- every row_number/top-k has a total-order tie-break;
+- timestamps are TIMESTAMP_NTZ in both engines; rendered via
+  date_format/strftime with identical patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# --------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def _h12(col) -> F.Column:
+    """md5-prefix bigint hash, identical to DuckDB
+    ('0x'||substr(md5(x),1,12))::BIGINT."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint")
+
+
+_H12_SQL = "('0x'||substr(md5({x}),1,12))::BIGINT"
+
+
+# ======================================================== relational ops
+# q01 — A1/P6: filtered group-by aggregation (TPC-H Q1 style)
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(28,4)")
+            ).alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity::DECIMAL(18,2)) AS sum_qty,
+       SUM(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+       SUM((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)) AS sum_disc_price,
+       SUM(l_quantity::DECIMAL(18,2))::DOUBLE / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# q02 — W1/O2: top-1 per group via row_number
+
+def q02_top_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+Q02_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# q03 — A3/W2: windowed sum (share of group total)
+
+def q03_windowed_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice")
+            / F.sum(_dec("l_extendedprice")).over(w).cast("double")
+        ).alias("price_share"),
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / (SUM(l_extendedprice::DECIMAL(18,2))
+                          OVER (PARTITION BY l_orderkey))::DOUBLE AS price_share
+FROM lineitem
+"""
+
+
+# q04 — J9/J10: star join with broadcast dims, revenue rollup
+
+def q04_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(28,4)")
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT r_name, n_name,
+       SUM((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# q05 — J15/P8: anti join (customers without orders)
+
+def q05_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+Q05_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# q06 — semi join
+
+def q06_active_customers_by_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+Q06_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+# q07 — J12: full outer join with coalesce
+
+def q07_nation_presence(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = c.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+    sn = s.groupBy("s_nationkey").agg(F.count("*").alias("n_suppliers"))
+    return (
+        cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(cn.c_nationkey, sn.s_nationkey).alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+Q07_SQL = """
+SELECT COALESCE(cn.k, sn.k) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey k, COUNT(*) n_customers FROM customer GROUP BY 1) cn
+FULL OUTER JOIN (SELECT s_nationkey k, COUNT(*) n_suppliers FROM supplier GROUP BY 1) sn
+ON cn.k = sn.k
+"""
+
+
+# q08 — A4/U2: distinct
+
+def q08_distinct_flags(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+Q08_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# q09 — A5: count distinct per group
+
+def q09_custkeys_per_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+Q09_SQL = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# q10 — A8: histogram binning (CASE-WHEN chain, reference's np.select,
+# kblock/batch_5_combine_data.py:127-145)
+
+def q10_price_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bin_col = (
+        F.when(F.col("o_totalprice") < 1000, "b0_lt_1k")
+        .when(F.col("o_totalprice") < 10000, "b1_1k_10k")
+        .when(F.col("o_totalprice") < 50000, "b2_10k_50k")
+        .when(F.col("o_totalprice") < 100000, "b3_50k_100k")
+        .otherwise("b4_ge_100k")
+    )
+    return (
+        o.withColumn("price_bin", bin_col)
+        .groupBy("price_bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("total"),
+        )
+    )
+
+
+Q10_SQL = """
+SELECT CASE WHEN o_totalprice < 1000 THEN 'b0_lt_1k'
+            WHEN o_totalprice < 10000 THEN 'b1_1k_10k'
+            WHEN o_totalprice < 50000 THEN 'b2_10k_50k'
+            WHEN o_totalprice < 100000 THEN 'b3_50k_100k'
+            ELSE 'b4_ge_100k' END AS price_bin,
+       COUNT(*) AS n_orders, SUM(o_totalprice::DECIMAL(18,2)) AS total
+FROM orders GROUP BY 1
+"""
+
+
+# q11 — A7: pivot-style conditional aggregation
+
+def q11_conditional_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("qty_r"),
+        F.sum(F.when(F.col("l_returnflag") == "A", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("qty_a"),
+        F.sum(F.when(F.col("l_returnflag") == "N", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("qty_n"),
+    )
+
+
+Q11_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN l_returnflag='R' THEN l_quantity::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END) AS qty_r,
+       SUM(CASE WHEN l_returnflag='A' THEN l_quantity::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END) AS qty_a,
+       SUM(CASE WHEN l_returnflag='N' THEN l_quantity::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END) AS qty_n
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# q12 — W5: cumulative sum (ordered frame; the weighted_qcut
+# cumulative partitioner analogue, kblock/batch_4_compute_k.py:377-387)
+
+def q12_running_customer_spend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).alias("running_spend"),
+    )
+
+
+Q12_SQL = """
+SELECT o_custkey, o_orderkey,
+       SUM(o_totalprice::DECIMAL(18,2)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+FROM orders
+"""
+
+
+# q13 — A12: weighted mean via sum-of-products
+# (kblock/batch_5_combine_data.py:576-595)
+
+def q13_weighted_discount_by_brand(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    prod = (_dec("l_discount") * _dec("l_quantity")).cast("decimal(28,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (
+                F.sum(prod).cast("double")
+                / F.sum(_dec("l_quantity")).cast("double")
+            ).alias("weighted_discount")
+        )
+    )
+
+
+Q13_SQL = """
+SELECT p_brand,
+       SUM((l_discount::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DECIMAL(28,4))::DOUBLE
+         / SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS weighted_discount
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# q14 — P7: substring/prefix predicate
+# (kblock/batch_3_model_population.py:296-300)
+
+def q14_prefix_consistency(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.substring("p_type", 1, 5) == F.lit("PROMO"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_promo"))
+    )
+
+
+Q14_SQL = """
+SELECT p_brand, COUNT(*) AS n_promo FROM part
+WHERE substr(p_type, 1, 5) = 'PROMO' GROUP BY p_brand
+"""
+
+
+# q15 — P3/P4: value-list + null filters
+# (kblock/batch_1b_generate_blocks.py:319-323)
+
+def q15_isin_null_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            ~F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q15_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE event_type NOT IN ('click','view') AND value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# q16 — U1/U2: union + distinct (reference's concat accumulation,
+# batch_1b:341)
+
+def q16_union_keys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    u = o.select(F.col("o_custkey").alias("custkey")).unionByName(
+        c.select(F.col("c_custkey").alias("custkey"))
+    )
+    return u.distinct().agg(
+        F.count("*").alias("n_distinct_keys"),
+        F.sum("custkey").alias("key_sum"),
+    )
+
+
+Q16_SQL = """
+SELECT COUNT(*) AS n_distinct_keys, SUM(custkey) AS key_sum FROM (
+  SELECT DISTINCT custkey FROM (
+    SELECT o_custkey AS custkey FROM orders
+    UNION ALL SELECT c_custkey FROM customer))
+"""
+
+
+# q17 — O3: global argmin-by-distance limit 1
+# (kblock/deploy/0-ingest-data/subjob_ingestion.py:92)
+
+def q17_closest_price_part(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn("dist", F.abs(F.col("p_retailprice") - F.lit(1000.0)))
+        .orderBy("dist", "p_partkey")
+        .limit(1)
+        .select("p_partkey", "p_retailprice")
+    )
+
+
+Q17_SQL = """
+SELECT p_partkey, p_retailprice FROM part
+ORDER BY ABS(p_retailprice - 1000.0), p_partkey LIMIT 1
+"""
+
+
+# q18 — A10: grouped ordered collect-list → string
+# (kblock/batch_1c_regions_crosswalk.py:264-288)
+
+def q18_suppliers_per_nation(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.concat_ws(";", F.sort_array(F.collect_list("s_name"))).alias("suppliers"),
+        F.count("*").alias("n"),
+    )
+
+
+Q18_SQL = """
+SELECT s_nationkey,
+       string_agg(s_name, ';' ORDER BY s_name) AS suppliers,
+       COUNT(*) AS n
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# q19 — time-keyed aggregation (events table; hour buckets)
+
+def q19_hourly_event_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_format("ts", "yyyy-MM-dd HH"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).alias("value_sum"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       COUNT(*) AS n, SUM(value::DECIMAL(18,2)) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+# q20 — W1 over events: top event per user
+
+def q20_top_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.where(F.col("value").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+Q20_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) rn
+  FROM events WHERE value IS NOT NULL
+) WHERE rn = 1
+"""
+
+
+# ============================================ training-data ops: text
+
+# d01 — token counting (whitespace tokenizer)
+
+def d01_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace_chars"),
+    )
+
+
+D01_SQL = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       length(replace(text, ' ', '')) AS n_nonspace_chars
+FROM documents
+"""
+
+
+# d02 — quality scoring (length / distinct-ratio / stopword-ratio)
+
+def d02_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (nd.cast("double") / n.cast("double")).alias("distinct_ratio"),
+        (stop.cast("double") / n.cast("double")).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / n.cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+D02_SQL = """
+SELECT doc_id,
+       len(string_split(text,' ')) AS n_tokens,
+       len(list_distinct(string_split(text,' ')))::DOUBLE
+         / len(string_split(text,' '))::DOUBLE AS distinct_ratio,
+       len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::DOUBLE
+         / len(string_split(text,' '))::DOUBLE AS stopword_ratio,
+       length(replace(text,' ',''))::DOUBLE
+         / len(string_split(text,' '))::DOUBLE AS avg_token_len
+FROM documents
+"""
+
+
+# d03 — document fingerprinting (content hash)
+
+def d03_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        _h12(norm).alias("fingerprint64"),
+    )
+
+
+D03_SQL = f"""
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+       {_H12_SQL.format(x='lower(trim(text))')} AS fingerprint64
+FROM documents
+"""
+
+
+# d04 — exact deduplication (hash-groupBy; keeper = min doc_id)
+
+def d04_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", F.md5(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+D04_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# d05 — language-ID heuristic (marker-token scoring; deterministic
+# tie-break — the synthetic corpus shares one vocabulary so this tests
+# the operator, not real language detection)
+
+_MARKS_A = ("table", "row", "column", "scan")
+_MARKS_B = ("query", "filter", "join", "group")
+
+
+def d05_lang_heuristic(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sa = F.size(F.filter(toks, lambda t: t.isin(*_MARKS_A)))
+    sb = F.size(F.filter(toks, lambda t: t.isin(*_MARKS_B)))
+    return d.select(
+        "doc_id",
+        sa.alias("score_a"),
+        sb.alias("score_b"),
+        F.when(sa > sb, "class_a").when(sb > sa, "class_b").otherwise("tie").alias(
+            "pred_class"
+        ),
+    )
+
+
+D05_SQL = f"""
+SELECT doc_id,
+  len(list_filter(string_split(text,' '), t -> t IN {str(tuple(_MARKS_A))})) AS score_a,
+  len(list_filter(string_split(text,' '), t -> t IN {str(tuple(_MARKS_B))})) AS score_b,
+  CASE WHEN len(list_filter(string_split(text,' '), t -> t IN {str(tuple(_MARKS_A))}))
+          > len(list_filter(string_split(text,' '), t -> t IN {str(tuple(_MARKS_B))})) THEN 'class_a'
+       WHEN len(list_filter(string_split(text,' '), t -> t IN {str(tuple(_MARKS_B))}))
+          > len(list_filter(string_split(text,' '), t -> t IN {str(tuple(_MARKS_A))})) THEN 'class_b'
+       ELSE 'tie' END AS pred_class
+FROM documents
+"""
+
+
+# d06 — n-gram Jaccard near-dup pairs (3-word shingles, inverted-index
+# join with a frequent-shingle cap — standard LSH-style prefilter)
+
+_SHINGLE_CAP = 200
+_JACCARD_MIN = 0.5
+
+
+def d06_ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+        F.col("df") <= _SHINGLE_CAP
+    )
+    sh = sh.join(F.broadcast(rare.select("shingle")), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+D06_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)
+),
+rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {_SHINGLE_CAP}),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE >= {_JACCARD_MIN}
+"""
+
+
+# d07 — MinHash + LSH banding candidate pairs
+
+_N_BANDS = 4
+
+
+def d07_minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    bands = spark.range(_N_BANDS).select(F.col("id").cast("int").alias("band"))
+    mh = (
+        sh.crossJoin(F.broadcast(bands))
+        .withColumn(
+            "h",
+            _h12(F.concat_ws("|", F.col("shingle"), F.col("band").cast("string"))),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("minhash"))
+    )
+    a = mh.alias("a")
+    b = mh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+D07_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)
+),
+mh AS (
+  SELECT doc_id, band,
+         MIN({_H12_SQL.format(x="shingle || '|' || band::VARCHAR")}) AS minhash
+  FROM sh CROSS JOIN (SELECT UNNEST(range({_N_BANDS}))::INT AS band)
+  GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM mh a JOIN mh b
+  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+"""
+
+
+# d08 — SimHash (16-bit, ±1 bit votes over token hashes)
+
+_SIMHASH_BITS = 16
+
+
+def d08_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok = tok.withColumn("h", _h12("tok"))
+    aggs = []
+    for b in range(_SIMHASH_BITS):
+        bit = F.expr(f"(h >> {b}) & 1")
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}")
+        )
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("bigint")
+    for b in range(_SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0).cast("bigint")
+    return votes.select("doc_id", sim.alias("simhash16"))
+
+
+_D08_VOTES = ",\n".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_D08_COMBINE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+D08_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_H12_SQL.format(x='t.tok')} AS h
+  FROM documents, UNNEST(string_split(text,' ')) AS t(tok)),
+votes AS (SELECT doc_id, {_D08_VOTES} FROM tok GROUP BY doc_id)
+SELECT doc_id, ({_D08_COMBINE})::BIGINT AS simhash16 FROM votes
+"""
+
+
+# ================================== training-data ops: similarity / ANN
+
+def _quantized(col="embedding"):
+    """float array → exact integer array (×1000) so dot products are
+    integer-exact and engine-independent."""
+    return F.transform(F.col(col), lambda x: F.round(x.cast("double") * 1000).cast("bigint"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+_QUANT_SQL = "list_transform({c}, x -> round(x::DOUBLE * 1000))"
+
+
+# e01 — brute-force cosine top-k (k=5) for query vectors vec_id < 20
+
+_TOPK = 5
+_N_QUERIES = 20
+
+
+def e01_ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized().alias("q")
+    )
+    qs = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    pairs = qs.crossJoin(e.withColumnRenamed("vec_id", "neighbor_id")).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("qv"), F.col("q")).cast("double")
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double"))
+                * F.sqrt(_dot(F.col("q"), F.col("q")).cast("double"))
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+E01_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL.format(c='embedding')} AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM q a JOIN q b ON a.vec_id < {_N_QUERIES} AND a.vec_id != b.vec_id)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+WHERE rank <= {_TOPK}
+"""
+
+
+# e02 — embedding near-duplicate pairs (cosine ≥ threshold)
+
+_DUP_COS = 0.9
+
+
+def e02_embedding_dup_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", _quantized().alias("q"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("qa"), F.col("qb")).cast("double")
+                / (
+                    F.sqrt(_dot(F.col("qa"), F.col("qa")).cast("double"))
+                    * F.sqrt(_dot(F.col("qb"), F.col("qb")).cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _DUP_COS)
+    )
+
+
+E02_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL.format(c='embedding')} AS v FROM embeddings)
+SELECT a.vec_id vec_a, b.vec_id vec_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {_DUP_COS}
+"""
+
+
+# e03 — label-centroid similarity (integer-exact centroids)
+
+def e03_label_centroid(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", _quantized().alias("q"))
+    # exact integer per-dimension sums per label, and count
+    dims = e.select(
+        "label", F.posexplode("q").alias("dim", "val")
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    return cent.groupBy("label").agg(
+        F.count("*").alias("n_dims"),
+        F.sum(F.abs("s")).alias("l1_sum"),
+        F.max("n").alias("n_vectors"),
+    )
+
+
+E03_SQL = f"""
+WITH q AS (SELECT vec_id, label, {_QUANT_SQL.format(c='embedding')} AS v FROM embeddings),
+dims AS (
+  SELECT label, i - 1 AS dim, v[i] AS val
+  FROM q, UNNEST(range(1, len(v)+1)) AS t(i)),
+cent AS (SELECT label, dim, SUM(val) s, COUNT(*) n FROM dims GROUP BY 1, 2)
+SELECT label, COUNT(*) AS n_dims, SUM(ABS(s)) AS l1_sum, MAX(n) AS n_vectors
+FROM cent GROUP BY label
+"""
+
+
+# ============================================== geospatial (rows-only)
+# The geometry pipeline has no SQL equivalent; the driver records the
+# weaker rows-only check and pytest carries the golden invariants.
+
+def geo_blocks(spark, sf_dir):
+    from .io.synth import synth_admin, synth_streets
+    from .kernels.blocks import delineate_blocks
+
+    admin = spark.createDataFrame(synth_admin(2, 2))
+    streets = spark.createDataFrame(synth_streets(2, 2, 2))
+    return delineate_blocks(admin, streets).select(
+        "block_id", "block_geohash", "gadm_code", "country_code",
+        F.round("block_area", 2).alias("block_area_m2"),
+        F.round("block_perimeter", 2).alias("block_perimeter_m"),
+    )
+
+
+def geo_k_complexity(spark, sf_dir):
+    from .pipeline import run_pipeline
+
+    dfs = run_pipeline(spark, n_pages=2000, nx=2, ny=2, grid=2)
+    return dfs["complexity"]
+
+
+def geo_pip_join(spark, sf_dir):
+    from .pipeline import run_pipeline
+
+    dfs = run_pipeline(spark, n_pages=2000, nx=2, ny=2, grid=2)
+    return (
+        dfs["buildings"]
+        .groupBy("block_id")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+REGISTRY: dict = {
+    # relational core
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
+    "q03_windowed_share": (q03_windowed_share, Q03_SQL),
+    "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
+    "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
+    "q06_active_customers_by_segment": (q06_active_customers_by_segment, Q06_SQL),
+    "q07_nation_presence": (q07_nation_presence, Q07_SQL),
+    "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
+    "q09_custkeys_per_status": (q09_custkeys_per_status, Q09_SQL),
+    "q10_price_histogram": (q10_price_histogram, Q10_SQL),
+    "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
+    "q12_running_customer_spend": (q12_running_customer_spend, Q12_SQL),
+    "q13_weighted_discount_by_brand": (q13_weighted_discount_by_brand, Q13_SQL),
+    "q14_prefix_consistency": (q14_prefix_consistency, Q14_SQL),
+    "q15_isin_null_filter": (q15_isin_null_filter, Q15_SQL),
+    "q16_union_keys": (q16_union_keys, Q16_SQL),
+    "q17_closest_price_part": (q17_closest_price_part, Q17_SQL),
+    "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
+    "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
+    "q20_top_event_per_user": (q20_top_event_per_user, Q20_SQL),
+    # text / dedup
+    "d01_token_count": (d01_token_count, D01_SQL),
+    "d02_quality_score": (d02_quality_score, D02_SQL),
+    "d03_fingerprint": (d03_fingerprint, D03_SQL),
+    "d04_exact_dedup": (d04_exact_dedup, D04_SQL),
+    "d05_lang_heuristic": (d05_lang_heuristic, D05_SQL),
+    "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
+    "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
+    "d08_simhash": (d08_simhash, D08_SQL),
+    # similarity / ANN
+    "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
+    "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
+    "e03_label_centroid": (e03_label_centroid, E03_SQL),
+    # geospatial (no SQL equivalent → rows-only check; pytest carries
+    # the golden invariants)
+    "geo_blocks": (geo_blocks, None),
+    "geo_pip_join": (geo_pip_join, None),
+    "geo_k_complexity": (geo_k_complexity, None),
+}
