@@ -1,0 +1,122 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "blocks_per_sec", "value": <geo throughput at high
+   parallelism>, "unit": "sec", "queries": {name: sec, ...},
+   "sf": <sf>, "scaling": {...}}
+
+Two parts:
+1. **Geospatial headline** (BASELINE.json metric): synthetic-city
+   pages → geocode → block delineation → tile PIP join →
+   k-complexity, timed end-to-end at TWO parallelism levels
+   (local[N/4] and local[N]) on identical input — the sandbox
+   evidence for the north rule's N→4N scaling-efficiency ≥ 0.8.
+2. **Relational/training-data queries** at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1), each forced with a noop write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_windowed_share",
+    "q04_revenue_by_nation",
+    "q12_running_customer_spend",
+    "q13_weighted_discount_by_brand",
+    "d04_exact_dedup",
+    "d06_ngram_jaccard_pairs",
+    "d07_minhash_lsh_pairs",
+    "d08_simhash",
+    "e01_ann_cosine_topk",
+]
+
+GEO_NX = GEO_NY = 5
+GEO_GRID = 4
+GEO_PAGES = 60_000
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def geo_run(cores: int) -> dict:
+    """Full pipeline at a given parallelism; returns timing + counts."""
+    from kblock_spark.session import get_spark
+    from kblock_spark.pipeline import run_pipeline
+
+    spark = get_spark(
+        f"kblock-bench-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    try:
+        t0 = time.time()
+        dfs = run_pipeline(
+            spark, n_pages=GEO_PAGES, nx=GEO_NX, ny=GEO_NY, grid=GEO_GRID
+        )
+        k = dfs["complexity"]
+        n_blocks = k.count()
+        elapsed = time.time() - t0
+        return {
+            "cores": cores,
+            "blocks": n_blocks,
+            "pages": GEO_PAGES,
+            "sec": round(elapsed, 3),
+            "blocks_per_sec": round(n_blocks / elapsed, 3),
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # --- scaling evidence: identical job at N/4 and N cores
+    low = geo_run(max(CPUS // 4, 2))
+    high = geo_run(CPUS)
+    ratio = high["cores"] / low["cores"]
+    efficiency = (high["blocks_per_sec"] / low["blocks_per_sec"]) / ratio
+
+    # --- relational/training-data queries at the bench SF
+    from kblock_spark.session import get_spark
+    from kblock_spark.queries import REGISTRY
+
+    spark = get_spark("kblock-bench-queries")
+    timings = {}
+    try:
+        for name in BENCH_QUERIES:
+            fn, _sql = REGISTRY[name]
+            t0 = time.time()
+            _force(fn(spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+    out = {
+        "metric": "blocks_per_sec",
+        "value": high["blocks_per_sec"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "scaling": {
+            "low": low,
+            "high": high,
+            "core_ratio": ratio,
+            "efficiency": round(efficiency, 3),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -223,6 +223,37 @@ def _make_pages_pdf(idx: np.ndarray, seed: int = 42) -> pd.DataFrame:
     )
 
 
+def synth_pixels(
+    nx: int = 3, ny: int = 3, pix_deg: float = 0.004, seed: int = 7,
+    margin: int = 1,
+) -> pd.DataFrame:
+    """Raster-analogue pixel table over the admin extent (+margin
+    pixels beyond it, exercising the stage-3 residual path). Mirrors
+    the reference's flattened pixel tables
+    (kblock/batch_3_model_population.py:126-172)."""
+    rng = np.random.default_rng(seed)
+    x0 = ORIGIN_LON - margin * pix_deg
+    y0 = ORIGIN_LAT - margin * pix_deg
+    ncx = int(np.ceil(nx * ADMIN_SIZE_DEG / pix_deg)) + 2 * margin
+    ncy = int(np.ceil(ny * ADMIN_SIZE_DEG / pix_deg)) + 2 * margin
+    rows = []
+    pid = 0
+    for i in range(ncx):
+        for j in range(ncy):
+            rows.append(
+                {
+                    "pixel_id": pid,
+                    "xmin": x0 + i * pix_deg,
+                    "ymin": y0 + j * pix_deg,
+                    "xmax": x0 + (i + 1) * pix_deg,
+                    "ymax": y0 + (j + 1) * pix_deg,
+                    "population": float(np.round(rng.uniform(0, 120), 2)),
+                }
+            )
+            pid += 1
+    return pd.DataFrame(rows)
+
+
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
