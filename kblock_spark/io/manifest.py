@@ -1,0 +1,127 @@
+"""Checkpoint manifest: resumable partitioned runs with per-partition
+lineage + metrics.
+
+The reference resumes with progress CSVs and appendable dask parquet
+(kblock/batch_2_prepare_buildings.py:115-131,265-274;
+batch_4_compute_k.py:480-497,581-582; dir-diff listings everywhere).
+Spark-native equivalent: a small parquet **manifest table**
+
+  (partition_key, status, rows, wall_ms, attempt,
+   input_fingerprint, ts)
+
+plus append-mode partitioned output. Pending work = partition keys
+anti-joined against completed manifest entries; a restarted run skips
+finished partitions and appends only the missing ones. Only partition
+KEYS ever touch the driver (metadata, not data) — same cost model as
+the reference's directory listings.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST_SCHEMA = (
+    "partition_key string, status string, rows long, wall_ms long, "
+    "attempt int, input_fingerprint string, ts string"
+)
+
+
+class CheckpointManifest:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def entries(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        return self.spark.read.parquet(self.path)
+
+    def completed(self) -> DataFrame:
+        """Latest-attempt 'done' keys."""
+        e = self.entries()
+        return (
+            e.where(F.col("status") == "done")
+            .select("partition_key")
+            .distinct()
+        )
+
+    def pending(self, keys: DataFrame, key_col: str) -> DataFrame:
+        """Anti-join of the work universe against completed keys
+        (the reference's ``~isin(completed)``, batch_4:491,509)."""
+        done = self.completed().withColumnRenamed("partition_key", key_col)
+        return keys.join(done, key_col, "left_anti")
+
+    def record(self, rows: list[dict]):
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            [
+                (
+                    str(r["partition_key"]),
+                    r.get("status", "done"),
+                    int(r.get("rows", 0)),
+                    int(r.get("wall_ms", 0)),
+                    int(r.get("attempt", 1)),
+                    str(r.get("input_fingerprint", "")),
+                    str(r.get("ts", "")),
+                )
+                for r in rows
+            ],
+            MANIFEST_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+
+def checkpointed_run(
+    spark: SparkSession,
+    universe: DataFrame,
+    key_col: str,
+    build_fn,
+    out_path: str,
+    manifest: CheckpointManifest,
+    max_keys: int | None = None,
+    fingerprint: str = "",
+) -> int:
+    """Process pending partitions: ``build_fn(keys_df) -> DataFrame``
+    (must carry ``key_col``), append results + manifest entries.
+
+    ``max_keys`` bounds a single invocation (used by tests to simulate
+    a crash between checkpoints). Returns #keys processed.
+    """
+    pending = manifest.pending(universe.select(key_col).distinct(), key_col)
+    if max_keys is not None:
+        pending = pending.orderBy(key_col).limit(max_keys)
+    keys = [r[key_col] for r in pending.collect()]  # metadata only
+    if not keys:
+        return 0
+    t0 = time.time()
+    result = build_fn(universe.where(F.col(key_col).isin(keys))).cache()
+    per_key = {
+        r[key_col]: r["n"]
+        for r in result.groupBy(key_col).agg(F.count("*").alias("n")).collect()
+    }
+    result.write.mode("append").parquet(out_path)
+    wall = int((time.time() - t0) * 1000)
+    manifest.record(
+        [
+            {
+                "partition_key": k,
+                "status": "done",
+                "rows": per_key.get(k, 0),
+                "wall_ms": wall // max(len(keys), 1),
+                "attempt": 1,
+                "input_fingerprint": fingerprint,
+            }
+            for k in keys
+        ]
+    )
+    result.unpersist()
+    return len(keys)

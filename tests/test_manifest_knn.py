@@ -1,0 +1,90 @@
+"""Resume-from-checkpoint (FIXTURES.md §8) + kNN ring-expansion join."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kblock_spark.geo.tiling import cell_of
+from kblock_spark.io.manifest import CheckpointManifest, checkpointed_run
+from kblock_spark.ops.knn import knn_join
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    man = CheckpointManifest(spark, str(tmp_path / "manifest"))
+    universe = spark.range(0, 100).select(
+        (F.col("id") % 10).cast("string").alias("part_key"), F.col("id")
+    )
+
+    calls = []
+
+    def build(df):
+        calls.append(1)
+        return df.groupBy("part_key").agg(F.sum("id").alias("total"))
+
+    # simulate crash: first run processes only 4 partitions
+    n1 = checkpointed_run(spark, universe, "part_key", build, out, man, max_keys=4)
+    assert n1 == 4
+    # restart: processes the remaining 6, skips completed
+    n2 = checkpointed_run(spark, universe, "part_key", build, out, man)
+    assert n2 == 6
+    # idempotent third run: nothing pending
+    n3 = checkpointed_run(spark, universe, "part_key", build, out, man)
+    assert n3 == 0
+    result = spark.read.parquet(out)
+    assert result.count() == 10  # no duplicates from the resume
+    clean = {
+        (r["part_key"], r["total"])
+        for r in universe.groupBy("part_key").agg(F.sum("id").alias("total")).collect()
+    }
+    got = {(r["part_key"], r["total"]) for r in result.collect()}
+    assert got == clean
+    # lineage/metrics recorded per partition
+    m = man.entries()
+    assert m.count() == 10
+    assert m.where(F.col("rows") != 1).count() == 0
+
+
+def _pts_df(spark, n, seed, key):
+    rng = np.random.default_rng(seed)
+    lon = 10.0 + rng.uniform(0, 0.05, n)
+    lat = rng.uniform(0, 0.05, n)
+    pdf = pd.DataFrame(
+        {key: np.arange(n), "lon": lon, "lat": lat, "cell": cell_of(lon, lat)}
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_knn_matches_bruteforce(spark):
+    left, lpdf = _pts_df(spark, 60, 1, "lid")
+    right, rpdf = _pts_df(spark, 80, 2, "rid")
+    got = {
+        r["lid"]: (r["nn_key"], r["dist_deg"])
+        for r in knn_join(left, right, "lid", "rid", k=1).collect()
+    }
+    assert len(got) == 60
+    lx = lpdf[["lon", "lat"]].to_numpy()
+    rx = rpdf[["lon", "lat"]].to_numpy()
+    d = np.sqrt(((lx[:, None, :] - rx[None, :, :]) ** 2).sum(axis=2))
+    for i in range(60):
+        j = int(np.argmin(d[i]))
+        assert got[i][0] == j, f"left {i}: got {got[i][0]} want {j}"
+        assert got[i][1] == pytest.approx(float(d[i, j]), rel=1e-9)
+
+
+def test_knn_k3(spark):
+    left, lpdf = _pts_df(spark, 25, 5, "lid")
+    right, rpdf = _pts_df(spark, 50, 6, "rid")
+    rows = knn_join(left, right, "lid", "rid", k=3).collect()
+    assert len(rows) == 75
+    lx = lpdf[["lon", "lat"]].to_numpy()
+    rx = rpdf[["lon", "lat"]].to_numpy()
+    d = np.sqrt(((lx[:, None, :] - rx[None, :, :]) ** 2).sum(axis=2))
+    by_left = {}
+    for r in rows:
+        by_left.setdefault(r["lid"], []).append((r["rank"], r["nn_key"]))
+    for i in range(25):
+        want = list(np.argsort(d[i])[:3])
+        gotl = [nk for _, nk in sorted(by_left[i])]
+        assert gotl == want
