@@ -1,121 +1,174 @@
-"""Delaunay triangulation (Bowyer–Watson) → Voronoi adjacency.
+"""Delaunay triangulation (vectorized Bowyer–Watson) → Voronoi adjacency.
 
 The reference peels concentric layers of **Voronoi parcels** with
 pygeos.voronoi_polygons + pairwise ``touches`` tests
 (kblock/batch_4_compute_k.py:130-176). Two Voronoi cells share a
 boundary edge iff their sites are connected by a Delaunay edge, so the
 peel is exactly a BFS over the Delaunay graph — that is what
-:mod:`kblock_spark.kernels.complexity` runs. This module provides the
-triangulation with no external dependency (no scipy/GEOS in this
-container); classic public-domain Bowyer–Watson.
+:mod:`kblock_spark.kernels.complexity` runs.
+
+No scipy/GEOS in this container, so this is classic Bowyer–Watson
+with the per-insertion circumcircle test **vectorized over the whole
+triangle set** (numpy): O(n) numpy work per insertion, ~O(n²) flops
+total — dense urban blocks with 10⁴ buildings triangulate in seconds
+inside a single applyInPandas group, no Python-loop-over-triangles.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+_EPS = 1e-12
 
-def _circumcircle_contains(tri_pts: np.ndarray, p: np.ndarray) -> bool:
-    """Is p strictly inside the circumcircle of triangle tri_pts (3,2)?
-    Robust-enough determinant test (lifted paraboloid)."""
-    ax, ay = tri_pts[0] - p
-    bx, by = tri_pts[1] - p
-    cx, cy = tri_pts[2] - p
-    det = (
-        (ax * ax + ay * ay) * (bx * cy - cx * by)
-        - (bx * bx + by * by) * (ax * cy - cx * ay)
-        + (cx * cx + cy * cy) * (ax * by - bx * ay)
+
+def _circumcircles(pts: np.ndarray, tris: np.ndarray):
+    """Vectorized circumcenter + squared radius for triangle index
+    rows tris (m,3). Degenerate (collinear) triangles get r2=inf so
+    any point invalidates them."""
+    a = pts[tris[:, 0]]
+    b = pts[tris[:, 1]]
+    c = pts[tris[:, 2]]
+    ab = b - a
+    ac = c - a
+    d = 2.0 * (ab[:, 0] * ac[:, 1] - ab[:, 1] * ac[:, 0])
+    ab2 = (ab * ab).sum(axis=1)
+    ac2 = (ac * ac).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ux = (ac[:, 1] * ab2 - ab[:, 1] * ac2) / d
+        uy = (ab[:, 0] * ac2 - ac[:, 0] * ab2) / d
+    cc = a + np.stack([ux, uy], axis=1)
+    r2 = ((cc - a) ** 2).sum(axis=1)
+    bad = ~np.isfinite(r2)
+    r2 = np.where(bad, np.inf, r2)
+    cc = np.where(bad[:, None], 0.0, cc)
+    return cc, r2
+
+
+def _triangulate(uniq: np.ndarray) -> np.ndarray:
+    """Bowyer–Watson over unique points; returns (T,3) index array of
+    final triangles (super-triangle faces removed)."""
+    m = len(uniq)
+    cmin = uniq.min(axis=0)
+    cmax = uniq.max(axis=0)
+    c = (cmin + cmax) / 2.0
+    span = max(cmax[0] - cmin[0], cmax[1] - cmin[1], 1e-12)
+    d = span * 64.0
+    allp = np.vstack(
+        [uniq, [[c[0] - d, c[1] - d], [c[0] + d, c[1] - d], [c[0], c[1] + d]]]
     )
-    # orientation sign of the (possibly CW) triangle
-    o = (tri_pts[1][0] - tri_pts[0][0]) * (tri_pts[2][1] - tri_pts[0][1]) - (
-        tri_pts[1][1] - tri_pts[0][1]
-    ) * (tri_pts[2][0] - tri_pts[0][0])
-    return det * np.sign(o) > 1e-12
+    cap = max(16, 4 * m + 16)
+    tris = np.empty((cap, 3), dtype=np.int64)
+    cc = np.empty((cap, 2))
+    r2 = np.empty(cap)
+    alive = np.zeros(cap, dtype=bool)
+    tris[0] = (m, m + 1, m + 2)
+    cc[0:1], r2[0:1] = _circumcircles(allp, tris[0:1])
+    alive[0] = True
+    ntri = 1
+
+    # deterministic insertion order with spatial locality
+    order = np.lexsort((uniq[:, 1], uniq[:, 0]))
+    for ip in order:
+        p = allp[ip]
+        live = np.flatnonzero(alive[:ntri])
+        d2 = ((cc[live] - p) ** 2).sum(axis=1)
+        inside = d2 <= r2[live] * (1.0 + _EPS)
+        if not inside.any():
+            # numeric edge case: point on/near a circle boundary —
+            # take the closest triangle so insertion always proceeds
+            inside = np.zeros(len(live), dtype=bool)
+            inside[int(np.argmin(d2 - r2[live]))] = True
+        bad = live[inside]
+        # cavity boundary: edges used exactly once among bad triangles
+        bt = tris[bad]
+        e = np.concatenate([bt[:, [0, 1]], bt[:, [1, 2]], bt[:, [2, 0]]])
+        ekey = np.sort(e, axis=1)
+        uniq_e, inv, counts = np.unique(
+            ekey, axis=0, return_inverse=True, return_counts=True
+        )
+        boundary = uniq_e[counts == 1]
+        alive[bad] = False
+        nb = len(boundary)
+        if ntri + nb > cap:
+            # compact + grow
+            keep = np.flatnonzero(alive[:ntri])
+            newcap = max(cap * 2, ntri + nb + 16)
+            tris2 = np.empty((newcap, 3), dtype=np.int64)
+            cc2 = np.empty((newcap, 2))
+            r22 = np.empty(newcap)
+            alive2 = np.zeros(newcap, dtype=bool)
+            k = len(keep)
+            tris2[:k] = tris[keep]
+            cc2[:k] = cc[keep]
+            r22[:k] = r2[keep]
+            alive2[:k] = True
+            tris, cc, r2, alive, cap, ntri = tris2, cc2, r22, alive2, newcap, k
+        newt = np.empty((nb, 3), dtype=np.int64)
+        newt[:, 0] = boundary[:, 0]
+        newt[:, 1] = boundary[:, 1]
+        newt[:, 2] = ip
+        tris[ntri : ntri + nb] = newt
+        cc[ntri : ntri + nb], r2[ntri : ntri + nb] = _circumcircles(allp, newt)
+        alive[ntri : ntri + nb] = True
+        ntri += nb
+
+    final = tris[np.flatnonzero(alive[:ntri])]
+    return final[(final < m).all(axis=1)]
 
 
 def delaunay_edges(points: np.ndarray) -> set[tuple[int, int]]:
-    """Bowyer–Watson; returns the set of Delaunay edges (i<j index
-    pairs into ``points``). Duplicate points are merged (all indices of
-    a duplicate location share the same adjacency). Collinear inputs
-    fall back to a sorted chain."""
+    """Delaunay edge set (i<j index pairs into ``points``).
+
+    Duplicate points are merged and co-located indices linked to each
+    other (a duplicate site's Voronoi cell is degenerate — the
+    reference dedups via geohash rank,
+    kblock/batch_2_prepare_buildings.py:216-220; keeping them adjacent
+    makes the BFS peel treat them as one site). Collinear inputs fall
+    back to a sorted chain."""
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if n < 2:
         return set()
-    # merge exact duplicates
     uniq, inv = np.unique(pts.round(9), axis=0, return_inverse=True)
     m = len(uniq)
     if m == 1:
-        return set()
+        return _expand_edges(set(), inv)
     if m == 2:
-        reps = [int(np.nonzero(inv == g)[0][0]) for g in range(m)]
-        e = _expand_edges({(0, 1)}, inv, reps)
-        return e
-    # collinear check
+        return _expand_edges({(0, 1)}, inv)
     v = uniq - uniq[0]
     cross = v[:, 0] * v[1, 1] - v[:, 1] * v[1, 0]
     if np.all(np.abs(cross) < 1e-12):
         order = np.argsort(v[:, 0] ** 2 + v[:, 1] ** 2)
         chain = {
-            (min(order[i], order[i + 1]), max(order[i], order[i + 1]))
+            (min(int(order[i]), int(order[i + 1])), max(int(order[i]), int(order[i + 1])))
             for i in range(m - 1)
         }
-        return _expand_edges(chain, inv, None)
-
-    # super-triangle enclosing everything
-    cmin = uniq.min(axis=0)
-    cmax = uniq.max(axis=0)
-    c = (cmin + cmax) / 2.0
-    d = max(cmax[0] - cmin[0], cmax[1] - cmin[1]) * 64.0 + 1.0
-    sp = np.array([[c[0] - d, c[1] - d], [c[0] + d, c[1] - d], [c[0], c[1] + d]])
-    allp = np.vstack([uniq, sp])
-    s0, s1, s2 = m, m + 1, m + 2
-    tris: list[tuple[int, int, int]] = [(s0, s1, s2)]
-    insert_order = np.argsort(
-        cell_key := (uniq[:, 0] - cmin[0]) + 1e-7 * (uniq[:, 1] - cmin[1])
-    )
-    for ip in insert_order:
-        p = allp[ip]
-        bad = []
-        for t in tris:
-            if _circumcircle_contains(allp[list(t)], p):
-                bad.append(t)
-        # boundary of the star-shaped cavity
-        edge_count: dict[tuple[int, int], int] = {}
-        for t in bad:
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                k = (min(e), max(e))
-                edge_count[k] = edge_count.get(k, 0) + 1
-        boundary = [e for e, ccount in edge_count.items() if ccount == 1]
-        for t in bad:
-            tris.remove(t)
-        for e in boundary:
-            tris.append((e[0], e[1], int(ip)))
-    edges: set[tuple[int, int]] = set()
-    for t in tris:
-        if any(v >= m for v in t):
-            continue
-        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-            edges.add((min(e), max(e)))
-    return _expand_edges(edges, inv, None)
+        return _expand_edges(chain, inv)
+    tris = _triangulate(uniq)
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    edges = {(int(a), int(b)) for a, b in e}
+    return _expand_edges(edges, inv)
 
 
-def _expand_edges(uedges, inv, _reps):
-    """Map unique-point edges back to original indices: every original
-    index inherits its unique group's edges; co-located originals are
-    also linked to each other (a duplicate site's Voronoi cell is
-    degenerate — the reference dedups via geohash rank,
-    kblock/batch_2_prepare_buildings.py:216-220; we keep them adjacent
-    so the BFS peel treats them as one site)."""
+def _expand_edges(uedges: set[tuple[int, int]], inv: np.ndarray) -> set[tuple[int, int]]:
+    """Map unique-point edges back to original indices; link
+    co-located originals into chains."""
     groups: dict[int, list[int]] = {}
     for orig, g in enumerate(inv):
         groups.setdefault(int(g), []).append(orig)
+    simple = all(len(v) == 1 for v in groups.values())
+    if simple:
+        return {
+            (min(groups[a][0], groups[b][0]), max(groups[a][0], groups[b][0]))
+            for a, b in uedges
+        }
     out: set[tuple[int, int]] = set()
     for a, b in uedges:
         for i in groups[int(a)]:
             for j in groups[int(b)]:
                 out.add((min(i, j), max(i, j)))
-    for g, members in groups.items():
+    for members in groups.values():
         for x in range(len(members) - 1):
             out.add((members[x], members[x + 1]))
     return out
