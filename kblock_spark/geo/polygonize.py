@@ -180,6 +180,31 @@ def polygonize(segments: list[np.ndarray]) -> list[tuple[np.ndarray, list[np.nda
     return polys
 
 
+def representative_point_poly(
+    shell: np.ndarray, holes: list[np.ndarray]
+) -> tuple[float, float]:
+    """A point inside the polygon (shell minus holes)."""
+    from .geom import points_in_polygon, ring_centroid
+
+    cx, cy = ring_centroid(shell)
+    if points_in_polygon(np.array([cx]), np.array([cy]), shell, holes)[0]:
+        return cx, cy
+    n = len(shell)
+    for i in range(n):
+        a = shell[i]
+        b = shell[(i + 1) % n]
+        mid = (a + b) / 2.0
+        nrm = np.array([-(b - a)[1], (b - a)[0]])
+        ln = np.sqrt((nrm**2).sum())
+        if ln < EPS:
+            continue
+        for scale in (1e-7, 1e-6, 1e-5, 1e-4):
+            p = mid + nrm / ln * scale * max(abs(b - a).max(), 1.0)
+            if points_in_polygon(np.array([p[0]]), np.array([p[1]]), shell, holes)[0]:
+                return float(p[0]), float(p[1])
+    return cx, cy
+
+
 def representative_point(shell: np.ndarray) -> tuple[float, float]:
     """A point guaranteed inside the ring (centroid with fallback scan,
     analogue of pygeos representative_point, batch_1b:234)."""
