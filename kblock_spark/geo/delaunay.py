@@ -46,7 +46,13 @@ def _circumcircles(pts: np.ndarray, tris: np.ndarray):
 
 def _triangulate(uniq: np.ndarray) -> np.ndarray:
     """Bowyer–Watson over unique points; returns (T,3) index array of
-    final triangles (super-triangle faces removed)."""
+    final triangles (super-triangle faces removed).
+
+    Points are inserted in x-sweep order; a triangle whose circumcircle
+    lies entirely left of the sweep front can never be invalidated by a
+    later point, so it is retired from the per-insertion scan set
+    (classic sweep finalization → near-linear scans on uniform data).
+    """
     m = len(uniq)
     cmin = uniq.min(axis=0)
     cmax = uniq.max(axis=0)
@@ -60,22 +66,31 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
     tris = np.empty((cap, 3), dtype=np.int64)
     cc = np.empty((cap, 2))
     r2 = np.empty(cap)
+    reach = np.empty(cap)  # cc_x + r (scan-retirement key)
     alive = np.zeros(cap, dtype=bool)
     tris[0] = (m, m + 1, m + 2)
     cc[0:1], r2[0:1] = _circumcircles(allp, tris[0:1])
+    reach[0] = cc[0, 0] + (np.sqrt(r2[0]) if np.isfinite(r2[0]) else np.inf)
     alive[0] = True
     ntri = 1
+    active = np.array([0], dtype=np.int64)
 
-    # deterministic insertion order with spatial locality
     order = np.lexsort((uniq[:, 1], uniq[:, 0]))
+    since_compact = 0
+    # retirement margin relative to coordinate scale (coords can be
+    # ~1e6 m in Mercator; an absolute 1e-12 eps would retire too eagerly)
+    margin = max(abs(cmin).max(), abs(cmax).max(), span) * 1e-9 + _EPS
     for ip in order:
         p = allp[ip]
-        live = np.flatnonzero(alive[:ntri])
+        live = active[alive[active]]
+        since_compact += 1
+        if since_compact >= 64:
+            live = live[reach[live] >= p[0] - margin]
+            since_compact = 0
+        active = live
         d2 = ((cc[live] - p) ** 2).sum(axis=1)
         inside = d2 <= r2[live] * (1.0 + _EPS)
         if not inside.any():
-            # numeric edge case: point on/near a circle boundary —
-            # take the closest triangle so insertion always proceeds
             inside = np.zeros(len(live), dtype=bool)
             inside[int(np.argmin(d2 - r2[live]))] = True
         bad = live[inside]
@@ -83,33 +98,46 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
         bt = tris[bad]
         e = np.concatenate([bt[:, [0, 1]], bt[:, [1, 2]], bt[:, [2, 0]]])
         ekey = np.sort(e, axis=1)
-        uniq_e, inv, counts = np.unique(
-            ekey, axis=0, return_inverse=True, return_counts=True
-        )
+        uniq_e, counts = np.unique(ekey, axis=0, return_counts=True)
         boundary = uniq_e[counts == 1]
         alive[bad] = False
         nb = len(boundary)
         if ntri + nb > cap:
-            # compact + grow
             keep = np.flatnonzero(alive[:ntri])
             newcap = max(cap * 2, ntri + nb + 16)
             tris2 = np.empty((newcap, 3), dtype=np.int64)
             cc2 = np.empty((newcap, 2))
             r22 = np.empty(newcap)
+            reach2 = np.empty(newcap)
             alive2 = np.zeros(newcap, dtype=bool)
             k = len(keep)
             tris2[:k] = tris[keep]
             cc2[:k] = cc[keep]
             r22[:k] = r2[keep]
+            reach2[:k] = reach[keep]
             alive2[:k] = True
-            tris, cc, r2, alive, cap, ntri = tris2, cc2, r22, alive2, newcap, k
+            tris, cc, r2, reach, alive, cap, ntri = (
+                tris2, cc2, r22, reach2, alive2, newcap, k,
+            )
+            # indices remapped → rebuild scan set from scratch
+            allidx = np.arange(k, dtype=np.int64)
+            active = allidx[reach[allidx] >= p[0] - margin]
         newt = np.empty((nb, 3), dtype=np.int64)
         newt[:, 0] = boundary[:, 0]
         newt[:, 1] = boundary[:, 1]
         newt[:, 2] = ip
         tris[ntri : ntri + nb] = newt
-        cc[ntri : ntri + nb], r2[ntri : ntri + nb] = _circumcircles(allp, newt)
+        new_cc, new_r2 = _circumcircles(allp, newt)
+        cc[ntri : ntri + nb] = new_cc
+        r2[ntri : ntri + nb] = new_r2
+        with np.errstate(invalid="ignore"):
+            reach[ntri : ntri + nb] = new_cc[:, 0] + np.where(
+                np.isfinite(new_r2), np.sqrt(new_r2), np.inf
+            )
         alive[ntri : ntri + nb] = True
+        active = np.concatenate(
+            [active, np.arange(ntri, ntri + nb, dtype=np.int64)]
+        )
         ntri += nb
 
     final = tris[np.flatnonzero(alive[:ntri])]

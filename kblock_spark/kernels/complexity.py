@@ -71,14 +71,115 @@ def _merc(coords_deg: np.ndarray) -> np.ndarray:
     return np.stack([x, y], axis=1)
 
 
+class _GridNN:
+    """Exact nearest-site index on a uniform grid hash (cell ≈ mean
+    site spacing, expanding ring search) — the in-kernel stand-in for
+    the reference's STRtree (batch_2:68-69)."""
+
+    def __init__(self, sites: np.ndarray):
+        self.sites = sites
+        ns = len(sites)
+        lo = sites.min(axis=0)
+        hi = sites.max(axis=0)
+        span = max(hi[0] - lo[0], hi[1] - lo[1], 1e-9)
+        self.lo = lo
+        self.cell = max(span / max(np.sqrt(ns), 1.0), 1e-9)
+        gx = np.floor((sites[:, 0] - lo[0]) / self.cell).astype(np.int64)
+        gy = np.floor((sites[:, 1] - lo[1]) / self.cell).astype(np.int64)
+        self.buckets: dict[tuple[int, int], np.ndarray] = {}
+        order = np.lexsort((gy, gx))
+        keys = np.stack([gx[order], gy[order]], axis=1)
+        starts = np.flatnonzero(
+            np.any(np.diff(keys, axis=0) != 0, axis=1)
+        ) + 1
+        bounds = np.concatenate([[0], starts, [ns]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e > s:
+                self.buckets[(int(keys[s, 0]), int(keys[s, 1]))] = order[s:e]
+
+    def query_one(self, p) -> int:
+        gx = int(np.floor((p[0] - self.lo[0]) / self.cell))
+        gy = int(np.floor((p[1] - self.lo[1]) / self.cell))
+        best_d2 = np.inf
+        best_j = 0
+        r = 0
+        while True:
+            cand: list[np.ndarray] = []
+            if r == 0:
+                b = self.buckets.get((gx, gy))
+                if b is not None:
+                    cand.append(b)
+            else:
+                for dx in range(-r, r + 1):
+                    for dy in range(-r, r + 1):
+                        if max(abs(dx), abs(dy)) == r:
+                            b = self.buckets.get((gx + dx, gy + dy))
+                            if b is not None:
+                                cand.append(b)
+            if cand:
+                cj = np.concatenate(cand)
+                d2 = ((self.sites[cj] - p) ** 2).sum(axis=1)
+                k = int(np.argmin(d2))
+                if d2[k] < best_d2:
+                    best_d2 = d2[k]
+                    best_j = int(cj[k])
+            if best_d2 <= (r * self.cell) ** 2:  # exact stop condition
+                return best_j
+            r += 1
+
+    def query(self, pts: np.ndarray) -> np.ndarray:
+        return np.array([self.query_one(p) for p in pts], dtype=np.int64)
+
+
 def _nearest_site(samples: np.ndarray, sites: np.ndarray) -> np.ndarray:
-    """Index of nearest site for each sample (chunked pairwise)."""
-    out = np.empty(len(samples), dtype=np.int64)
-    chunk = max(1, int(4_000_000 / max(len(sites), 1)))
-    for s in range(0, len(samples), chunk):
-        e = min(s + chunk, len(samples))
-        d2 = ((samples[s:e, None, :] - sites[None, :, :]) ** 2).sum(axis=2)
-        out[s:e] = d2.argmin(axis=1)
+    """Index of nearest site for each sample (exact)."""
+    ns = len(sites)
+    if ns == 0:
+        return np.zeros(0, dtype=np.int64)
+    if ns * len(samples) <= 2_000_000:
+        out = np.empty(len(samples), dtype=np.int64)
+        chunk = max(1, int(4_000_000 / ns))
+        for s in range(0, len(samples), chunk):
+            e = min(s + chunk, len(samples))
+            d2 = ((samples[s:e, None, :] - sites[None, :, :]) ** 2).sum(axis=2)
+            out[s:e] = d2.argmin(axis=1)
+        return out
+    return _GridNN(sites).query(samples)
+
+
+def _cells_crossed_by_segment(
+    a: np.ndarray, b: np.ndarray, nn: "_GridNN", min_len: float = 1e-6
+) -> set[int]:
+    """EXACT set of sites whose Voronoi cell the segment a→b crosses.
+
+    Voronoi cells are convex, so each cell's ownership along the line
+    is one contiguous interval → recursive bisection between
+    differing-endpoint owners enumerates every owner without any
+    sampling-step heuristic (replaces GEOS's exact
+    intersects(parcel, street) test, batch_4:115,131)."""
+    out: set[int] = set()
+    ia = nn.query_one(a)
+    ib = nn.query_one(b)
+    out.add(ia)
+    out.add(ib)
+    stack = [(a, b, ia, ib)]
+    while stack:
+        p, q, i0, i1 = stack.pop()
+        if i0 == i1:
+            continue
+        d = q - p
+        if (d * d).sum() <= min_len * min_len:
+            continue
+        mpt = (p + q) / 2.0
+        im = nn.query_one(mpt)
+        out.add(im)
+        if im == i0:
+            stack.append((mpt, q, im, i1))
+        elif im == i1:
+            stack.append((p, mpt, i0, im))
+        else:
+            stack.append((p, mpt, i0, im))
+            stack.append((mpt, q, im, i1))
     return out
 
 
@@ -226,15 +327,7 @@ def compute_k_block(
         for a, b in edges:
             adj[a].add(b)
             adj[b].add(a)
-        # sampling step: fine enough to hit every crossed Voronoi cell
-        if edges:
-            min_edge = min(
-                np.sqrt(((pts_m[a] - pts_m[b]) ** 2).sum()) for a, b in edges
-            )
-        else:
-            min_edge = 1.0
-        step = float(min(max(0.1, 0.4 * min_edge), 25.0))
-
+        nn = _GridNN(pts_m)
         layers: list[str] = []
         is_connected = on_len > 0
         seeds: set[int] = set()
@@ -242,29 +335,28 @@ def compute_k_block(
             # the reference buffers on-network streets by 1 m before the
             # parcel-intersection test (batch_4:115) — a street running
             # along a Voronoi bisector seeds the cells on BOTH sides.
-            # Sample the piece plus its ±1 m perpendicular offsets.
-            samples = []
+            # Exact cell enumeration along the piece and its ±1 m
+            # perpendicular offsets (cells are convex → bisection is
+            # exact, no sampling-step heuristics).
             for p in on_pieces:
                 d = p[1] - p[0]
                 ln = float(np.sqrt((d * d).sum()))
-                if ln > 0:
-                    nrm = np.array([-d[1], d[0]]) / ln
-                else:
-                    nrm = np.zeros(2)
+                nrm = np.array([-d[1], d[0]]) / ln if ln > 0 else np.zeros(2)
                 for off in (0.0, 1.0, -1.0):
-                    samples.append(sample_polyline(p + off * nrm, step))
-            samp = np.vstack(samples)
-            seeds = set(np.unique(_nearest_site(samp, pts_m)).tolist())
+                    seeds |= _cells_crossed_by_segment(
+                        p[0] + off * nrm, p[1] + off * nrm, nn
+                    )
         if is_connected and not seeds:
             # reference records a 0-count first layer then falls back
             # to the boundary ring (batch_4:131-137,157-168)
             layers.append("0")
         if not seeds:
-            rings = [np.vstack([shell_m, shell_m[:1]])] + [
-                np.vstack([h, h[:1]]) for h in holes_m
-            ]
-            samp = np.vstack([sample_polyline(r, step) for r in rings])
-            seeds = set(np.unique(_nearest_site(samp, pts_m)).tolist())
+            for ring in [shell_m] + holes_m:
+                closed = np.vstack([ring, ring[:1]])
+                for i in range(len(closed) - 1):
+                    seeds |= _cells_crossed_by_segment(
+                        closed[i], closed[i + 1], nn
+                    )
         layers.append(str(len(seeds)))
         remaining = set(range(n)) - seeds
         frontier = seeds

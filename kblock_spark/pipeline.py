@@ -127,12 +127,20 @@ def run_pipeline(
     grid: int = 3,
     cell_deg: float = DEFAULT_CELL_DEG,
     broadcast_polys: bool = True,
+    cache_intermediate: bool = True,
 ):
     """Build the full DAG on synthetic inputs; returns dict of
-    DataFrames (nothing executed until an action)."""
+    DataFrames.
+
+    blocks/buildings feed multiple downstream branches (kernel
+    cogroup, empty-block anti-join, street assignment) — cache them so
+    delineation and the PIP join run once (the reference likewise
+    materializes each stage to parquet between batches)."""
     admin = spark.createDataFrame(synth_admin(nx, ny))
     streets = spark.createDataFrame(synth_streets(nx, ny, grid))
     blocks = delineate_blocks(admin, streets)
+    if cache_intermediate:
+        blocks = blocks.cache()
     pages = synth_pages_spark(spark, n_pages)
     points = geocoded_points(pages, cell_deg)
     assigned = assign_points_to_polygons(
@@ -144,6 +152,8 @@ def run_pipeline(
         cell_deg=cell_deg,
         broadcast_polys=broadcast_polys,
     )
+    if cache_intermediate:
+        assigned = assigned.cache()
     complexity = compute_k(blocks, assigned, streets, cell_deg)
     return {
         "admin": admin,
