@@ -41,9 +41,9 @@ BENCH_QUERIES = [
     "e01_ann_cosine_topk",
 ]
 
-GEO_NX = GEO_NY = 5
-GEO_GRID = 4
-GEO_PAGES = 60_000
+GEO_NX = GEO_NY = 6
+GEO_GRID = 5
+GEO_PAGES = 240_000
 
 
 def _force(df):
@@ -60,6 +60,15 @@ def geo_run(cores: int) -> dict:
         shuffle_partitions=max(cores, 8),
     )
     try:
+        # warm the python-worker pool (a long-running cluster's workers
+        # are resident; spawn cost is not part of steady-state
+        # throughput)
+        import pandas as _pd
+
+        spark.range(0, cores * 4, 1, cores * 4).mapInPandas(
+            lambda it: ( _pd.DataFrame({"x": [1]}) for _ in it),
+            "x long",
+        ).count()
         t0 = time.time()
         dfs = run_pipeline(
             spark, n_pages=GEO_PAGES, nx=GEO_NX, ny=GEO_NY, grid=GEO_GRID

@@ -183,14 +183,17 @@ def _make_pages_pdf(idx: np.ndarray, seed: int = 42) -> pd.DataFrame:
         ]
     )
     which = (u1 * 5).astype(int)  # 0,1,2 hotspot; 3,4 uniform
+    # hotspot spread ~0.8 admin units: dense tiles (exercises salting /
+    # skew handling) without collapsing the whole cluster into a single
+    # block — a city-density profile rather than a point mass
     lon = np.where(
         which < 3,
-        hot[np.clip(which, 0, 2), 0] + (u2 - 0.5) * 0.15 * ext,
+        hot[np.clip(which, 0, 2), 0] + (u2 - 0.5) * 0.8 * ext,
         ORIGIN_LON + u2 * nx * ext,
     )
     lat = np.where(
         which < 3,
-        hot[np.clip(which, 0, 2), 1] + (u3 - 0.5) * 0.15 * ext,
+        hot[np.clip(which, 0, 2), 1] + (u3 - 0.5) * 0.8 * ext,
         ORIGIN_LAT + u3 * ny * ext,
     )
     lon = np.clip(lon, ORIGIN_LON + 1e-6, ORIGIN_LON + nx * ext - 1e-6)

@@ -161,6 +161,12 @@ def delineate_blocks(admin: DataFrame, streets: DataFrame) -> DataFrame:
         & (F.col("ymax") >= F.col("aymin")),
         "inner",
     ).select(F.col("gadm_code").alias("g_code"), "street_id", "coords")
+    # explicit kernel-stage parallelism (AQE byte-based coalescing
+    # would serialize the Python polygonize kernels; see compute_k)
+    spark = admin.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    admin = admin.repartition(nparts, "gadm_code")
+    pairs = pairs.repartition(nparts, "g_code")
     admin_g = admin.groupBy("gadm_code")
     streets_g = pairs.groupBy("g_code")
     return admin_g.cogroup(streets_g).applyInPandas(build_blocks_kernel, BLOCKS_SCHEMA)

@@ -387,6 +387,10 @@ def compute_k_kernel(key, bldg_pdf: pd.DataFrame, street_pdf: pd.DataFrame) -> p
     """Grouped-map wrapper: one block group → one row."""
     if len(bldg_pdf) == 0:
         return pd.DataFrame(columns=K_COLUMNS)
+    import os
+    import time
+
+    t0 = time.time()
     block_id = key[0]
     sizes = bldg_pdf["ring_sizes"].iloc[0]
     coords = bldg_pdf["coords"].iloc[0]
@@ -401,4 +405,14 @@ def compute_k_kernel(key, bldg_pdf: pd.DataFrame, street_pdf: pd.DataFrame) -> p
     ]
     row = compute_k_block(shell, holes, pts, lines)
     row["block_id"] = block_id
+    # per-partition kernel metrics (north rule: per-partition lineage +
+    # metrics). Opt-in via env: one CSV per python worker.
+    mdir = os.environ.get("KBLOCK_KERNEL_METRICS")
+    if mdir:
+        os.makedirs(mdir, exist_ok=True)
+        with open(f"{mdir}/{os.getpid()}.csv", "a") as f:
+            f.write(
+                f"{block_id},{len(pts)},{len(lines)},"
+                f"{int((time.time() - t0) * 1000)}\n"
+            )
     return pd.DataFrame([row])[K_COLUMNS]

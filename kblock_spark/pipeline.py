@@ -94,6 +94,18 @@ def compute_k(
         F.broadcast(bgeom), "block_id", "inner"
     )
     s = streets_near_blocks(streets, blocks, cell_deg)
+    # Explicit partition count for the kernel stage: AQE coalesces
+    # post-shuffle partitions by BYTES, but this shuffle is tiny while
+    # each group runs a Python geometry kernel — byte-based coalescing
+    # would collapse hundreds of CPU-seconds onto 2 tasks. An explicit
+    # repartition(n, key) is exempt from AQE coalescing and satisfies
+    # the cogroup's required distribution, so the kernel runs at full
+    # parallelism. (The reference hand-balances the same stage with
+    # weighted_qcut chunking, batch_4:508-516.)
+    spark = blocks.sparkSession
+    nparts = spark.sparkContext.defaultParallelism * 2
+    b = b.repartition(nparts, "block_id")
+    s = s.repartition(nparts, "b_code")
     out = (
         b.groupBy("block_id")
         .cogroup(s.groupBy("b_code"))
