@@ -392,13 +392,19 @@ def compute_k_kernel(key, bldg_pdf: pd.DataFrame, street_pdf: pd.DataFrame) -> p
 
     t0 = time.time()
     block_id = key[0]
-    sizes = bldg_pdf["ring_sizes"].iloc[0]
-    coords = bldg_pdf["coords"].iloc[0]
+    # geometry marker rows have null lon/lat; building rows null geom
+    is_geom = bldg_pdf["lon"].isna()
+    geom_rows = bldg_pdf.loc[is_geom]
+    if len(geom_rows) == 0:
+        return pd.DataFrame(columns=K_COLUMNS)
+    sizes = geom_rows["ring_sizes"].iloc[0]
+    coords = geom_rows["coords"].iloc[0]
     shell, holes = unpack_rings(sizes, coords)
+    bldg_pdf = bldg_pdf.loc[~is_geom]
     pts = np.stack(
         [bldg_pdf["lon"].to_numpy(np.float64), bldg_pdf["lat"].to_numpy(np.float64)],
         axis=1,
-    )
+    ) if len(bldg_pdf) else np.zeros((0, 2))
     lines = [
         np.asarray(c, dtype=np.float64).reshape(-1, 2)
         for c in street_pdf.get("s_coords", pd.Series(dtype=object))

@@ -76,13 +76,18 @@ def geohash_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     return pd.Series(geohash_encode(lon.to_numpy(), lat.to_numpy(), 12))
 
 
-def geocoded_points(pages_df, cell_deg: float = DEFAULT_CELL_DEG):
-    """pages → building-point table
-    (url, lat, lon, cell, point_geohash). The kblock 'buildings' role
-    (SURVEY.md §1: geocoded pages play building points)."""
+def geocoded_points(
+    pages_df, cell_deg: float = DEFAULT_CELL_DEG, with_geohash: bool = False
+):
+    """pages → building-point table (url, lat, lon, cell
+    [, point_geohash]). The kblock 'buildings' role (SURVEY.md §1:
+    geocoded pages play building points). The geohash sort key is
+    opt-in — the pipeline's spatial index is the grid cell; geohash is
+    only needed for reference-schema parity outputs."""
     df = with_geocode(pages_df).where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
-    return (
-        df.select("url", "lat", "lon")
-        .withColumn("cell", make_cell_udf(cell_deg)(F.col("lon"), F.col("lat")))
-        .withColumn("point_geohash", geohash_udf(F.col("lon"), F.col("lat")))
+    out = df.select("url", "lat", "lon").withColumn(
+        "cell", make_cell_udf(cell_deg)(F.col("lon"), F.col("lat"))
     )
+    if with_geohash:
+        out = out.withColumn("point_geohash", geohash_udf(F.col("lon"), F.col("lat")))
+    return out

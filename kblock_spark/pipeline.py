@@ -79,7 +79,6 @@ def compute_k(
     buildings: DataFrame,
     streets: DataFrame,
     cell_deg: float = DEFAULT_CELL_DEG,
-    include_empty_blocks: bool = True,
 ) -> DataFrame:
     """k-complexity per block.
 
@@ -89,10 +88,24 @@ def compute_k(
     also feeds compute-k from the streets layer used for delineation
     (batch_4:521-549).
     """
-    bgeom = blocks.select("block_id", "ring_sizes", "coords")
-    b = buildings.select("block_id", "lon", "lat").join(
-        F.broadcast(bgeom), "block_id", "inner"
+    # One geometry MARKER row per block (lon/lat null) unioned into the
+    # buildings side instead of joining geometry onto every building
+    # row — a 4k-building block would otherwise ship its polygon 4k×
+    # through the Arrow channel.
+    bgeom = blocks.select(
+        "block_id",
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("double").alias("lat"),
+        "ring_sizes",
+        "coords",
     )
+    b = buildings.select(
+        "block_id",
+        "lon",
+        "lat",
+        F.lit(None).cast("array<int>").alias("ring_sizes"),
+        F.lit(None).cast("array<double>").alias("coords"),
+    ).unionByName(bgeom)
     s = streets_near_blocks(streets, blocks, cell_deg)
     # Explicit partition count for the kernel stage: AQE coalesces
     # post-shuffle partitions by BYTES, but this shuffle is tiny while
@@ -106,29 +119,16 @@ def compute_k(
     nparts = spark.sparkContext.defaultParallelism * 2
     b = b.repartition(nparts, "block_id")
     s = s.repartition(nparts, "b_code")
-    out = (
+    # every block contributes a geometry marker row, so zero-building
+    # blocks flow through the kernel too (k=1, building_count=0 —
+    # the reference computes k only for blocks with buildings,
+    # batch_4:466-506, and fills the rest in the combine stage; here
+    # the kernel's n=0 path also yields their true street lengths)
+    return (
         b.groupBy("block_id")
         .cogroup(s.groupBy("b_code"))
         .applyInPandas(compute_k_kernel, K_SCHEMA)
     )
-    if include_empty_blocks:
-        # blocks with zero buildings: k=1, count 0 (the reference
-        # computes k only for blocks with buildings, batch_4:466-506,
-        # and the combine stage fills the rest)
-        empty = (
-            blocks.join(buildings.select("block_id").distinct(), "block_id", "left_anti")
-            .select(
-                "block_id",
-                F.lit(0.0).alias("on_network_street_length"),
-                F.lit(0.0).alias("off_network_street_length"),
-                F.lit(float("nan")).alias("nearest_external_street"),
-                F.lit(0).alias("building_count"),
-                F.lit("0").alias("building_layers"),
-                F.lit(1).alias("k_complexity"),
-            )
-        )
-        out = out.unionByName(empty)
-    return out
 
 
 def run_pipeline(
