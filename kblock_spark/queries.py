@@ -506,6 +506,90 @@ SELECT user_id, event_id, event_type, value FROM (
 """
 
 
+# q21 — gap sessionization (lag + cumulative flag sum)
+
+_SESSION_GAP_MIN = 30
+
+
+def q21_sessionization(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # tz-independent seconds for TIMESTAMP_NTZ; the epoch base cancels
+    # in every output (gaps/durations are differences)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2000-01-01 00:00:00', ts)"
+    )
+    ev = ev.withColumn("tsec", micros)
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    gap = F.col("tsec") - F.lag("tsec").over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_id", F.sum("new_s").over(wc))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("tsec") - F.min("tsec")).alias("duration_us"),
+    )
+
+
+Q21_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {_SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# q22 — A9/K8: weighted balanced bucketing (the reference's
+# weighted_qcut partitioner, batch_4:377-387)
+
+def q22_weighted_buckets(spark, sf_dir):
+    from .ops.partitioning import weighted_buckets
+
+    o = _t(spark, sf_dir, "orders")
+    b = weighted_buckets(o, "o_totalprice", "o_orderkey", 10)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("bucket_weight"),
+    )
+
+
+Q22_SQL = """
+WITH cum AS (
+  SELECT o_orderkey, o_totalprice,
+         SUM(o_totalprice::DECIMAL(28,4)) OVER (
+           ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(o_totalprice::DECIMAL(28,4)) OVER () AS total
+  FROM orders),
+bk AS (
+  SELECT o_orderkey, o_totalprice,
+         LEAST(9, GREATEST(0, FLOOR(
+           10 * (c - o_totalprice::DECIMAL(28,4))::DOUBLE / total::DOUBLE
+         )))::INT AS bucket
+  FROM cum)
+SELECT bucket, COUNT(*) AS n_orders,
+       SUM(o_totalprice::DECIMAL(18,2)) AS bucket_weight
+FROM bk GROUP BY bucket
+"""
+
+
 # ============================================ training-data ops: text
 
 # d01 — token counting (whitespace tokenizer)
@@ -980,6 +1064,72 @@ def geo_pip_join(spark, sf_dir):
     )
 
 
+def geo_population(spark, sf_dir):
+    from .io.synth import synth_pixels
+    from .ops.population import allocate_population
+    from .pipeline import run_pipeline
+
+    dfs = run_pipeline(spark, n_pages=1500, nx=2, ny=2, grid=2)
+    buildings = (
+        dfs["buildings"]
+        .withColumn(
+            "building_area",
+            (F.pmod(F.xxhash64("url"), F.lit(90)) + F.lit(10)).cast("double"),
+        )
+        .select("block_id", "gadm_code", "lon", "lat", "building_area")
+    )
+    pixels = spark.createDataFrame(synth_pixels(2, 2))
+    return allocate_population(pixels, buildings, dfs["blocks"]).select(
+        "block_id", "gadm_code", F.round("allocated_population", 6).alias("pop")
+    )
+
+
+def geo_knn(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from .geo.tiling import cell_of
+    from .ops.knn import knn_join
+
+    rng = np.random.default_rng(7)
+    def mk(n, key, seed):
+        r = np.random.default_rng(seed)
+        lon = 10.0 + r.uniform(0, 0.05, n)
+        lat = r.uniform(0, 0.05, n)
+        return spark.createDataFrame(
+            pd.DataFrame({key: np.arange(n), "lon": lon, "lat": lat,
+                          "cell": cell_of(lon, lat)})
+        )
+
+    left = mk(120, "lid", 1)
+    right = mk(150, "rid", 2)
+    return knn_join(left, right, "lid", "rid", k=2).select(
+        "lid", "nn_key", "rank", F.round("dist_deg", 9).alias("dist_deg")
+    )
+
+
+def geo_dissolve(spark, sf_dir):
+    from .io.synth import synth_admin, synth_streets
+    from .kernels.blocks import delineate_blocks
+    from .ops.dissolve import dissolve
+
+    admin = spark.createDataFrame(synth_admin(2, 2))
+    streets = spark.createDataFrame(synth_streets(2, 2, 2))
+    blocks = delineate_blocks(admin, streets)
+    d = dissolve(blocks, "gadm_code")
+    return d.select("key", "n_parts", F.size("ring_sizes").alias("n_rings"))
+
+
+def media_features(spark, sf_dir):
+    from .ops.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, 300)
+    return decode_features(media).select(
+        "media_id", "kind", "dec_width", "dec_height",
+        F.round("mean_byte", 6).alias("mean_byte"), "content_hash",
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 REGISTRY: dict = {
@@ -1004,6 +1154,8 @@ REGISTRY: dict = {
     "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
     "q20_top_event_per_user": (q20_top_event_per_user, Q20_SQL),
+    "q21_sessionization": (q21_sessionization, Q21_SQL),
+    "q22_weighted_buckets": (q22_weighted_buckets, Q22_SQL),
     # text / dedup
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
@@ -1022,4 +1174,8 @@ REGISTRY: dict = {
     "geo_blocks": (geo_blocks, None),
     "geo_pip_join": (geo_pip_join, None),
     "geo_k_complexity": (geo_k_complexity, None),
+    "geo_population": (geo_population, None),
+    "geo_knn": (geo_knn, None),
+    "geo_dissolve": (geo_dissolve, None),
+    "media_features": (media_features, None),
 }
