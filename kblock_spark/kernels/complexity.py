@@ -319,59 +319,9 @@ def compute_k_block(
         nearest_ext = float("nan")
 
     # ----- peel
-    if n <= 1:
-        layers = [str(n)]
-    else:
-        edges = delaunay_edges(pts_m)
-        adj: list[set[int]] = [set() for _ in range(n)]
-        for a, b in edges:
-            adj[a].add(b)
-            adj[b].add(a)
-        nn = _GridNN(pts_m)
-        layers: list[str] = []
-        is_connected = on_len > 0
-        seeds: set[int] = set()
-        if is_connected and on_pieces:
-            # the reference buffers on-network streets by 1 m before the
-            # parcel-intersection test (batch_4:115) — a street running
-            # along a Voronoi bisector seeds the cells on BOTH sides.
-            # Exact cell enumeration along the piece and its ±1 m
-            # perpendicular offsets (cells are convex → bisection is
-            # exact, no sampling-step heuristics).
-            for p in on_pieces:
-                d = p[1] - p[0]
-                ln = float(np.sqrt((d * d).sum()))
-                nrm = np.array([-d[1], d[0]]) / ln if ln > 0 else np.zeros(2)
-                for off in (0.0, 1.0, -1.0):
-                    seeds |= _cells_crossed_by_segment(
-                        p[0] + off * nrm, p[1] + off * nrm, nn
-                    )
-        if is_connected and not seeds:
-            # reference records a 0-count first layer then falls back
-            # to the boundary ring (batch_4:131-137,157-168)
-            layers.append("0")
-        if not seeds:
-            for ring in [shell_m] + holes_m:
-                closed = np.vstack([ring, ring[:1]])
-                for i in range(len(closed) - 1):
-                    seeds |= _cells_crossed_by_segment(
-                        closed[i], closed[i + 1], nn
-                    )
-        layers.append(str(len(seeds)))
-        remaining = set(range(n)) - seeds
-        frontier = seeds
-        while remaining:
-            nxt = {j for i in frontier for j in adj[i] if j in remaining}
-            if not nxt:
-                # severed adjacency fallback: boundary cells of the
-                # remaining island (reference's shrink-ring detection,
-                # batch_4:157-168)
-                rem = np.array(sorted(remaining))
-                hull = convex_hull_indices(pts_m[rem])
-                nxt = {int(rem[h]) for h in hull}
-            layers.append(str(len(nxt)))
-            remaining -= nxt
-            frontier = nxt
+    layers, assignment = _peel_layers(
+        pts_m, shell_m, holes_m, on_pieces, on_len > 0
+    )
 
     return {
         "on_network_street_length": float(on_len),
@@ -380,7 +330,121 @@ def compute_k_block(
         "building_count": int(n),
         "building_layers": ",".join(layers),
         "k_complexity": int(len(layers)),
+        "layer_assignment": assignment,
     }
+
+
+def _peel_layers(
+    pts_m: np.ndarray,
+    shell_m: np.ndarray,
+    holes_m: list[np.ndarray],
+    on_pieces: list[np.ndarray],
+    is_connected: bool,
+) -> tuple[list[str], np.ndarray]:
+    """The Voronoi-layer peel → (layer count strings, per-building
+    1-based layer index). Shared by compute_k (counts only,
+    batch_4:41-188) and compute_layers (per-parcel membership,
+    batch_4:190-375)."""
+    n = len(pts_m)
+    assignment = np.zeros(n, dtype=np.int64)
+    if n <= 1:
+        assignment[:] = 1
+        return [str(n)], assignment
+    edges = delaunay_edges(pts_m)
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nn = _GridNN(pts_m)
+    layers: list[str] = []
+    seeds: set[int] = set()
+    if is_connected and on_pieces:
+        # the reference buffers on-network streets by 1 m before the
+        # parcel-intersection test (batch_4:115) — a street running
+        # along a Voronoi bisector seeds the cells on BOTH sides.
+        # Exact cell enumeration along the piece and its ±1 m
+        # perpendicular offsets (cells are convex → bisection is
+        # exact, no sampling-step heuristics).
+        for p in on_pieces:
+            d = p[1] - p[0]
+            ln = float(np.sqrt((d * d).sum()))
+            nrm = np.array([-d[1], d[0]]) / ln if ln > 0 else np.zeros(2)
+            for off in (0.0, 1.0, -1.0):
+                seeds |= _cells_crossed_by_segment(
+                    p[0] + off * nrm, p[1] + off * nrm, nn
+                )
+    if is_connected and not seeds:
+        # reference records a 0-count first layer then falls back
+        # to the boundary ring (batch_4:131-137,157-168)
+        layers.append("0")
+    if not seeds:
+        for ring in [shell_m] + holes_m:
+            closed = np.vstack([ring, ring[:1]])
+            for i in range(len(closed) - 1):
+                seeds |= _cells_crossed_by_segment(closed[i], closed[i + 1], nn)
+    layers.append(str(len(seeds)))
+    depth = len(layers)
+    for i in seeds:
+        assignment[i] = depth
+    remaining = set(range(n)) - seeds
+    frontier = seeds
+    while remaining:
+        nxt = {j for i in frontier for j in adj[i] if j in remaining}
+        if not nxt:
+            # severed adjacency fallback: boundary cells of the
+            # remaining island (reference's shrink-ring detection,
+            # batch_4:157-168)
+            rem = np.array(sorted(remaining))
+            hull = convex_hull_indices(pts_m[rem])
+            nxt = {int(rem[h]) for h in hull}
+        layers.append(str(len(nxt)))
+        depth = len(layers)
+        for i in nxt:
+            assignment[i] = depth
+        remaining -= nxt
+        frontier = nxt
+    return layers, assignment
+
+
+LAYERS_SCHEMA = "block_id string, url string, layer int, k_complexity int"
+
+
+def compute_layers_kernel(
+    key, bldg_pdf: pd.DataFrame, street_pdf: pd.DataFrame
+) -> pd.DataFrame:
+    """Grouped-map UDTF-style kernel: one block group → one row per
+    building with its concentric layer index (the reference's
+    compute_layers rendering variant, batch_4:190-375 — here emitting
+    parcel→layer membership instead of per-layer geometry)."""
+    if len(bldg_pdf) == 0:
+        return pd.DataFrame(columns=["block_id", "url", "layer", "k_complexity"])
+    block_id = key[0]
+    is_geom = bldg_pdf["lon"].isna()
+    geom_rows = bldg_pdf.loc[is_geom]
+    if len(geom_rows) == 0:
+        return pd.DataFrame(columns=["block_id", "url", "layer", "k_complexity"])
+    shell, holes = unpack_rings(
+        geom_rows["ring_sizes"].iloc[0], geom_rows["coords"].iloc[0]
+    )
+    bldg = bldg_pdf.loc[~is_geom]
+    if len(bldg) == 0:
+        return pd.DataFrame(columns=["block_id", "url", "layer", "k_complexity"])
+    pts = np.stack(
+        [bldg["lon"].to_numpy(np.float64), bldg["lat"].to_numpy(np.float64)], axis=1
+    )
+    lines = [
+        np.asarray(c, dtype=np.float64).reshape(-1, 2)
+        for c in street_pdf.get("s_coords", pd.Series(dtype=object))
+    ]
+    row = compute_k_block(shell, holes, pts, lines)
+    return pd.DataFrame(
+        {
+            "block_id": block_id,
+            "url": bldg["url"].to_numpy(),
+            "layer": row["layer_assignment"].astype(np.int32),
+            "k_complexity": np.int32(row["k_complexity"]),
+        }
+    )
 
 
 def compute_k_kernel(key, bldg_pdf: pd.DataFrame, street_pdf: pd.DataFrame) -> pd.DataFrame:

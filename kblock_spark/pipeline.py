@@ -131,6 +131,43 @@ def compute_k(
     )
 
 
+def compute_layers(
+    blocks: DataFrame,
+    buildings: DataFrame,
+    streets: DataFrame,
+    cell_deg: float = DEFAULT_CELL_DEG,
+) -> DataFrame:
+    """Per-building concentric-layer membership (K2,
+    batch_4:190-375): (block_id, url, layer, k_complexity)."""
+    from .kernels.complexity import LAYERS_SCHEMA, compute_layers_kernel
+
+    bgeom = blocks.select(
+        "block_id",
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("double").alias("lat"),
+        "ring_sizes",
+        "coords",
+    )
+    b = buildings.select(
+        "block_id",
+        "url",
+        "lon",
+        "lat",
+        F.lit(None).cast("array<int>").alias("ring_sizes"),
+        F.lit(None).cast("array<double>").alias("coords"),
+    ).unionByName(bgeom)
+    s = streets_near_blocks(streets, blocks, cell_deg)
+    spark = blocks.sparkSession
+    nparts = spark.sparkContext.defaultParallelism * 2
+    return (
+        b.repartition(nparts, "block_id")
+        .groupBy("block_id")
+        .cogroup(s.repartition(nparts, "b_code").groupBy("b_code"))
+        .applyInPandas(compute_layers_kernel, LAYERS_SCHEMA)
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     n_pages: int = 10_000,
