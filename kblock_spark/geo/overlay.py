@@ -1,0 +1,90 @@
+"""General polygon overlay (intersection / difference / union /
+symmetric difference) via planar arrangement.
+
+The reference leans on GEOS overlays everywhere
+(gpd.overlay(how='intersection') kblock/batch_1b_generate_blocks.py:
+125,202, batch_1c:118-233; how='difference' batch_1a:185-232,
+batch_1c:103-384). Without GEOS, the robust construction is the
+arrangement route — the same one GEOS itself uses internally:
+
+1. node the edges of BOTH polygon sets together (shared/partial edges
+   handled by construction, no special-casing),
+2. trace the arrangement faces,
+3. classify each face by point-in-polygon of its representative point
+   against each input set,
+4. keep faces matching the boolean op and merge them back by
+   shared-edge cancellation.
+
+O((nA+nB)²) noding per pair — run per candidate pair inside a
+vectorized UDF after the tile prefilter, exactly where the reference
+runs its per-pair GEOS calls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geom import pack_rings, points_in_polygon, unpack_rings
+from .polygonize import polygonize, representative_point_poly
+
+Poly = tuple[np.ndarray, list[np.ndarray]]
+
+
+def _edges_of(polys: list[Poly]) -> list[np.ndarray]:
+    segs: list[np.ndarray] = []
+    for shell, holes in polys:
+        for ring in [shell] + list(holes):
+            closed = np.vstack([ring, ring[:1]])
+            for i in range(len(closed) - 1):
+                if not np.allclose(closed[i], closed[i + 1]):
+                    segs.append(closed[i : i + 2])
+    return segs
+
+
+def _covered(px: float, py: float, polys: list[Poly]) -> bool:
+    ax = np.array([px])
+    ay = np.array([py])
+    return any(points_in_polygon(ax, ay, s, h)[0] for s, h in polys)
+
+
+def overlay(
+    a: list[Poly], b: list[Poly], op: str = "intersection"
+) -> list[Poly]:
+    """Boolean overlay of two polygon sets → merged polygon list.
+
+    op ∈ {intersection, difference, union, symmetric_difference}.
+    """
+    segs = _edges_of(a) + _edges_of(b)
+    faces = polygonize(segs)
+    kept: list[Poly] = []
+    for shell, holes in faces:
+        rx, ry = representative_point_poly(shell, holes)
+        in_a = _covered(rx, ry, a)
+        in_b = _covered(rx, ry, b)
+        keep = (
+            (in_a and in_b)
+            if op == "intersection"
+            else (in_a and not in_b)
+            if op == "difference"
+            else (in_a or in_b)
+            if op == "union"
+            else (in_a != in_b)
+            if op == "symmetric_difference"
+            else None
+        )
+        if keep is None:
+            raise ValueError(f"unknown op {op!r}")
+        if keep:
+            kept.append((shell, holes))
+    if len(kept) <= 1:
+        return kept
+    # merge adjacent kept faces (shared-edge cancellation + refilter)
+    from ..ops.dissolve import dissolve_rings
+
+    return dissolve_rings(kept)
+
+
+def overlay_area(a: list[Poly], b: list[Poly], op: str = "intersection") -> float:
+    from .geom import polygon_area
+
+    return sum(polygon_area(s, h) for s, h in overlay(a, b, op))
