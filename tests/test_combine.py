@@ -1,0 +1,65 @@
+"""Combine + regional rollup (batch-5 semantics) over the full
+synthetic pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kblock_spark.io.synth import synth_pixels
+from kblock_spark.ops.combine import combine_blocks, regional_rollup
+from kblock_spark.ops.population import allocate_population
+from kblock_spark.pipeline import compute_k, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def combined(spark):
+    dfs = run_pipeline(spark, n_pages=2500, nx=2, ny=2, grid=2)
+    blocks = dfs["blocks"].cache()
+    buildings = (
+        dfs["buildings"]
+        .withColumn(
+            "building_area",
+            (F.pmod(F.xxhash64("url"), F.lit(90)) + F.lit(10)).cast("double"),
+        )
+    )
+    k = dfs["complexity"]
+    pop = allocate_population(
+        spark.createDataFrame(synth_pixels(2, 2)),
+        buildings.select("block_id", "gadm_code", "lon", "lat", "building_area"),
+        blocks,
+    )
+    return blocks, combine_blocks(blocks, k, pop).cache()
+
+
+def test_combined_complete(combined):
+    blocks, c = combined
+    assert c.count() == blocks.count()
+    for col in ["k_complexity", "population_density", "k_bucket", "block_area_log"]:
+        assert c.where(F.col(col).isNull()).count() == 0
+
+
+def test_derived_metrics_guarded(combined):
+    _, c = combined
+    assert c.where(F.col("population_density") < 0).count() == 0
+    assert c.where(F.col("block_area_log") < 0).count() == 0
+    buckets = {r["k_bucket"] for r in c.select("k_bucket").distinct().collect()}
+    assert buckets <= {f"{i:02d}" for i in range(1, 10)} | {"10+"}
+
+
+def test_regional_rollup_conserves(combined):
+    _, c = combined
+    roll = regional_rollup(c).cache()
+    assert roll.count() == 4  # 2x2 admin units
+    total_pop = c.agg(F.sum("allocated_population")).collect()[0][0]
+    roll_pop = roll.agg(F.sum("population")).collect()[0][0]
+    assert roll_pop == pytest.approx(total_pop, rel=1e-9)
+    # pivot columns partition the population
+    pivot_cols = [f"pop_k_{i:02d}" for i in range(1, 10)] + ["pop_k_10plus"]
+    s = roll.select(
+        sum(F.col(p) for p in pivot_cols).alias("pivot_total"), "population"
+    ).collect()
+    for r in s:
+        assert r["pivot_total"] == pytest.approx(r["population"], rel=1e-9)
+    # weighted mean within observed k range
+    kmin, kmax = c.agg(F.min("k_complexity"), F.max("k_complexity")).collect()[0]
+    for r in roll.collect():
+        assert kmin <= r["k_weighted_mean"] <= kmax
