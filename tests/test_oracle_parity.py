@@ -10,7 +10,9 @@ import pytest
 
 from kblock_spark.queries import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("KBLOCK_PARITY_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
