@@ -41,9 +41,9 @@ BENCH_QUERIES = [
     "e01_ann_cosine_topk",
 ]
 
-GEO_NX = GEO_NY = 6
-GEO_GRID = 5
-GEO_PAGES = 240_000
+GEO_NX = GEO_NY = 8
+GEO_GRID = 6
+GEO_PAGES = 480_000
 
 
 def _force(df):
