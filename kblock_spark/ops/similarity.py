@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns.
+
+- :func:`brute_force_topk` — exact cosine top-k via a broadcast cross
+  join with integer-quantized dot products (the correctness baseline;
+  also exposed as the oracle-checked query e01).
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets
+  (deterministic hyperplanes derived from md5 so runs are
+  reproducible), candidates = pairs sharing a bucket in ANY of the
+  ``n_tables`` hash tables, then exact cosine rank within candidates.
+  At 10^12 rows the bucket join replaces the O(N²) cross join; recall
+  is tuned by (n_tables, n_bits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _quantize(col: str = "embedding"):
+    return F.transform(F.col(col), lambda x: F.round(x.cast("double") * 1000).cast("bigint"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b).cast("double") / (
+        F.sqrt(_dot(a, a).cast("double")) * F.sqrt(_dot(b, b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, rank, cosine)."""
+    e = emb.select(F.col(id_col).alias("neighbor_id"), _quantize(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _quantize(vec_col).alias("qv"))
+    scored = (
+        q.crossJoin(e)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: str = "kblock-lsh") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (md5-seeded), shape
+    (n_tables, n_bits, dim)."""
+    out = np.empty((n_tables, n_bits, dim))
+    for t in range(n_tables):
+        for b in range(n_bits):
+            h = hashlib.md5(f"{seed}:{t}:{b}".encode()).digest()
+            rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+            out[t, b] = rng.standard_normal(dim)
+    return out
+
+
+def make_bucket_udf(dim: int, n_tables: int = 8, n_bits: int = 10):
+    planes = _hyperplanes(dim, n_tables, n_bits)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        out = []
+        # signs: (n, n_tables, n_bits)
+        proj = np.einsum("nd,tbd->ntb", mat, planes)
+        bits = (proj > 0).astype(np.int64)
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        codes = (bits * weights[None, None, :]).sum(axis=2)  # (n, T)
+        table_off = (np.arange(n_tables, dtype=np.int64) << np.int64(32))
+        for i in range(len(mat)):
+            out.append((codes[i] + table_off).tolist())
+        return pd.Series(out)
+
+    return buckets
+
+
+def lsh_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+    n_tables: int = 8, n_bits: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via LSH bucket candidates + exact rerank."""
+    bud = make_bucket_udf(dim, n_tables, n_bits)
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _quantize(vec_col).alias("nv"),
+        F.explode(bud(F.col(vec_col))).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantize(vec_col).alias("qv"),
+        F.explode(bud(F.col(vec_col))).alias("bucket"),
+    )
+    cand = (
+        q.join(e, "bucket", "inner")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
