@@ -25,21 +25,21 @@ from pyspark.sql.types import ArrayType, LongType
 from ..geo.tiling import DEFAULT_CELL_DEG
 
 
-def _ring_cells_udf(r: int):
+def _ring_cells_udf(r_lo: int, r_hi: int):
+    """Cells with Chebyshev distance in (r_lo, r_hi] of each input
+    cell (r_lo = -1 includes the center)."""
+
     @pandas_udf(ArrayType(LongType()))
     def ring(cell: pd.Series) -> pd.Series:
         c = cell.to_numpy(np.int64)
         ix = c >> np.int64(32)
         iy = c & np.int64(0xFFFFFFFF)
-        if r == 0:
-            offs = [(0, 0)]
-        else:
-            offs = [
-                (dx, dy)
-                for dx in range(-r, r + 1)
-                for dy in range(-r, r + 1)
-                if max(abs(dx), abs(dy)) == r
-            ]
+        offs = [
+            (dx, dy)
+            for dx in range(-r_hi, r_hi + 1)
+            for dy in range(-r_hi, r_hi + 1)
+            if r_lo < max(abs(dx), abs(dy)) <= r_hi or (r_lo < 0 and dx == dy == 0)
+        ]
         out = []
         arr = np.array(offs, dtype=np.int64)
         for i in range(len(c)):
@@ -76,8 +76,20 @@ def knn_join(
     resolved_parts: list[DataFrame] = []
     acc: DataFrame | None = None  # best candidates so far
     spark = left.sparkSession
-    for r in range(max_rings + 1):
-        ring = _ring_cells_udf(r)
+    # geometric radius schedule: each round is a full Spark job, so
+    # expand 0→1→2→4→8… instead of +1 (same exactness guarantee —
+    # accept once the k-th distance ≤ current radius — ~log rounds)
+    radii: list[int] = []
+    r = 0
+    while r <= max_rings:
+        radii.append(r)
+        r = 1 if r == 0 else r * 2
+    if radii[-1] != max_rings:
+        radii.append(max_rings)
+    prev_r = -1
+    for r in radii:
+        ring = _ring_cells_udf(prev_r, r)
+        prev_r = r
         cand = (
             unresolved.withColumn("jcell", F.explode(ring("cell")))
             .join(r_side, F.col("jcell") == F.col("r_cell"), "inner")
@@ -91,6 +103,9 @@ def knn_join(
             .select(left_key, "lon", "lat", "cell", "nn_key", "dist_deg")
         )
         acc = cand if acc is None else acc.unionByName(cand)
+        # truncate lineage each round — the accumulated plan otherwise
+        # re-executes every prior round's join on each action
+        acc = acc.localCheckpoint(eager=True)
         from pyspark.sql import Window
 
         w = Window.partitionBy(left_key).orderBy("dist_deg", "nn_key")
@@ -110,9 +125,10 @@ def knn_join(
         newly = ranked.join(final_keys, left_key, "left_semi").select(
             left_key, "nn_key", "rank", "dist_deg"
         )
-        resolved_parts.append(newly.cache())
-        newly.count()
-        unresolved = unresolved.join(final_keys, left_key, "left_anti").cache()
+        resolved_parts.append(newly.localCheckpoint(eager=True))
+        unresolved = unresolved.join(final_keys, left_key, "left_anti").localCheckpoint(
+            eager=True
+        )
         acc = acc.join(final_keys, left_key, "left_anti")
         if unresolved.count() == 0:
             break
