@@ -17,23 +17,63 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from kblock_spark.queries import REGISTRY  # noqa: E402
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``kblock_spark`` importable on Spark python WORKERS even
+    when the driver runs from another cwd: zip the package once and
+    addPyFile it (the spark-submit --py-files equivalent, applied
+    lazily)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "kblock_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(_REPO, "kblock_spark")
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+    _SHIPPED_SESSIONS.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full kblock-style pipeline — synthetic pages →
     geocoded points → block delineation → tile PIP join →
     k-complexity — at smoke scale."""
+    _ship_package(spark)
     from kblock_spark.pipeline import run_pipeline
 
     dfs = run_pipeline(spark, n_pages=1500, nx=2, ny=2, grid=2)
     return dfs["complexity"]
 
 
+def _wrap(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: _wrap(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
