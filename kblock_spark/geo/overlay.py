@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .geom import pack_rings, points_in_polygon, unpack_rings
+from .geom import points_in_polygon
 from .polygonize import polygonize, representative_point_poly
 
 Poly = tuple[np.ndarray, list[np.ndarray]]

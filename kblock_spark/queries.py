@@ -1120,6 +1120,19 @@ def geo_dissolve(spark, sf_dir):
     return d.select("key", "n_parts", F.size("ring_sizes").alias("n_rings"))
 
 
+def e04_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path; deterministic hyperplanes +
+    exact rerank — no SQL equivalent, rows-only check; recall vs the
+    exact e01 is tested in tests/test_similarity.py)."""
+    from .ops.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_QUERIES)
+    return lsh_topk(e, q, k=_TOPK, dim=64, n_tables=16, n_bits=4).select(
+        "query_id", "neighbor_id", "rank", "cosine"
+    )
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -1169,6 +1182,7 @@ REGISTRY: dict = {
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
+    "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),
     # geospatial (no SQL equivalent → rows-only check; pytest carries
     # the golden invariants)
     "geo_blocks": (geo_blocks, None),
