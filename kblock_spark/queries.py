@@ -54,12 +54,17 @@ def q01_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            # sums computed EXACTLY in decimal, then ONE deterministic
+            # cast to double so both engines land on float64 in pandas
+            # (DuckDB hands widened DECIMAL(38,x)/HUGEINT aggregates to
+            # pandas as float64; Spark hands Decimal objects — the
+            # driver's value hash is dtype-sensitive)
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(28,4)")
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -69,9 +74,9 @@ def q01_pricing_summary(spark, sf_dir):
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity::DECIMAL(18,2)) AS sum_qty,
-       SUM(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
-       SUM((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)) AS sum_disc_price,
+       SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       SUM((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4))::DOUBLE AS sum_disc_price,
        SUM(l_quantity::DECIMAL(18,2))::DOUBLE / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
@@ -146,7 +151,7 @@ def q04_revenue_by_nation(spark, sf_dir):
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(28,4)")
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -154,7 +159,7 @@ def q04_revenue_by_nation(spark, sf_dir):
 
 Q04_SQL = """
 SELECT r_name, n_name,
-       SUM((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)) AS revenue,
+       SUM((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4))::DOUBLE AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -272,7 +277,7 @@ def q10_price_histogram(spark, sf_dir):
         .groupBy("price_bin")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("total"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
         )
     )
 
@@ -283,7 +288,7 @@ SELECT CASE WHEN o_totalprice < 1000 THEN 'b0_lt_1k'
             WHEN o_totalprice < 50000 THEN 'b2_10k_50k'
             WHEN o_totalprice < 100000 THEN 'b3_50k_100k'
             ELSE 'b4_ge_100k' END AS price_bin,
-       COUNT(*) AS n_orders, SUM(o_totalprice::DECIMAL(18,2)) AS total
+       COUNT(*) AS n_orders, SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
 FROM orders GROUP BY 1
 """
 
@@ -293,17 +298,17 @@ FROM orders GROUP BY 1
 def q11_conditional_pivot(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
-        F.sum(F.when(F.col("l_returnflag") == "R", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("qty_r"),
-        F.sum(F.when(F.col("l_returnflag") == "A", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("qty_a"),
-        F.sum(F.when(F.col("l_returnflag") == "N", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("qty_n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double").alias("qty_r"),
+        F.sum(F.when(F.col("l_returnflag") == "A", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double").alias("qty_a"),
+        F.sum(F.when(F.col("l_returnflag") == "N", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double").alias("qty_n"),
     )
 
 
 Q11_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN l_returnflag='R' THEN l_quantity::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END) AS qty_r,
-       SUM(CASE WHEN l_returnflag='A' THEN l_quantity::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END) AS qty_a,
-       SUM(CASE WHEN l_returnflag='N' THEN l_quantity::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END) AS qty_n
+       SUM(CASE WHEN l_returnflag='R' THEN l_quantity::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END)::DOUBLE AS qty_r,
+       SUM(CASE WHEN l_returnflag='A' THEN l_quantity::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END)::DOUBLE AS qty_a,
+       SUM(CASE WHEN l_returnflag='N' THEN l_quantity::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END)::DOUBLE AS qty_n
 FROM lineitem GROUP BY l_linestatus
 """
 
@@ -321,15 +326,15 @@ def q12_running_customer_spend(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).alias("running_spend"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
     )
 
 
 Q12_SQL = """
 SELECT o_custkey, o_orderkey,
-       SUM(o_totalprice::DECIMAL(18,2)) OVER (
+       (SUM(o_totalprice::DECIMAL(18,2)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_spend
 FROM orders
 """
 
@@ -417,7 +422,7 @@ def q16_union_keys(spark, sf_dir):
 
 
 Q16_SQL = """
-SELECT COUNT(*) AS n_distinct_keys, SUM(custkey) AS key_sum FROM (
+SELECT COUNT(*) AS n_distinct_keys, SUM(custkey)::BIGINT AS key_sum FROM (
   SELECT DISTINCT custkey FROM (
     SELECT o_custkey AS custkey FROM orders
     UNION ALL SELECT c_custkey FROM customer))
@@ -471,14 +476,14 @@ def q19_hourly_event_rollup(spark, sf_dir):
         .groupBy("hour", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("value")).alias("value_sum"),
+            F.sum(_dec("value")).cast("double").alias("value_sum"),
         )
     )
 
 
 Q19_SQL = """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
-       COUNT(*) AS n, SUM(value::DECIMAL(18,2)) AS value_sum
+       COUNT(*) AS n, SUM(value::DECIMAL(18,2))::DOUBLE AS value_sum
 FROM events GROUP BY 1, 2
 """
 
@@ -546,9 +551,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
 sess AS (
   SELECT user_id, event_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         (SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+           )::BIGINT AS session_id
   FROM flagged)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
@@ -566,7 +571,7 @@ def q22_weighted_buckets(spark, sf_dir):
     b = weighted_buckets(o, "o_totalprice", "o_orderkey", 10)
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_orders"),
-        F.sum(_dec("o_totalprice")).alias("bucket_weight"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("bucket_weight"),
     )
 
 
@@ -585,7 +590,7 @@ bk AS (
          )))::INT AS bucket
   FROM cum)
 SELECT bucket, COUNT(*) AS n_orders,
-       SUM(o_totalprice::DECIMAL(18,2)) AS bucket_weight
+       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS bucket_weight
 FROM bk GROUP BY bucket
 """
 
@@ -1024,7 +1029,7 @@ dims AS (
   SELECT label, i - 1 AS dim, v[i] AS val
   FROM q, UNNEST(range(1, len(v)+1)) AS t(i)),
 cent AS (SELECT label, dim, SUM(val) s, COUNT(*) n FROM dims GROUP BY 1, 2)
-SELECT label, COUNT(*) AS n_dims, SUM(ABS(s)) AS l1_sum, MAX(n) AS n_vectors
+SELECT label, COUNT(*) AS n_dims, SUM(ABS(s))::BIGINT AS l1_sum, MAX(n) AS n_vectors
 FROM cent GROUP BY label
 """
 

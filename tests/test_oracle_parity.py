@@ -30,19 +30,25 @@ def ddb():
 
 
 def _norm(v):
+    """Type-SENSITIVE canonicalization — matches the driver's
+    dtype-aware value hash: Decimal vs float vs int must not collapse
+    to the same token (round-1 lesson: DuckDB hands widened
+    DECIMAL(38,x)/HUGEINT aggregates to the client as float64 while
+    Spark hands Decimal/int64, and the driver's hash sees that)."""
+    import decimal
+
+    if isinstance(v, bool):
+        return f"bool:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
+            return "float:NaN"
+        return f"float:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    try:  # Decimal → canonical string
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.10g}"
-    except Exception:
-        pass
     return str(v)
 
 
