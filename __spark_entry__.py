@@ -33,18 +33,29 @@ def _ship_package(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED_SESSIONS:
         return
+    import hashlib
     import tempfile
     import zipfile
 
-    zpath = os.path.join(tempfile.gettempdir(), "kblock_spark_pkg.zip")
+    pkg = os.path.join(_REPO, "kblock_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    h = hashlib.md5()
+    for full in sorted(sources):
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    # content-addressed zip name: a stale cached zip must never ship
+    # old code to the workers
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"kblock_spark_pkg_{h.hexdigest()[:12]}.zip"
+    )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            pkg = os.path.join(_REPO, "kblock_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO))
+            for full in sources:
+                z.write(full, os.path.relpath(full, _REPO))
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

