@@ -122,22 +122,27 @@ def geo_run(cores: int) -> dict:
 
 _CEILING_CODE = """
 import numpy as np, time
-t0 = time.time()
 rng = np.random.default_rng(0)
-for _ in range(8):
-    a = rng.uniform(0, 1, (1500, 1500))
-    c = np.sqrt(((a[:800, None, :2] - a[None, :800, :2]) ** 2).sum(axis=2))
-    u = np.unique(a.round(3))
+t0 = time.time()
+for _ in range(60):
+    a = rng.uniform(0, 1, (400, 400))
+    b = a @ a
+    s = set(range(20000))
+    x = sum(i * i for i in s)
 print("%.3f" % (time.time() - t0))
 """
 
 
 def host_ceiling() -> dict:
-    """This sandbox host burst-throttles sustained CPU: N identical
-    numpy processes do not run N/M faster than M processes even with
-    idle physical cores. Measure that ceiling OUTSIDE Spark (pure
-    subprocesses, fixed per-process work) so engine scaling efficiency
-    can be read against what the host physically allows."""
+    """This sandbox host scales per-core speed DOWN with concurrency
+    (turbo at low occupancy, heavy throttling at high): N identical
+    processes do not run N/M faster than M processes even with idle
+    logical cores. Measure that ceiling OUTSIDE Spark with a workload
+    matching the engine's kernel profile (small-matrix numpy + python
+    object work — NOT pure large-array numpy, whose memory-bound
+    profile overstates the ceiling), interleaved best-of-2, so engine
+    scaling efficiency can be read against what the host physically
+    allows in the same run."""
     import subprocess
 
     def run(n: int) -> float:
@@ -169,16 +174,18 @@ def host_ceiling() -> dict:
 
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    ceiling = host_ceiling()
 
     # --- scaling evidence: identical job at N/4 and N cores.
-    # The sandbox host burst-throttles sustained CPU (first run fast,
-    # later runs up to 2-3x slower, independent of core count), so each
-    # level is measured twice interleaved and the best run is reported
-    # (standard noisy-host practice); raw samples are included.
+    # The sandbox host throttles per-core speed with concurrency and
+    # over time (run-to-run swings up to 3x observed), so each level is
+    # measured twice interleaved and the best run is reported (standard
+    # noisy-host practice); raw samples are included, and the host
+    # ceiling is measured IN THE SAME RUN, between the sample rounds,
+    # so it reflects the same thermal/throttle regime.
     lo_cores = max(CPUS // 4, 2)
-    samples = []
-    for c in (lo_cores, CPUS, lo_cores, CPUS):
+    samples = [geo_run(lo_cores), geo_run(CPUS)]
+    ceiling = host_ceiling()
+    for c in (lo_cores, CPUS):
         samples.append(geo_run(c))
     low = min((s for s in samples if s["cores"] == lo_cores), key=lambda s: s["sec"])
     high = min((s for s in samples if s["cores"] == CPUS), key=lambda s: s["sec"])

@@ -108,7 +108,18 @@ def checkpointed_run(
         r[key_col]: r["n"]
         for r in result.groupBy(key_col).agg(F.count("*").alias("n")).collect()
     }
-    result.write.mode("append").parquet(out_path)
+    # idempotent resume: the output is PARTITIONED BY the checkpoint
+    # key and written with dynamic partition overwrite, so a crash
+    # between this write and the manifest record just overwrites the
+    # same key-partitions on retry — a blind append would duplicate
+    # every row of the interrupted batch.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # keys are directory names once partitioned; keep them strings on
+    # read-back instead of letting inference re-type "0" → 0
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    result.write.mode("overwrite").partitionBy(key_col).parquet(out_path)
     wall = int((time.time() - t0) * 1000)
     manifest.record(
         [

@@ -41,6 +41,55 @@ def safe_ratio(num, den) -> F.Column:
     return F.when(d != 0, n / d).otherwise(F.lit(0.0))
 
 
+def polyline_length_col(coords_col: str = "coords") -> F.Column:
+    """Length of a flat [x0,y0,x1,y1,…] polyline — pure Catalyst
+    (aggregate over an index sequence; stays in whole-stage codegen,
+    no Python)."""
+    c = F.col(coords_col)
+    n_seg = (F.size(c) / F.lit(2)).cast("int") - F.lit(2)
+    return F.aggregate(
+        F.sequence(F.lit(0), n_seg),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.sqrt(
+            F.pow(F.element_at(c, i * 2 + 3) - F.element_at(c, i * 2 + 1), 2)
+            + F.pow(F.element_at(c, i * 2 + 4) - F.element_at(c, i * 2 + 2), 2)
+        ),
+    )
+
+
+def linearity_col(coords_col: str = "coords") -> F.Column:
+    """momepy.Linearity (batch_5:576-595): straight endpoint chord
+    divided by polyline length; 1.0 for degenerate zero-length lines."""
+    c = F.col(coords_col)
+    sz = F.size(c)
+    chord = F.sqrt(
+        F.pow(F.element_at(c, sz - 1) - F.element_at(c, 1), 2)
+        + F.pow(F.element_at(c, sz) - F.element_at(c, 2), 2)
+    )
+    ln = polyline_length_col(coords_col)
+    return F.when(ln > 0, chord / ln).otherwise(F.lit(1.0))
+
+
+def street_linearity_by_group(
+    streets: DataFrame, group_col: str = "country_code",
+    coords_col: str = "coords",
+) -> DataFrame:
+    """Length-weighted mean linearity per group — the reference's
+    street-linearity aggregate in the combine stage (batch_5:576-595:
+    momepy.Linearity per street, then a length-weighted mean)."""
+    d = streets.withColumn("__len", polyline_length_col(coords_col)).withColumn(
+        "__lin", linearity_col(coords_col)
+    )
+    return d.groupBy(group_col).agg(
+        (F.sum(F.col("__lin") * F.col("__len")) / F.sum("__len")).alias(
+            "mean_linearity"
+        ),
+        F.sum("__len").alias("total_length"),
+        F.count("*").alias("n_streets"),
+    )
+
+
 def combine_blocks(
     blocks: DataFrame, complexity: DataFrame, population: DataFrame
 ) -> DataFrame:

@@ -124,18 +124,30 @@ def allocate_population(
     )
     done2 = s2.select("pixel_id").distinct()
 
-    # ---- stage 3: pixels touching nothing → admin-level building-area
-    # shares (here: global, since the synthetic raster is one country;
-    # per-gadm at scale via a gadm assignment of the pixel)
+    # ---- stage 3: pixels touching nothing → building-area shares
+    # (the reference allocates residuals inside the admin unit,
+    # batch_3:312-318; the synthetic raster carries no admin assignment
+    # for out-of-extent pixels, so the share denominator is the whole
+    # layer). Both scalars stay IN THE PLAN as broadcast one-row
+    # aggregates — no global single-partition window, no driver
+    # collect: the round-1 version exchanged the full block table into
+    # one task at this step.
     resid3 = resid.join(done2, "pixel_id", "left_anti")
-    total3 = resid3.agg(F.sum(pop_col).alias("p")).collect()[0]["p"] or 0.0
+    total3 = resid3.agg(
+        F.coalesce(F.sum(pop_col), F.lit(0.0)).alias("__resid_pop")
+    )
     ba = buildings.groupBy("block_id", "gadm_code").agg(
         F.sum("building_area").alias("ba")
     )
-    w_all = Window.partitionBy()
-    alloc3 = ba.withColumn(
-        "pop_s3", F.lit(float(total3)) * F.col("ba") / F.sum("ba").over(w_all)
-    ).select("block_id", "gadm_code", "pop_s3")
+    ba_tot = ba.agg(F.sum("ba").alias("__ba_total"))
+    alloc3 = (
+        ba.crossJoin(F.broadcast(ba_tot))
+        .crossJoin(F.broadcast(total3))
+        .withColumn(
+            "pop_s3", F.col("__resid_pop") * F.col("ba") / F.col("__ba_total")
+        )
+        .select("block_id", "gadm_code", "pop_s3")
+    )
 
     out = (
         blocks.select("block_id", "gadm_code")
@@ -156,12 +168,35 @@ def allocate_population(
 
 
 def rescale_to_target(
-    pop: DataFrame, target_total: float, pop_col: str = "allocated_population"
+    pop: DataFrame,
+    target_total: float,
+    pop_col: str = "allocated_population",
+    group_col: str | None = None,
 ) -> DataFrame:
-    """UN-adjustment style linear rescale (batch_3:526-532): windowed
-    country sum → multiply by target/model ratio."""
-    w = Window.partitionBy()
-    return pop.withColumn(
-        pop_col + "_adj",
-        F.col(pop_col) * F.lit(target_total) / F.sum(pop_col).over(w),
+    """UN-adjustment style linear rescale (batch_3:526-532): per-group
+    (country) sum → multiply by target/model ratio.
+
+    The denominator is a grouped aggregate broadcast back onto the
+    rows — NOT a ``Window.partitionBy()`` (which would exchange the
+    whole table into one task at 10⁸-block scale). With no group_col
+    the sum is a one-row scalar aggregate (tree-reduced), same plan
+    shape."""
+    if group_col is None:
+        tot = pop.agg(F.sum(pop_col).alias("__model_total"))
+        return (
+            pop.crossJoin(F.broadcast(tot))
+            .withColumn(
+                pop_col + "_adj",
+                F.col(pop_col) * F.lit(target_total) / F.col("__model_total"),
+            )
+            .drop("__model_total")
+        )
+    tot = pop.groupBy(group_col).agg(F.sum(pop_col).alias("__model_total"))
+    return (
+        pop.join(F.broadcast(tot), group_col)
+        .withColumn(
+            pop_col + "_adj",
+            F.col(pop_col) * F.lit(target_total) / F.col("__model_total"),
+        )
+        .drop("__model_total")
     )

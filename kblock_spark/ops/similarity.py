@@ -91,6 +91,80 @@ def make_bucket_udf(dim: int, n_tables: int = 8, n_bits: int = 10):
     return buckets
 
 
+def _unit_projections(dim: int, n_dirs: int, seed: str = "kblock-dup") -> np.ndarray:
+    """Deterministic unit directions (md5-seeded), shape (n_dirs, dim)."""
+    out = np.empty((n_dirs, dim))
+    for i in range(n_dirs):
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        v = rng.standard_normal(dim)
+        out[i] = v / np.linalg.norm(v)
+    return out
+
+
+def exact_dup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_dirs: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL pairs with cosine ≥ threshold — EXACT (zero recall loss),
+    with no cross join in the plan.
+
+    For unit vectors, cos(a,b) ≥ t ⇒ ‖a−b‖ ≤ w := √(2−2t), and any
+    unit-direction projection contracts distances, so qualifying pairs
+    differ by ≤ w along EVERY projection. Bucket each row by
+    floor(proj₀/w); one side explodes to its bucket ±1 → the equi-join
+    on the bucket provably catches every qualifying pair. Two further
+    projections prefilter candidates (|Δprojᵢ| ≤ w), then the exact
+    integer-quantized cosine decides. Selectivity grows as the
+    threshold does (w=0.45 at t=0.9); the plan shape — explode →
+    equi-join → filter — is the 10¹²-row shape, unlike the O(N²)
+    cross join this replaces (round-1 e02). The reference's analogue
+    is the tile-prefiltered overlap self-join (batch_1b:98-100)."""
+    w = float(np.sqrt(max(2.0 - 2.0 * threshold, 1e-12)))
+    dirs = _unit_projections(dim, n_dirs)
+    q = _quantize(vec_col)
+    norm = F.sqrt(_dot(q, q).cast("double"))
+    projs = []
+    for i in range(n_dirs):
+        lit = F.array(*[F.lit(float(x)) for x in dirs[i]])
+        p = F.aggregate(
+            F.zip_with(q, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) / norm
+        projs.append(p.alias(f"p{i}"))
+    base = emb.select(F.col(id_col).alias("vid"), q.alias("qv"), *projs)
+    bucket = F.floor(F.col("p0") / F.lit(w)).cast("long")
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("qv").alias("qa"),
+        *[F.col(f"p{i}").alias(f"pa{i}") for i in range(n_dirs)],
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("qv").alias("qb"),
+        *[F.col(f"p{i}").alias(f"pb{i}") for i in range(n_dirs)],
+        bucket.alias("bucket"),
+    )
+    cand = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    for i in range(1, n_dirs):
+        cand = cand.where(
+            F.abs(F.col(f"pa{i}") - F.col(f"pb{i}")) <= F.lit(w)
+        )
+    return (
+        cand.select(
+            "vec_a", "vec_b",
+            _cosine(F.col("qa"), F.col("qb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def lsh_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     n_tables: int = 8, n_bits: int = 10,

@@ -115,13 +115,16 @@ def assign_points_to_polygons(
     if dedupe:
         # a point on a shared block edge can pass PIP for 2 polygons →
         # deterministic keep-first by poly key (reference dedups via
-        # geohash rank then drop_duplicates, batch_2:216-231)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*point_cols).orderBy(poly_key)
+        # geohash rank then drop_duplicates, batch_2:216-231).
+        # min_by-groupBy, not a row_number window: the aggregate gets a
+        # map-side partial combine and skips the window's per-partition
+        # SORT of the whole fact table.
+        others = [c for c in out_cols if c not in point_cols]
+        packed_min = F.min_by(F.struct(*others), F.col(poly_key)).alias("__s")
         refined = (
-            refined.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
+            refined.groupBy(*point_cols)
+            .agg(packed_min)
+            .select(*point_cols, *[F.col(f"__s.{c}").alias(c) for c in others])
+            .select(*out_cols)
         )
     return refined

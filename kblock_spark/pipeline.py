@@ -98,12 +98,16 @@ def _pack_blocks(
     """
     from .ops.partitioning import balanced_tokens
 
+    # collect_lists issued in ONE .agg() consume the identical row
+    # stream, so b_lons[i] ↔ b_lats[i] (↔ b_urls[i]) stay pairwise
+    # aligned — flat double arrays, no per-building struct/array
+    # object churn through the aggregation
+    agg = [
+        F.collect_list("lon").alias("b_lons"),
+        F.collect_list("lat").alias("b_lats"),
+    ]
     if with_urls:
-        # per-row alignment matters (url ↔ point): one struct list —
-        # two separate collect_lists are not order-aligned in general
-        agg = [F.collect_list(F.struct("url", "lon", "lat")).alias("b_rows")]
-    else:
-        agg = [F.collect_list(F.array("lon", "lat")).alias("b_pts")]
+        agg.append(F.collect_list("url").alias("b_urls"))
     b_packed = buildings.groupBy("block_id").agg(*agg)
     s_packed = (
         streets_near_blocks(streets, blocks, cell_deg)
@@ -155,15 +159,21 @@ def _packed_k_iter(batches):
     mdir = os.environ.get("KBLOCK_KERNEL_METRICS")
     for pdf in batches:
         rows = []
-        for block_id, sizes, coords, b_pts, street_lines in zip(
+        for block_id, sizes, coords, b_lons, b_lats, street_lines in zip(
             pdf["block_id"], pdf["ring_sizes"], pdf["coords"],
-            pdf["b_pts"], pdf["street_lines"],
+            pdf["b_lons"], pdf["b_lats"], pdf["street_lines"],
         ):
             t0 = time.time()
             shell, holes = unpack_rings(sizes, coords)
             pts = (
-                np.array([np.asarray(p) for p in b_pts])
-                if b_pts is not None and len(b_pts)
+                np.stack(
+                    [
+                        np.asarray(b_lons, dtype=np.float64),
+                        np.asarray(b_lats, dtype=np.float64),
+                    ],
+                    axis=1,
+                )
+                if b_lons is not None and len(b_lons)
                 else np.zeros((0, 2))
             )
             lines = _unpack_streets(street_lines)
@@ -212,15 +222,20 @@ def _packed_layers_iter(batches):
 
     for pdf in batches:
         outs = []
-        for block_id, sizes, coords, b_rows, street_lines in zip(
+        for block_id, sizes, coords, b_lons, b_lats, urls, street_lines in zip(
             pdf["block_id"], pdf["ring_sizes"], pdf["coords"],
-            pdf["b_rows"], pdf["street_lines"],
+            pdf["b_lons"], pdf["b_lats"], pdf["b_urls"], pdf["street_lines"],
         ):
-            if b_rows is None or len(b_rows) == 0:
+            if b_lons is None or len(b_lons) == 0:
                 continue
             shell, holes = unpack_rings(sizes, coords)
-            urls = [r["url"] for r in b_rows]
-            pts = np.array([[r["lon"], r["lat"]] for r in b_rows])
+            pts = np.stack(
+                [
+                    np.asarray(b_lons, dtype=np.float64),
+                    np.asarray(b_lats, dtype=np.float64),
+                ],
+                axis=1,
+            )
             lines = _unpack_streets(street_lines)
             row = compute_k_block(shell, holes, pts, lines)
             outs.append(

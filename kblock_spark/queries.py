@@ -595,6 +595,73 @@ FROM bk GROUP BY bucket
 """
 
 
+# q23 — J14: right outer join (reference merges how='right' at
+# batch_5:468); rolled up per customer for a deterministic surface
+
+def q23_right_join_order_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "spend"
+            ),
+        )
+    )
+
+
+Q23_SQL = """
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+       COALESCE(SUM(o_totalprice::DECIMAL(18,2))::DOUBLE, 0.0) AS spend
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# q24 — W4: group-id assignment (the reference's ngroup uniquifier,
+# batch_2:216-220). Scale-safe formulation: the rank window runs over
+# the DISTINCT key set (bounded), then broadcast-joins back — never a
+# global window over the fact table.
+
+def q24_group_id_assignment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    segs = c.select("c_mktsegment").distinct()
+    w = Window.orderBy("c_mktsegment")
+    ids = segs.withColumn("group_id", F.row_number().over(w))
+    return c.join(F.broadcast(ids), "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "group_id"
+    )
+
+
+Q24_SQL = """
+SELECT c_custkey, c_mktsegment,
+       DENSE_RANK() OVER (ORDER BY c_mktsegment)::INT AS group_id
+FROM customer
+"""
+
+
+# q25 — W3: windowed count (count().over, batch_1c:260)
+
+def q25_windowed_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_cust_orders"),
+    )
+
+
+Q25_SQL = """
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey) AS n_cust_orders
+FROM orders
+"""
+
+
 # ============================================ training-data ops: text
 
 # d01 — token counting (whitespace tokenizer)
@@ -721,21 +788,30 @@ FROM documents
 
 
 # d06 — n-gram Jaccard near-dup pairs (3-word shingles, inverted-index
-# join with a frequent-shingle cap — standard LSH-style prefilter)
+# join with a frequent-shingle cap — standard LSH-style prefilter).
+# Shingles are reduced to a 48-bit md5-prefix int IN BOTH ENGINES
+# before the distinct/join, so the shuffle moves int64 keys instead of
+# 3-word strings and any hash collision affects both sides identically
+# (exact parity by construction).
 
 _SHINGLE_CAP = 200
 _JACCARD_MIN = 0.5
 
 
-def d06_ngram_jaccard_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+def _shingle_hashes(d: DataFrame) -> DataFrame:
+    """documents → distinct (doc_id, h) 3-token shingle hash rows.
+    Docs with < 3 tokens yield no shingles (guarded: F.sequence would
+    otherwise produce a DESCENDING range and element_at(…, 0))."""
     toks = F.split("text", " ")
-    sh = (
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
         d.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 3),
+                    idx,
                     lambda i: F.concat_ws(
                         " ",
                         F.element_at(toks, i + 1),
@@ -745,17 +821,31 @@ def d06_ngram_jaccard_pairs(spark, sf_dir):
                 )
             ).alias("shingle"),
         )
+        .select("doc_id", _h12("shingle").alias("h"))
         .distinct()
     )
-    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+
+
+_SHINGLE_SQL = f"""
+  SELECT DISTINCT doc_id,
+         {_H12_SQL.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+  FROM (SELECT doc_id, string_split(text,' ') w FROM documents),
+       UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)
+"""
+
+
+def d06_ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingle_hashes(d)
+    rare = sh.groupBy("h").agg(F.count("*").alias("df")).where(
         F.col("df") <= _SHINGLE_CAP
     )
-    sh = sh.join(F.broadcast(rare.select("shingle")), "shingle")
+    sh = sh.join(F.broadcast(rare.select("h")), "h")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -775,17 +865,13 @@ def d06_ngram_jaccard_pairs(spark, sf_dir):
 
 
 D06_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-sh0 AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)
-),
-rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {_SHINGLE_CAP}),
-sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+WITH sh0 AS ({_SHINGLE_SQL}),
+rare AS (SELECT h FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {_SHINGLE_CAP}),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (h)),
 sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter,
        inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE AS jaccard
@@ -796,37 +882,30 @@ WHERE inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE >= {_JACCARD_MIN}
 """
 
 
-# d07 — MinHash + LSH banding candidate pairs
+# d07 — MinHash + LSH banding candidate pairs. One md5-prefix hash per
+# DISTINCT shingle, then per-band minhashes via affine universal
+# hashing h_b(x) = (a_b·x + b_b) mod p — textbook minhash, identical
+# exact BIGINT arithmetic in both engines (h < 2^48, a_b < 2^13 → no
+# int64 overflow), no shingle×band crossJoin.
 
 _N_BANDS = 4
+_MH_P = (1 << 31) - 1  # Mersenne prime
+_MH_A = (2971, 4111, 5233, 6373)
+_MH_B = (577, 1009, 2003, 3019)
 
 
 def d07_minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
-    bands = spark.range(_N_BANDS).select(F.col("id").cast("int").alias("band"))
-    mh = (
-        sh.crossJoin(F.broadcast(bands))
-        .withColumn(
-            "h",
-            _h12(F.concat_ws("|", F.col("shingle"), F.col("band").cast("string"))),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("minhash"))
+    sh = _shingle_hashes(d)
+    mins = [
+        F.min(F.pmod(F.lit(_MH_A[b]) * F.col("h") + F.lit(_MH_B[b]), F.lit(_MH_P)))
+        .alias(f"m{b}")
+        for b in range(_N_BANDS)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*mins)
+    stack_expr = ", ".join(f"{b}, m{b}" for b in range(_N_BANDS))
+    mh = per_doc.selectExpr(
+        "doc_id", f"stack({_N_BANDS}, {stack_expr}) as (band, minhash)"
     )
     a = mh.alias("a")
     b = mh.alias("b")
@@ -842,17 +921,17 @@ def d07_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+_D07_MINS = ",\n".join(
+    f"MIN((h * {_MH_A[b]} + {_MH_B[b]}) % {_MH_P}) AS m{b}" for b in range(_N_BANDS)
+)
+_D07_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, m{b} AS minhash FROM per_doc"
+    for b in range(_N_BANDS)
+)
 D07_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)
-),
-mh AS (
-  SELECT doc_id, band,
-         MIN({_H12_SQL.format(x="shingle || '|' || band::VARCHAR")}) AS minhash
-  FROM sh CROSS JOIN (SELECT UNNEST(range({_N_BANDS}))::INT AS band)
-  GROUP BY 1, 2)
+WITH sh AS ({_SHINGLE_SQL}),
+per_doc AS (SELECT doc_id, {_D07_MINS} FROM sh GROUP BY doc_id),
+mh AS ({_D07_BANDS})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM mh a JOIN mh b
   ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
@@ -967,30 +1046,23 @@ WHERE rank <= {_TOPK}
 """
 
 
-# e02 — embedding near-duplicate pairs (cosine ≥ threshold)
+# e02 — embedding near-duplicate pairs (cosine ≥ threshold).
+# Spark side: EXACT projection-blocked equi-join (ops/similarity.py —
+# zero recall loss, no CartesianProduct in the plan; asserted in
+# tests/test_plan_quality.py). Oracle side: the O(N²) formulation —
+# fine for DuckDB at sf0.01, and exactly what the blocked plan must
+# reproduce. Threshold 0.5 so the fixture yields pairs (round-1 used
+# 0.9 and "passed" on 0 rows — vacuous).
 
-_DUP_COS = 0.9
+_DUP_COS = 0.5
 
 
 def e02_embedding_dup_pairs(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", _quantized().alias("q"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                _dot(F.col("qa"), F.col("qb")).cast("double")
-                / (
-                    F.sqrt(_dot(F.col("qa"), F.col("qa")).cast("double"))
-                    * F.sqrt(_dot(F.col("qb"), F.col("qb")).cast("double"))
-                )
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= _DUP_COS)
+    from .ops.similarity import exact_dup_pairs_blocked
+
+    e = _t(spark, sf_dir, "embeddings")
+    return exact_dup_pairs_blocked(e, _DUP_COS, dim=64).select(
+        "vec_a", "vec_b", "cosine"
     )
 
 
@@ -1003,6 +1075,25 @@ FROM q a JOIN q b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {_DUP_COS}
 """
+
+
+# geo_linearity — §2.8 street linearity metric (momepy.Linearity,
+# batch_5:576-595): per-street endpoint-chord/length ratio +
+# length-weighted mean per country. Synthetic streets (no DuckDB
+# oracle possible for the packed-coords layout) — rows-only check;
+# tests/test_combine.py carries the hand-computed golden.
+
+def geo_linearity(spark, sf_dir):
+    from .io.synth import synth_streets
+    from .ops.combine import street_linearity_by_group
+
+    streets = spark.createDataFrame(synth_streets(2, 2, 2))
+    return street_linearity_by_group(streets, "country_code").select(
+        "country_code",
+        F.round("mean_linearity", 9).alias("mean_linearity"),
+        F.round("total_length", 9).alias("total_length"),
+        "n_streets",
+    )
 
 
 # e03 — label-centroid similarity (integer-exact centroids)
@@ -1174,6 +1265,9 @@ REGISTRY: dict = {
     "q20_top_event_per_user": (q20_top_event_per_user, Q20_SQL),
     "q21_sessionization": (q21_sessionization, Q21_SQL),
     "q22_weighted_buckets": (q22_weighted_buckets, Q22_SQL),
+    "q23_right_join_order_rollup": (q23_right_join_order_rollup, Q23_SQL),
+    "q24_group_id_assignment": (q24_group_id_assignment, Q24_SQL),
+    "q25_windowed_count": (q25_windowed_count, Q25_SQL),
     # text / dedup
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
@@ -1196,5 +1290,6 @@ REGISTRY: dict = {
     "geo_population": (geo_population, None),
     "geo_knn": (geo_knn, None),
     "geo_dissolve": (geo_dissolve, None),
+    "geo_linearity": (geo_linearity, None),
     "media_features": (media_features, None),
 }

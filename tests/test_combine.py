@@ -63,3 +63,34 @@ def test_regional_rollup_conserves(combined):
     kmin, kmax = c.agg(F.min("k_complexity"), F.max("k_complexity")).collect()[0]
     for r in roll.collect():
         assert kmin <= r["k_weighted_mean"] <= kmax
+
+def test_street_linearity_golden(spark):
+    """momepy.Linearity (batch_5:576-595) on hand-computed polylines:
+    straight line → 1.0; right-angle L → chord/length = √2/2; the
+    group mean is LENGTH-weighted."""
+    import math
+
+    import pandas as pd
+
+    from kblock_spark.ops.combine import street_linearity_by_group
+
+    rows = pd.DataFrame(
+        {
+            "street_id": [0, 1],
+            "country_code": ["AAA", "AAA"],
+            # straight, length 2
+            # L-shape (1,0)->(1,1): length 2, chord sqrt(2)
+            "coords": [
+                [0.0, 0.0, 2.0, 0.0],
+                [0.0, 0.0, 1.0, 0.0, 1.0, 1.0],
+            ],
+        }
+    )
+    got = street_linearity_by_group(
+        spark.createDataFrame(rows), "country_code"
+    ).collect()[0]
+    lin_l = math.sqrt(2.0) / 2.0
+    want_mean = (1.0 * 2.0 + lin_l * 2.0) / 4.0  # length-weighted
+    assert got["n_streets"] == 2
+    assert got["total_length"] == pytest.approx(4.0)
+    assert got["mean_linearity"] == pytest.approx(want_mean, rel=1e-12)

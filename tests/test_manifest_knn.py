@@ -46,6 +46,30 @@ def test_checkpoint_resume(spark, tmp_path):
     assert m.where(F.col("rows") != 1).count() == 0
 
 
+def test_resume_idempotent_after_lost_manifest(spark, tmp_path):
+    """Crash BETWEEN output write and manifest record: the output holds
+    rows whose keys are still pending. Because output partitions are
+    overwritten per-key (dynamic partition overwrite), the retry must
+    NOT duplicate them — the round-1 blind append did."""
+    out = str(tmp_path / "out")
+    universe = spark.range(0, 100).select(
+        (F.col("id") % 10).cast("string").alias("part_key"), F.col("id")
+    )
+
+    def build(df):
+        return df.groupBy("part_key").agg(F.sum("id").alias("total"))
+
+    # run 1 writes output for 4 keys, but its manifest is lost (fresh
+    # manifest dir below = the crash happened before record())
+    man_lost = CheckpointManifest(spark, str(tmp_path / "manifest_lost"))
+    checkpointed_run(spark, universe, "part_key", build, out, man_lost, max_keys=4)
+    man = CheckpointManifest(spark, str(tmp_path / "manifest"))
+    n = checkpointed_run(spark, universe, "part_key", build, out, man)
+    assert n == 10  # all keys reprocessed (manifest was lost)
+    result = spark.read.parquet(out)
+    assert result.count() == 10  # per-key overwrite → no duplicates
+
+
 def _pts_df(spark, n, seed, key):
     rng = np.random.default_rng(seed)
     lon = 10.0 + rng.uniform(0, 0.05, n)

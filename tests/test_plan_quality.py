@@ -38,6 +38,52 @@ def test_q05_anti_join_strategy(spark):
     assert "LeftAnti" in plan
 
 
+def test_e02_no_cartesian_product(spark):
+    """The all-pairs near-dup detector must be a bucketed equi-join —
+    an O(N²) CartesianProduct/BroadcastNestedLoopJoin here is the
+    100 TB scale-killer (round-1 regression)."""
+    from kblock_spark.queries import e02_embedding_dup_pairs
+
+    plan = _plan(e02_embedding_dup_pairs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_e02_blocked_matches_bruteforce(spark):
+    """Zero recall loss: the projection-blocked plan returns EXACTLY
+    the brute-force pair set (several thresholds)."""
+    import numpy as np
+    import pandas as pd
+
+    from kblock_spark.ops.similarity import exact_dup_pairs_blocked
+
+    rng = np.random.default_rng(3)
+    n, dim = 300, 16
+    base = rng.standard_normal((n, dim))
+    # plant near-duplicates
+    base[50] = base[40] + rng.standard_normal(dim) * 0.05
+    base[60] = base[40] + rng.standard_normal(dim) * 0.1
+    base[200] = base[199] * 1.7
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [r.tolist() for r in base]})
+    )
+    q = np.round(base * 1000)
+    nrm = np.linalg.norm(q, axis=1)
+    C = (q @ q.T) / np.outer(nrm, nrm)
+    for thr in (0.5, 0.8, 0.95):
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in exact_dup_pairs_blocked(emb, thr, dim=dim).collect()
+        }
+        want = {
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if C[i, j] >= thr
+        }
+        assert got == want, f"thr={thr}: {got ^ want}"
+
+
 def test_pip_join_broadcasts_polygons(spark):
     from kblock_spark.io.synth import synth_admin, synth_streets, synth_pages_spark
     from kblock_spark.kernels.blocks import delineate_blocks
