@@ -279,6 +279,7 @@ def run_pipeline(
     grid: int = 3,
     cell_deg: float = DEFAULT_CELL_DEG,
     broadcast_polys: bool = True,
+    salt_buckets: int = 0,
     cache_intermediate: bool = True,
 ):
     """Build the full DAG on synthetic inputs; returns dict of
@@ -302,6 +303,7 @@ def run_pipeline(
         poly_key="block_id",
         poly_cols=["gadm_code"],
         cell_deg=cell_deg,
+        salt_buckets=salt_buckets,
         broadcast_polys=broadcast_polys,
     )
     if cache_intermediate:

@@ -1,0 +1,74 @@
+"""Frozen value-hash goldens for every rows-only (no-DuckDB-oracle)
+query in the registry (VERDICT r1 #9: rows-only checks let a silent
+geometry regression through as long as the row COUNT held — these pin
+the values).
+
+The hash is the md5 of sorted stringified rows over sorted columns at
+sf0.001 / the queries' fixed synthetic inputs. Outputs are either
+integer/string or explicitly rounded in the query, so the hash is
+partitioning-independent. If a semantics change is intentional,
+regenerate with the snippet in this file's git history."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kblock_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+GOLDEN = {
+    "e04_lsh_ann_topk": ("c8667a229b4690c5", 100),
+    "geo_blocks": ("4f5d0bfa82259dcc", 28),
+    "geo_pip_join": ("0e9e725f5f465342", 28),
+    "geo_k_complexity": ("b5f1d5ecd20406ea", 28),
+    "geo_population": ("c1fe51fbfe1c43ce", 28),
+    "geo_knn": ("c5643f2f2332921a", 240),
+    "geo_dissolve": ("09159e0763dc6f43", 4),
+    "geo_linearity": ("2bb19bb07bedb4b0", 1),
+    "media_features": ("1f9e2bd35fe6dccd", 300),
+}
+
+
+def _vhash(df):
+    cols = sorted(df.columns)
+    rows = sorted("|".join(repr(r[c]) for c in cols) for r in df.collect())
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()[:16], len(rows)
+
+
+ROWS_ONLY = [name for name, (fn, sql) in REGISTRY.items() if sql is None]
+
+
+def test_every_rows_only_query_has_a_golden():
+    assert set(ROWS_ONLY) == set(GOLDEN), (
+        "new rows-only query without a value golden: "
+        f"{set(ROWS_ONLY) ^ set(GOLDEN)}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden_values(spark, name):
+    fn, _sql = REGISTRY[name]
+    h, n = _vhash(fn(spark, SF))
+    want_h, want_n = GOLDEN[name]
+    assert n == want_n, f"{name}: row count {n} != {want_n}"
+    assert h == want_h, f"{name}: value hash {h} != {want_h}"
+
+
+def test_k_histogram_golden(spark):
+    """Human-readable tripwire alongside the opaque hashes: the full
+    k-complexity distribution of the 2×2 synthetic city at 2000
+    pages, and the total PIP assignment count."""
+    from kblock_spark.pipeline import run_pipeline
+
+    dfs = run_pipeline(spark, n_pages=2000, nx=2, ny=2, grid=2)
+    hist = {
+        r["k_complexity"]: r["n"]
+        for r in dfs["complexity"]
+        .groupBy("k_complexity")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert hist == {1: 3, 2: 12, 3: 7, 4: 4, 9: 1, 11: 1}
+    assert dfs["buildings"].count() == 1142

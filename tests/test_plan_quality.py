@@ -97,3 +97,26 @@ def test_pip_join_broadcasts_polygons(spark):
     joined = assign_points_to_polygons(pts, blocks, ["url", "lon", "lat"])
     plan = _plan(joined)
     assert "BroadcastHashJoin" in plan  # polygon side broadcast
+
+
+def test_pip_salted_shuffle_path_parity(spark):
+    """The 100 TB join plan — polygons NOT broadcast, hotspot cells
+    sharded by an explicit salt — must produce exactly the broadcast
+    path's rows end-to-end (VERDICT r1 #10: the salted path existed
+    but was never exercised)."""
+    from kblock_spark.pipeline import run_pipeline
+
+    base = run_pipeline(spark, n_pages=1200, nx=2, ny=2, grid=2)
+    salted = run_pipeline(
+        spark, n_pages=1200, nx=2, ny=2, grid=2,
+        broadcast_polys=False, salt_buckets=4,
+    )
+    a = {tuple(r) for r in base["buildings"].select("url", "block_id").collect()}
+    b = {tuple(r) for r in salted["buildings"].select("url", "block_id").collect()}
+    assert a == b and len(a) > 0
+    # and the salted plan really took the salted-join path
+    plan = _plan(salted["buildings"])
+    assert "__salt" in plan
+    ka = {tuple(r) for r in base["complexity"].collect()}
+    kb = {tuple(r) for r in salted["complexity"].collect()}
+    assert ka == kb
