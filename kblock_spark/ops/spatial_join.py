@@ -43,21 +43,37 @@ def polygons_with_cells(
     return polys.withColumn("cell", F.explode(cov("ring_sizes", "coords")))
 
 
-def _pip_refine_factory(poly_key: str, out_schema: str):
+def _pip_refine_factory(poly_key: str, geom_bc=None):
+    """Arrow-batched exact ray-cast refinement.
+
+    geom_bc: optional sc.broadcast({key: (ring_sizes, coords)}). When
+    set (broadcast-polygon mode), candidate rows carry NO geometry —
+    a 1.9M-candidate join would otherwise push every block's full ring
+    arrays through the Arrow channel once PER CANDIDATE (~GBs); the
+    broadcast ships each polygon once per worker instead. The
+    non-broadcast (planetary polygon count) path still inlines
+    geometry in the rows."""
+
     def refine(batches):
+        geo = geom_bc.value if geom_bc is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
             # vectorize per candidate polygon within the Arrow batch
-            for _, idx in pdf.groupby(poly_key, sort=False).indices.items():
-                sizes = pdf["__ring_sizes"].iloc[idx[0]]
-                coords = pdf["__coords"].iloc[idx[0]]
+            for key, idx in pdf.groupby(poly_key, sort=False).indices.items():
+                if geo is not None:
+                    sizes, coords = geo[key]
+                else:
+                    sizes = pdf["__ring_sizes"].iloc[idx[0]]
+                    coords = pdf["__coords"].iloc[idx[0]]
                 shell, holes = unpack_rings(sizes, coords)
                 px = pdf["lon"].to_numpy()[idx]
                 py = pdf["lat"].to_numpy()[idx]
                 keep[idx] = points_in_polygon(px, py, shell, holes)
-            out = pdf.loc[keep].drop(columns=["__ring_sizes", "__coords"])
+            out = pdf.loc[keep]
+            if geo is None:
+                out = out.drop(columns=["__ring_sizes", "__coords"])
             if len(out):
                 yield out
 
@@ -88,30 +104,50 @@ def assign_points_to_polygons(
     ``salt_buckets > 0`` to shard hotspot cells explicitly.
     """
     poly_cols = poly_cols or []
-    pc = polygons_with_cells(
-        polys.select(poly_key, *poly_cols, "ring_sizes", "coords"), cell_deg
-    ).withColumnRenamed("ring_sizes", "__ring_sizes").withColumnRenamed(
-        "coords", "__coords"
-    )
-    pts = points
-    if salt_buckets and not broadcast_polys:
-        # salt: points pick a random shard, polygons replicate to all
-        pts = pts.withColumn(
-            "__salt", (F.pmod(F.xxhash64(*point_cols), F.lit(salt_buckets))).cast("int")
-        )
-        pc = pc.withColumn(
-            "__salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))
-        )
-        on = ["cell", "__salt"]
-    else:
-        on = ["cell"]
-    right = F.broadcast(pc) if broadcast_polys else pc
-    cand = pts.join(right, on=on, how="inner")
     out_cols = point_cols + ["cell", poly_key] + poly_cols
-    schema_df = cand.select(*out_cols, "__ring_sizes", "__coords")
-    refined = schema_df.mapInPandas(
-        _pip_refine_factory(poly_key, ""), schema=schema_df.drop("__ring_sizes", "__coords").schema
-    )
+    pts = points
+    if broadcast_polys:
+        # broadcast mode (blocks ≪ points): the cell→polygon map that
+        # drives the equi-join is SLIM (no geometry), and the refine
+        # UDF resolves geometry from one python broadcast per worker —
+        # candidate rows never carry ring arrays through Arrow.
+        spark = points.sparkSession
+        geom_rows = polys.select(poly_key, "ring_sizes", "coords").collect()
+        geom_bc = spark.sparkContext.broadcast(
+            {r[poly_key]: (list(r["ring_sizes"]), list(r["coords"])) for r in geom_rows}
+        )
+        pc = polygons_with_cells(
+            polys.select(poly_key, *poly_cols, "ring_sizes", "coords"), cell_deg
+        ).drop("ring_sizes", "coords")
+        cand = pts.join(F.broadcast(pc), on=["cell"], how="inner")
+        schema_df = cand.select(*out_cols)
+        refined = schema_df.mapInPandas(
+            _pip_refine_factory(poly_key, geom_bc), schema=schema_df.schema
+        )
+    else:
+        pc = polygons_with_cells(
+            polys.select(poly_key, *poly_cols, "ring_sizes", "coords"), cell_deg
+        ).withColumnRenamed("ring_sizes", "__ring_sizes").withColumnRenamed(
+            "coords", "__coords"
+        )
+        if salt_buckets:
+            # salt: points pick a random shard, polygons replicate to all
+            pts = pts.withColumn(
+                "__salt",
+                (F.pmod(F.xxhash64(*point_cols), F.lit(salt_buckets))).cast("int"),
+            )
+            pc = pc.withColumn(
+                "__salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))
+            )
+            on = ["cell", "__salt"]
+        else:
+            on = ["cell"]
+        cand = pts.join(pc, on=on, how="inner")
+        schema_df = cand.select(*out_cols, "__ring_sizes", "__coords")
+        refined = schema_df.mapInPandas(
+            _pip_refine_factory(poly_key),
+            schema=schema_df.drop("__ring_sizes", "__coords").schema,
+        )
     if dedupe:
         # a point on a shared block edge can pass PIP for 2 polygons →
         # deterministic keep-first by poly key (reference dedups via

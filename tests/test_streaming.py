@@ -1,0 +1,87 @@
+"""Structured Streaming ingest: every window the stream FINALIZES
+(append mode emits a window once its end passes the watermark) must
+match the batch computation of that window exactly, and a resumed
+stream must process only new files without re-emitting old windows."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kblock_spark.io.synth import _make_pages_pdf
+from kblock_spark.kernels.extract import make_cell_udf, with_geocode
+from kblock_spark.streaming import (
+    read_pages_stream,
+    run_stream_to_parquet,
+    stream_tile_rollup,
+)
+
+WINDOW = "1 minute"
+WATERMARK = "2 minutes"
+
+
+def _batch_rollup(spark, pages_df):
+    pts = with_geocode(pages_df).where(F.col("lat").isNotNull())
+    pts = pts.withColumn("cell", make_cell_udf(0.003)(F.col("lon"), F.col("lat")))
+    return (
+        pts.groupBy(F.window("warc_ts", WINDOW).alias("w"), "cell")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.size(F.collect_set("lang")).alias("n_langs"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell", "n_pages", "n_langs",
+        )
+    )
+
+
+def _drain(spark, src, out, ck):
+    rollup = stream_tile_rollup(
+        read_pages_stream(spark, src), cell_deg=0.003,
+        window=WINDOW, watermark=WATERMARK,
+    )
+    run_stream_to_parquet(rollup, out, ck, available_now=True)
+    return spark.read.parquet(out)
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # drop 1: ids 0..1199 → warc_ts spread over 20 minutes
+    spark.createDataFrame(_make_pages_pdf(np.arange(0, 1200))).write.mode(
+        "overwrite"
+    ).parquet(src)
+    got1 = _drain(spark, src, out, ck)
+    emitted1 = {r["window_start"] for r in got1.select("window_start").distinct().collect()}
+    assert len(emitted1) >= 10  # most 1-min windows finalized
+    batch = _batch_rollup(spark, spark.read.parquet(src))
+    want = {
+        tuple(r)
+        for r in batch.where(F.col("window_start").isin(list(emitted1))).collect()
+    }
+    assert {tuple(r) for r in got1.collect()} == want
+
+    # drop 2: strictly newer pages; resume from checkpoint
+    spark.createDataFrame(_make_pages_pdf(np.arange(1200, 2400))).write.mode(
+        "append"
+    ).parquet(src)
+    got2 = _drain(spark, src, out, ck)
+    # append mode: each (window, cell) finalized exactly once — a
+    # resume that reprocessed old files would duplicate them
+    dup = (
+        got2.groupBy("window_start", "cell")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0
+    # all newly-finalized windows also match batch
+    emitted2 = {r["window_start"] for r in got2.select("window_start").distinct().collect()}
+    assert emitted2 > emitted1
+    batch2 = _batch_rollup(spark, spark.read.parquet(src))
+    want2 = {
+        tuple(r)
+        for r in batch2.where(F.col("window_start").isin(list(emitted2))).collect()
+    }
+    assert {tuple(r) for r in got2.collect()} == want2
