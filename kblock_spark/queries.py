@@ -976,6 +976,43 @@ SELECT doc_id, ({_D08_COMBINE})::BIGINT AS simhash16 FROM votes
 """
 
 
+# d09 — BPE-ish regex tokenization (SURVEY §2: token counting =
+# whitespace + a regex tokenizer; d01 is the whitespace half). The
+# pattern is RE2∩Java-regex-safe so both engines tokenize identically.
+
+_TOK_RE = "[a-z0-9]+"
+
+
+def d09_regex_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_TOK_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("n_token_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.coalesce(
+            F.array_max(F.transform(toks, lambda t: F.length(t))), F.lit(0)
+        ).cast("bigint").alias("max_token_len"),
+    )
+
+
+D09_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_TOK_RE}')) AS n_tokens,
+       list_sum(list_transform(regexp_extract_all(lower(text), '{_TOK_RE}'),
+                t -> length(t)))::BIGINT AS n_token_chars,
+       len(list_distinct(regexp_extract_all(lower(text), '{_TOK_RE}')))
+         AS n_distinct,
+       COALESCE(list_max(list_transform(
+         regexp_extract_all(lower(text), '{_TOK_RE}'), t -> length(t))), 0)
+         ::BIGINT AS max_token_len
+FROM documents
+"""
+
+
 # ================================== training-data ops: similarity / ANN
 
 def _quantized(col="embedding"):
@@ -1229,6 +1266,37 @@ def e04_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def s01_stream_tile_rollup(spark, sf_dir):
+    """Structured Streaming surface (rows-only; batch-parity and
+    checkpoint-resume proofs live in tests/test_streaming.py): drain a
+    deterministic pages drop through the watermarked per-tile rollup
+    with an availableNow trigger and return the finalized windows."""
+    import tempfile
+
+    import numpy as np
+
+    from .io.synth import _make_pages_pdf
+    from .streaming import (
+        read_pages_stream,
+        run_stream_to_parquet,
+        stream_tile_rollup,
+    )
+
+    base = tempfile.mkdtemp(prefix="kblock_stream_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    spark.createDataFrame(_make_pages_pdf(np.arange(0, 1200))).write.mode(
+        "overwrite"
+    ).parquet(src)
+    rollup = stream_tile_rollup(
+        read_pages_stream(spark, src), window="1 minute", watermark="2 minutes"
+    )
+    run_stream_to_parquet(rollup, out, ck, available_now=True)
+    return spark.read.parquet(out).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "cell", "n_pages", "n_langs",
+    )
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -1277,6 +1345,7 @@ REGISTRY: dict = {
     "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
     "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
     "d08_simhash": (d08_simhash, D08_SQL),
+    "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     # similarity / ANN
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
@@ -1291,5 +1360,6 @@ REGISTRY: dict = {
     "geo_knn": (geo_knn, None),
     "geo_dissolve": (geo_dissolve, None),
     "geo_linearity": (geo_linearity, None),
+    "s01_stream_tile_rollup": (s01_stream_tile_rollup, None),
     "media_features": (media_features, None),
 }

@@ -3,3 +3,4 @@ from .ingest import (  # noqa: F401
     stream_tile_rollup,
     run_stream_to_parquet,
 )
+from .stateful import running_user_profiles  # noqa: F401

@@ -28,6 +28,7 @@ GOLDEN = {
     "geo_dissolve": ("09159e0763dc6f43", 4),
     "geo_linearity": ("2bb19bb07bedb4b0", 1),
     "media_features": ("1f9e2bd35fe6dccd", 300),
+    "s01_stream_tile_rollup": ("a3824bff0cd6587c", 867),
 }
 
 
