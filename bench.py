@@ -34,11 +34,17 @@ BENCH_QUERIES = [
     "q04_revenue_by_nation",
     "q12_running_customer_spend",
     "q13_weighted_discount_by_brand",
+    "q21_sessionization",
+    "q22_weighted_buckets",
+    "q23_right_join_order_rollup",
+    "q25_windowed_count",
     "d04_exact_dedup",
     "d06_ngram_jaccard_pairs",
     "d07_minhash_lsh_pairs",
     "d08_simhash",
+    "d09_regex_tokens",
     "e01_ann_cosine_topk",
+    "e02_embedding_dup_pairs",
 ]
 
 GEO_NX = GEO_NY = 8
@@ -227,6 +233,16 @@ def main():
     spark = get_spark("kblock-bench-queries")
     timings = {}
     try:
+        # session warm-up (untimed): JVM codegen, parquet footers,
+        # python worker pool — per-query timings then measure the
+        # queries, not the cold session
+        for t in ("lineitem", "documents", "embeddings"):
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        import pandas as _pd
+
+        spark.range(0, CPUS * 4, 1, CPUS * 4).mapInPandas(
+            lambda it: (_pd.DataFrame({"x": [1]}) for _ in it), "x long"
+        ).count()
         for name in BENCH_QUERIES:
             fn, _sql = REGISTRY[name]
             t0 = time.time()
