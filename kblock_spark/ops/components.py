@@ -1,0 +1,92 @@
+"""Distributed connected components (hash-to-min label propagation).
+
+The canonical finisher of every near-dup pipeline: candidate PAIRS
+(MinHash/LSH/SimHash output) must collapse into duplicate CLUSTERS
+with one keeper per cluster. Union-find is driver-bound; the
+distributed formulation is iterative min-label propagation over the
+symmetrized edge list — each round one join + one aggregation, labels
+strictly non-increasing, converges in O(diameter) rounds (components
+of near-dup graphs are shallow). Lineage is truncated per round with
+localCheckpoint, the same discipline as ops/knn.py's ring loop.
+
+At 10¹² rows: edges and labels are both shuffled on the same key per
+round; no driver-side state beyond the per-round convergence count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """→ (id, component) where component = min id reachable from id
+    (including itself). Vertices are everything mentioned in edges."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # (1) min neighbor label per vertex (hash-to-min)
+        nbr = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, labels.id == nbr.u, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # (2) pointer jumping: component ← component's component —
+        # plain hash-to-min needs O(diameter) rounds (a 30-vertex
+        # chain defeats 25 iterations); with per-round path
+        # compression convergence is O(log diameter)
+        lut = stepped.select(
+            F.col("id").alias("__lid"), F.col("component").alias("__lcomp")
+        )
+        jumped = (
+            stepped.join(lut, stepped.component == F.col("__lid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("__lcomp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Near-dup pairs → per-document cluster assignment with keeper
+    semantics: (doc_id, component=keeper_doc_id, is_keeper)."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("keeper_doc_id"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

@@ -191,6 +191,119 @@ def exact_dup_pairs_blocked(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means → (k, dim) centroid matrix.
+
+    Spark-shaped iteration: per-partition partial sums inside ONE
+    mapInPandas pass (no posexplode of N·dim rows), partials reduced
+    driver-side — driver state is O(partitions·k·dim), independent of
+    the row count. Deterministic init: the k rows with the smallest
+    xxhash64(id) (a TakeOrdered, no full sort)."""
+    sc = emb.sparkSession.sparkContext
+    init_rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in init_rows])
+    vecs = emb.select(vec_col)
+    for _ in range(iters):
+        bc = sc.broadcast(C)
+
+        def partials(batches):
+            cen = bc.value
+            sums = np.zeros((len(cen), cen.shape[1]))
+            counts = np.zeros(len(cen), dtype=np.int64)
+            for pdf in batches:
+                X = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                d2 = ((X[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                np.add.at(sums, a, X)
+                np.add.at(counts, a, 1)
+            out = pd.DataFrame(
+                {
+                    "cluster": np.arange(len(cen), dtype=np.int32),
+                    "sums": [s.tolist() for s in sums],
+                    "n": counts,
+                }
+            )
+            yield out[out["n"] >= 0]
+
+        agg = vecs.mapInPandas(
+            partials, "cluster int, sums array<double>, n long"
+        ).collect()
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in agg:
+            sums[r["cluster"]] += np.asarray(r["sums"])
+            counts[r["cluster"]] += r["n"]
+        nz = counts > 0
+        C = np.where(nz[:, None], sums / np.maximum(counts, 1)[:, None], C)
+    return C
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: vectors live in their nearest-centroid
+    inverted list; each query probes its ``nprobe`` nearest lists;
+    exact cosine rerank inside the candidates. The coarse quantizer is
+    a plain broadcast (k·dim floats); candidates form an equi-join on
+    the list id — the second ANN scale path next to lsh_topk."""
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def lists_udf(n_lists: int):
+        @pandas_udf(ArrayType(LongType()))
+        def lists(v: pd.Series) -> pd.Series:
+            cen = bc.value
+            X = np.stack(v.to_numpy()).astype(np.float64)
+            d2 = ((X[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1)[:, :n_lists]
+            return pd.Series([row.tolist() for row in order])
+
+        return lists
+
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _quantize(vec_col).alias("nv"),
+        F.explode(lists_udf(1)(F.col(vec_col))).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantize(vec_col).alias("qv"),
+        F.explode(lists_udf(nprobe)(F.col(vec_col))).alias("list_id"),
+    )
+    cand = (
+        q.join(e, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     n_tables: int = 8, n_bits: int = 10,

@@ -976,6 +976,36 @@ SELECT doc_id, ({_D08_COMBINE})::BIGINT AS simhash16 FROM votes
 """
 
 
+# d10 — duplicate-cluster assignment: connected components over the
+# MinHash candidate pairs (the finisher every dedup pipeline needs —
+# pairs → clusters → one keeper per cluster). Spark side: iterative
+# distributed min-label propagation (ops/components.py). Oracle side:
+# DuckDB WITH RECURSIVE transitive closure — an ITERATIVE algorithm
+# that still gets a full value-level oracle check.
+
+def d10_dup_components(spark, sf_dir):
+    from .ops.components import dup_clusters
+
+    pairs = d07_minhash_lsh_pairs(spark, sf_dir)
+    return dup_clusters(pairs)
+
+
+_D10_PAIRS = "WITH" + D07_SQL.split("WITH", 1)[1]
+D10_SQL = f"""
+WITH RECURSIVE pairs AS ({_D10_PAIRS}),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS doc_id, MIN(v) AS keeper_doc_id, MIN(v) = u AS is_keeper
+FROM reach GROUP BY u
+"""
+
+
 # d09 — BPE-ish regex tokenization (SURVEY §2: token counting =
 # whitespace + a regex tokenizer; d01 is the whitespace half). The
 # pattern is RE2∩Java-regex-safe so both engines tokenize identically.
@@ -1266,6 +1296,24 @@ def e04_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def e05_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN (distributed k-means coarse quantizer → probed inverted
+    lists → exact rerank; rows-only — recall proven vs brute force in
+    tests/test_similarity.py). Centroids are rounded so the float
+    reduction order inside the distributed fit can't leak partition
+    layout into the result."""
+    import numpy as np
+
+    from .ops.similarity import ivf_topk, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    C = np.round(kmeans_fit(e, k=8, dim=64, iters=3), 6)
+    q = e.where(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(e, q, C, k=_TOPK, nprobe=3).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 12).alias("cosine")
+    )
+
+
 def s01_stream_tile_rollup(spark, sf_dir):
     """Structured Streaming surface (rows-only; batch-parity and
     checkpoint-resume proofs live in tests/test_streaming.py): drain a
@@ -1346,11 +1394,13 @@ REGISTRY: dict = {
     "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
     "d08_simhash": (d08_simhash, D08_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
+    "d10_dup_components": (d10_dup_components, D10_SQL),
     # similarity / ANN
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),
+    "e05_ivf_ann_topk": (e05_ivf_ann_topk, None),
     # geospatial (no SQL equivalent → rows-only check; pytest carries
     # the golden invariants)
     "geo_blocks": (geo_blocks, None),

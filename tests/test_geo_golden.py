@@ -29,6 +29,7 @@ GOLDEN = {
     "geo_linearity": ("2bb19bb07bedb4b0", 1),
     "media_features": ("1f9e2bd35fe6dccd", 300),
     "s01_stream_tile_rollup": ("a3824bff0cd6587c", 867),
+    "e05_ivf_ann_topk": ("73afa9e353501e2d", 100),
 }
 
 

@@ -42,3 +42,47 @@ def test_lsh_deterministic(spark, emb):
     b = {(r["query_id"], r["neighbor_id"], r["rank"])
          for r in lsh_topk(emb, queries, k=3).collect()}
     assert a == b
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF = distributed k-means coarse quantizer + probed inverted
+    lists + exact rerank. On genuinely clustered data (the regime IVF
+    targets) recall should be near-perfect with nprobe=2."""
+    import numpy as np
+    import pandas as pd
+
+    from kblock_spark.ops.similarity import ivf_topk, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((6, 16)) * 5
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(60):
+            rows.append((vid, (centers[c] + rng.standard_normal(16) * 0.3).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).cache()
+    C = kmeans_fit(emb, k=6, dim=16, iters=4)
+    assert C.shape == (6, 16)
+    queries = emb.where(F.col("vec_id") % 30 == 0)
+    approx = ivf_topk(emb, queries, C, k=5, nprobe=2)
+    from kblock_spark.ops.similarity import brute_force_topk
+
+    exact = brute_force_topk(emb, queries, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
+
+
+def test_kmeans_deterministic(spark):
+    import numpy as np
+
+    from kblock_spark.ops.similarity import kmeans_fit
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = kmeans_fit(emb, k=4, dim=64, iters=3)
+    c2 = kmeans_fit(emb, k=4, dim=64, iters=3)
+    assert np.array_equal(c1, c2)
