@@ -73,10 +73,16 @@ import pandas as _pd
 cores = {cores}
 spark = get_spark("kblock-bench-%d" % cores, master="local[%d]" % cores,
                   shuffle_partitions=max(cores, 8))
-# warm the python-worker pool (a long-running cluster's workers are
-# resident; spawn cost is not steady-state throughput)
-spark.range(0, cores * 4, 1, cores * 4).mapInPandas(
-    lambda it: (_pd.DataFrame({{"x": [1]}}) for _ in it), "x long").count()
+# warm the python-worker pool INCLUDING the kernel module imports (a
+# long-running cluster's workers are resident with modules loaded;
+# spawn/import cost is not steady-state throughput)
+def _warm(it):
+    import kblock_spark.kernels.complexity  # noqa: F401
+    import kblock_spark.geo.delaunay  # noqa: F401
+    import kblock_spark.geo.geom  # noqa: F401
+    for _ in it:
+        yield _pd.DataFrame({{"x": [1]}})
+spark.range(0, cores * 4, 1, cores * 4).mapInPandas(_warm, "x long").count()
 
 # ---- prep (UNTIMED): materialize the inputs of the measured job.
 # BASELINE.json's metric is "building->block spatial-join +

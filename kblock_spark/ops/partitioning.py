@@ -173,11 +173,14 @@ def balanced_tokens(
     partitions (sorted-greedy ≈ LPT). The light mass is hash-placed
     and averages out.
 
-    ``costs`` should be the CHEAP per-key cost table (e.g. a
-    groupBy-count), not the packed payload — this plan scans it three
-    times (total, heavy, light)."""
+    The cost table is materialized once (localCheckpoint) before the
+    three consumers (total, heavy, light) — it is one row per KEY
+    (per-group metadata, never per-row data), so this is small at any
+    scale, and without it each consumer re-executes the cost
+    aggregation over the full input."""
+    costs = costs.select(key_col, cost_col).localCheckpoint(eager=True)
     total_row = costs.agg(F.sum(cost_col).alias("__total"))
-    d = costs.select(key_col, cost_col).crossJoin(F.broadcast(total_row))
+    d = costs.crossJoin(F.broadcast(total_row))
     thr = F.col("__total") / F.lit(float(2 * nparts))
     heavy = d.where(F.col(cost_col) >= thr)
     light = d.where(F.col(cost_col) < thr)
