@@ -143,24 +143,53 @@ def admin_bboxes(admin: DataFrame) -> DataFrame:
     return street_bboxes(admin)
 
 
-def delineate_blocks(admin: DataFrame, streets: DataFrame) -> DataFrame:
-    """Full plan: streets ⨝ admin by bbox overlap (admin is a small
-    dim → broadcast), cogroup by gadm_code, run the kernel."""
+def _bbox_cells_udf(cell_deg: float):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def bbox_cells(xmin, ymin, xmax, ymax):
+        import pandas as pd
+
+        from ..geo.tiling import cells_covering_bbox
+
+        return pd.Series(
+            [
+                cells_covering_bbox(a, b, c, d, cell_deg).tolist()
+                for a, b, c, d in zip(xmin, ymin, xmax, ymax)
+            ]
+        )
+
+    return bbox_cells
+
+
+def delineate_blocks(
+    admin: DataFrame, streets: DataFrame, pair_cell_deg: float = 0.01
+) -> DataFrame:
+    """Full plan: streets ⨝ admin as a tile EQUI-join on bbox covering
+    cells (two overlapping bboxes always share a covering cell, so the
+    cell join is a strict superset prefilter; the polygonize kernel
+    clips, so extra pairs only cost work, never change output). A
+    bbox-predicate broadcast NLJ would be memory-fine — admin is a
+    small dim — but it EVALUATES streets×admin predicate pairs, which
+    is the scale-killer at planetary street counts. Then cogroup by
+    gadm_code and run the kernel."""
     blocking = streets.where(~F.col("highway").isin(FOOTPATH_HIGHWAYS))
-    s = street_bboxes(blocking).select("street_id", "coords", "xmin", "xmax", "ymin", "ymax")
-    a = admin_bboxes(admin).select(
-        "gadm_code", "country_code", "ring_sizes", "coords",
-        F.col("xmin").alias("axmin"), F.col("xmax").alias("axmax"),
-        F.col("ymin").alias("aymin"), F.col("ymax").alias("aymax"),
+    cells = _bbox_cells_udf(pair_cell_deg)
+    s = street_bboxes(blocking).select(
+        "street_id", "coords", "xmin", "xmax", "ymin", "ymax"
     )
-    pairs = s.join(
-        F.broadcast(a.select("gadm_code", "axmin", "axmax", "aymin", "aymax")),
-        (F.col("xmin") <= F.col("axmax"))
-        & (F.col("xmax") >= F.col("axmin"))
-        & (F.col("ymin") <= F.col("aymax"))
-        & (F.col("ymax") >= F.col("aymin")),
-        "inner",
-    ).select(F.col("gadm_code").alias("g_code"), "street_id", "coords")
+    s_cells = s.withColumn(
+        "cell", F.explode(cells("xmin", "ymin", "xmax", "ymax"))
+    ).select("street_id", "coords", "cell")
+    a = admin_bboxes(admin).select("gadm_code", "xmin", "xmax", "ymin", "ymax")
+    a_cells = a.withColumn(
+        "cell", F.explode(cells("xmin", "ymin", "xmax", "ymax"))
+    ).select("gadm_code", "cell")
+    pairs = (
+        s_cells.join(F.broadcast(a_cells), "cell", "inner")
+        .select(F.col("gadm_code").alias("g_code"), "street_id", "coords")
+        .dropDuplicates(["g_code", "street_id"])
+    )
     # explicit kernel-stage parallelism (AQE byte-based coalescing
     # would serialize the Python polygonize kernels; see compute_k)
     spark = admin.sparkSession

