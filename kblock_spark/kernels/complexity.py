@@ -185,7 +185,10 @@ def _nearest_site(
     ns = len(sites)
     if ns == 0 or len(samples) == 0:
         return np.zeros(0, dtype=np.int64)
-    if nn is None and ns * len(samples) <= 200_000:
+    # small pair products: one vectorized brute block beats the grid
+    # walk's python overhead even when an index already exists (the
+    # bisection loop issues MANY small batches)
+    if ns * len(samples) <= 200_000:
         d2 = ((samples[:, None, :] - sites[None, :, :]) ** 2).sum(axis=2)
         return d2.argmin(axis=1)
     return (nn or _GridNN(sites)).query(samples)
