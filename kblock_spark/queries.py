@@ -170,20 +170,29 @@ GROUP BY r_name, n_name
 """
 
 
-# q05 — J15/P8: anti join (customers without orders)
+# q05 — J15/P8: anti join (customers without any large order). The
+# round-1 form anti-joined against ALL orders and matched on 0 rows —
+# a vacuous pass (every fixture customer has orders); the filtered
+# form exercises the same operator with a non-empty result.
+
+_Q05_MIN_PRICE = 250_000
+
 
 def q05_customers_without_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > _Q05_MIN_PRICE
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
     )
 
 
-Q05_SQL = """
+Q05_SQL = f"""
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > {_Q05_MIN_PRICE})
 """
 
 
