@@ -985,6 +985,71 @@ SELECT doc_id, ({_D08_COMBINE})::BIGINT AS simhash16 FROM votes
 """
 
 
+# d11 — repetition-based quality filters (the Gopher/C4 family:
+# duplicated-top-bigram fraction and max single-token dominance —
+# documents dominated by repeated fragments are low-quality training
+# data). Pure Catalyst on both engines.
+
+def d11_repetition_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok_counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    big_counts = F.transform(
+        F.array_distinct(big),
+        lambda b: F.size(F.filter(big, lambda x: x == b)),
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (
+            F.coalesce(F.array_max(tok_counts), F.lit(0)).cast("double")
+            / n.cast("double")
+        ).alias("top_token_frac"),
+        F.when(
+            F.size(big) > 0,
+            F.coalesce(F.array_max(big_counts), F.lit(0)).cast("double")
+            / F.size(big).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+D11_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text,' ') AS w,
+         len(string_split(text,' ')) AS n
+  FROM documents),
+b AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n >= 2 THEN
+           list_transform(range(1, n), i -> w[i] || ' ' || w[i+1])
+         ELSE [] END AS bg
+  FROM t)
+SELECT doc_id, n::BIGINT AS n_tokens,
+       COALESCE(list_max(list_transform(list_distinct(w),
+         tk -> len(list_filter(w, x -> x = tk)))), 0)::DOUBLE / n::DOUBLE
+         AS top_token_frac,
+       CASE WHEN len(bg) > 0 THEN
+         COALESCE(list_max(list_transform(list_distinct(bg),
+           g -> len(list_filter(bg, x -> x = g)))), 0)::DOUBLE
+           / len(bg)::DOUBLE
+       ELSE 0.0 END AS top_bigram_frac
+FROM b
+"""
+
+
 # d10 — duplicate-cluster assignment: connected components over the
 # MinHash candidate pairs (the finisher every dedup pipeline needs —
 # pairs → clusters → one keeper per cluster). Spark side: iterative
@@ -1404,6 +1469,7 @@ REGISTRY: dict = {
     "d08_simhash": (d08_simhash, D08_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d10_dup_components": (d10_dup_components, D10_SQL),
+    "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     # similarity / ANN
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),

@@ -1,0 +1,110 @@
+"""Regenerate PLANS.md: formatted physical plans of the flagship
+operators, the direct evidence that the declarative plans get the
+Catalyst treatment the architecture claims (pushdown, pruning,
+broadcasts, no accidental cartesians).
+
+Run: python scripts/dump_plans.py  (writes PLANS.md at the repo root)
+"""
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from kblock_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+SECTIONS = [
+    (
+        "q01 — filtered groupBy aggregation",
+        "PushedFilters + ReadSchema show the shipdate predicate and "
+        "column pruning reaching the parquet scan.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).q01_pricing_summary(s, SF),
+    ),
+    (
+        "q04 — star join",
+        "Three BroadcastHashJoins: every dimension broadcast, the fact "
+        "table never shuffles for the joins.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).q04_revenue_by_nation(s, SF),
+    ),
+    (
+        "PIP join (broadcast mode)",
+        "Slim cell→polygon broadcast equi-join + mapInPandas refine; "
+        "candidate rows carry no geometry (it ships once per worker "
+        "via a python broadcast).",
+        None,  # built below
+    ),
+    (
+        "compute_k (pack + balanced placement + kernel)",
+        "One packing shuffle keyed by block_id, the Murmur3-token "
+        "repartition realizing cost-balanced placement, then the "
+        "mapInPandas kernel.",
+        None,
+    ),
+    (
+        "e02 — exact blocked near-dup join",
+        "Projection-bucket equi-join (no CartesianProduct / "
+        "BroadcastNestedLoopJoin) + exact rerank.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).e02_embedding_dup_pairs(s, SF),
+    ),
+    (
+        "q22 — two-pass weighted bucketing",
+        "No SinglePartition exchange: the cumsum window is partitioned "
+        "by deterministic range ids.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).q22_weighted_buckets(s, SF),
+    ),
+]
+
+
+def _fmt(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    # keep the operator tree + the scan details; trim codegen noise
+    return text.strip()
+
+
+def main():
+    spark = get_spark("plan-dump", master="local[4]", shuffle_partitions=8)
+    from kblock_spark.io.synth import synth_admin, synth_pages_spark, synth_streets
+    from kblock_spark.kernels.blocks import delineate_blocks
+    from kblock_spark.kernels.extract import geocoded_points
+    from kblock_spark.ops.spatial_join import assign_points_to_polygons
+    from kblock_spark.pipeline import compute_k
+
+    admin = spark.createDataFrame(synth_admin(2, 2))
+    streets = spark.createDataFrame(synth_streets(2, 2, 2))
+    blocks = delineate_blocks(admin, streets).cache()
+    blocks.count()
+    pts = geocoded_points(synth_pages_spark(spark, 500)).cache()
+    pts.count()
+    pip = assign_points_to_polygons(
+        pts, blocks, ["url", "lon", "lat"], poly_key="block_id"
+    )
+    kdf = compute_k(blocks, pip, streets)
+
+    out = [
+        "# PLANS — physical-plan evidence (regenerate: `python "
+        "scripts/dump_plans.py`)\n",
+        "Formatted Catalyst plans of the flagship operators at "
+        "sf0.001/smoke inputs.\n",
+    ]
+    for (title, note, builder) in SECTIONS:
+        if builder is None:
+            df = pip if title.startswith("PIP") else kdf
+        else:
+            df = builder(spark)
+        out.append(f"\n## {title}\n\n{note}\n\n```\n{_fmt(df)}\n```\n")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
