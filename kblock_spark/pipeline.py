@@ -271,6 +271,66 @@ def compute_layers(
     return packed.mapInPandas(_packed_layers_iter, LAYERS_SCHEMA)
 
 
+def run_full_build(
+    spark: SparkSession,
+    out_dir: str,
+    n_pages: int = 10_000,
+    nx: int = 3,
+    ny: int = 3,
+    grid: int = 3,
+    cell_deg: float = DEFAULT_CELL_DEG,
+):
+    """The reference user's whole per-country job sequence (deploy
+    jobs 1b→2→4→3→5) as ONE resumable Spark build: blocks → PIP join →
+    k-complexity → dasymetric population → combined block table →
+    regional rollup, written as hive-partitioned parquet with a
+    checkpoint manifest for the block layer. Returns the output paths.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from .io.manifest import CheckpointManifest, checkpointed_run
+    from .io.sinks import write_parquet
+    from .io.synth import synth_pixels
+    from .ops.combine import combine_blocks, regional_rollup
+    from .ops.population import allocate_population
+    from .ops.validate import validate_pipeline_outputs
+
+    dfs = run_pipeline(spark, n_pages=n_pages, nx=nx, ny=ny, grid=grid,
+                       cell_deg=cell_deg)
+    dfs["blocks"] = dfs["blocks"].cache()
+    dfs["buildings"] = dfs["buildings"].cache()
+    dfs["complexity"] = dfs["complexity"].cache()
+    validate_pipeline_outputs(dfs)  # the reference's inline guards
+
+    buildings = dfs["buildings"].withColumn(
+        "building_area",
+        (F.pmod(F.xxhash64("url"), F.lit(90)) + F.lit(10)).cast("double"),
+    ).select("block_id", "gadm_code", "lon", "lat", "building_area")
+    pixels = spark.createDataFrame(synth_pixels(nx, ny))
+    population = allocate_population(pixels, buildings, dfs["blocks"]).cache()
+    combined = combine_blocks(dfs["blocks"], dfs["complexity"], population)
+    rollup = regional_rollup(combined)
+
+    paths = {
+        "blocks": f"{out_dir}/blocks",
+        "combined": f"{out_dir}/combined",
+        "rollup": f"{out_dir}/rollup",
+    }
+    # resumable block layer: per-gadm checkpointed partitions
+    man = CheckpointManifest(spark, f"{out_dir}/manifest")
+    checkpointed_run(
+        spark,
+        dfs["blocks"].withColumn("part_key", F.col("gadm_code")),
+        "part_key",
+        lambda df: df,
+        paths["blocks"],
+        man,
+    )
+    write_parquet(combined, paths["combined"], ["gadm_code"])
+    write_parquet(rollup, paths["rollup"])
+    return paths
+
+
 def run_pipeline(
     spark: SparkSession,
     n_pages: int = 10_000,
