@@ -221,12 +221,25 @@ def main():
     # first gets turbo clocks and the comparison is meaningless
     _burn_host(45)
     lo_cores = max(CPUS // 4, 2)
-    samples = [geo_run(lo_cores), geo_run(CPUS)]
+
+    def safe_geo_run(c: int):
+        # one retry per sample: a single flaky subprocess (host OOM
+        # blip, stray timeout) must not void the whole record
+        for attempt in (1, 2):
+            try:
+                return geo_run(c)
+            except Exception as ex:  # noqa: BLE001
+                if attempt == 2:
+                    print(f"# geo_run({c}) failed twice: {ex}", file=sys.stderr)
+                    return None
+
+    samples = [safe_geo_run(lo_cores), safe_geo_run(CPUS)]
     ceiling = host_ceiling()
     # reversed order for the second pair: each level measured once
     # early, once late
     for c in (CPUS, lo_cores):
-        samples.append(geo_run(c))
+        samples.append(safe_geo_run(c))
+    samples = [s for s in samples if s is not None]
     low = min((s for s in samples if s["cores"] == lo_cores), key=lambda s: s["sec"])
     high = min((s for s in samples if s["cores"] == CPUS), key=lambda s: s["sec"])
     ratio = high["cores"] / low["cores"]
@@ -252,8 +265,12 @@ def main():
         for name in BENCH_QUERIES:
             fn, _sql = REGISTRY[name]
             t0 = time.time()
-            _force(fn(spark, SF_DIR))
-            timings[name] = round(time.time() - t0, 3)
+            try:
+                _force(fn(spark, SF_DIR))
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as ex:  # noqa: BLE001 — record, keep going
+                print(f"# query {name} failed: {ex}", file=sys.stderr)
+                timings[name] = -1.0
     finally:
         spark.stop()
 
