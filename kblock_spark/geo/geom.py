@@ -315,32 +315,47 @@ def clip_polyline_to_polygon(
     crossings, keep pieces whose midpoint is inside. Returns a list of
     2-point segments (adequate for length/buffer/peel logic; the
     reference's ``pygeos.intersection(streets, block)``,
-    batch_4_compute_k.py:86)."""
+    batch_4_compute_k.py:86).
+
+    Crossing parameters are computed VECTORIZED against all ring edges
+    at once, and all piece midpoints PIP-tested in one batch — this
+    runs per street segment per block, the kernel's per-block fixed
+    cost."""
     rings = [shell] + list(holes or [])
     edges_a = np.vstack([r for r in rings])
     edges_b = np.vstack([np.roll(r, -1, axis=0) for r in rings])
-    pieces: list[np.ndarray] = []
+    es = edges_b - edges_a  # (m,2)
+    pieces_bounds: list[tuple[np.ndarray, np.ndarray, float, float]] = []
+    mids: list[np.ndarray] = []
     for i in range(len(line) - 1):
         p, q = line[i], line[i + 1]
-        ts = [0.0, 1.0]
-        for j in range(len(edges_a)):
-            pr = segment_intersection_params(p, q, edges_a[j], edges_b[j])
-            if pr is None:
-                continue
-            t, u = pr
-            if -EPS <= t <= 1 + EPS and -EPS <= u <= 1 + EPS:
-                ts.append(min(max(t, 0.0), 1.0))
-        ts = sorted(set(ts))
-        for k in range(len(ts) - 1):
-            t0, t1 = ts[k], ts[k + 1]
-            if t1 - t0 < EPS:
-                continue
-            mid = p + ((t0 + t1) / 2.0) * (q - p)
-            if points_in_polygon(
-                np.array([mid[0]]), np.array([mid[1]]), shell, holes
-            )[0]:
-                pieces.append(np.vstack([p + t0 * (q - p), p + t1 * (q - p)]))
-    return pieces
+        r = q - p
+        denom = r[0] * es[:, 1] - r[1] * es[:, 0]  # (m,)
+        ok = np.abs(denom) >= EPS
+        qp = edges_a - p  # (m,2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qp[:, 0] * es[:, 1] - qp[:, 1] * es[:, 0]) / denom
+            u = (qp[:, 0] * r[1] - qp[:, 1] * r[0]) / denom
+        hit = ok & (t >= -EPS) & (t <= 1 + EPS) & (u >= -EPS) & (u <= 1 + EPS)
+        ts = np.concatenate([[0.0, 1.0], np.clip(t[hit], 0.0, 1.0)])
+        ts = np.unique(ts)
+        if len(ts) < 2:
+            continue
+        t0s = ts[:-1]
+        t1s = ts[1:]
+        keep = (t1s - t0s) >= EPS
+        for t0, t1 in zip(t0s[keep], t1s[keep]):
+            pieces_bounds.append((p, r, float(t0), float(t1)))
+            mids.append(p + ((t0 + t1) / 2.0) * r)
+    if not pieces_bounds:
+        return []
+    M = np.asarray(mids)
+    inside = points_in_polygon(M[:, 0], M[:, 1], shell, holes)
+    out: list[np.ndarray] = []
+    for keep_i, (p, r, t0, t1) in zip(inside, pieces_bounds):
+        if keep_i:
+            out.append(np.vstack([p + t0 * r, p + t1 * r]))
+    return out
 
 
 # ----------------------------------------------------- polyline sampling
