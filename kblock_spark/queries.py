@@ -985,6 +985,72 @@ SELECT doc_id, ({_D08_COMBINE})::BIGINT AS simhash16 FROM votes
 """
 
 
+# d12 — winnowing fingerprints (MOSS-style rolling-hash selection:
+# shingle hash stream → min of each sliding window → distinct minima
+# are the document's fingerprints; robust to local edits, the
+# classic plagiarism/near-dup signature). Pure window functions in
+# both engines — exact oracle.
+
+_WINNOW_W = 4
+
+
+def d12_winnowing_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ).alias("pos", "shingle"),
+    ).select("doc_id", "pos", _h12("shingle").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    fps = (
+        sh.withColumn("wmin", F.min("h").over(w))
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+        F.sum(F.pmod(F.col("fingerprint"), F.lit(1_000_003))).alias("fp_modsum"),
+    )
+
+
+D12_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_H12_SQL.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+  FROM (SELECT doc_id, string_split(text,' ') w FROM documents),
+       UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+fps AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS fingerprint
+  FROM sh)
+SELECT doc_id, COUNT(*) AS n_fingerprints,
+       MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp,
+       SUM(fingerprint % 1000003)::BIGINT AS fp_modsum
+FROM fps GROUP BY doc_id
+"""
+
+
 # d11 — repetition-based quality filters (the Gopher/C4 family:
 # duplicated-top-bigram fraction and max single-token dominance —
 # documents dominated by repeated fragments are low-quality training
@@ -1470,6 +1536,7 @@ REGISTRY: dict = {
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d10_dup_components": (d10_dup_components, D10_SQL),
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
+    "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
     # similarity / ANN
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
