@@ -185,11 +185,21 @@ def _nearest_site(
     ns = len(sites)
     if ns == 0 or len(samples) == 0:
         return np.zeros(0, dtype=np.int64)
-    # small pair products: one vectorized brute block beats the grid
-    # walk's python overhead even when an index already exists (the
-    # bisection loop issues MANY small batches)
+    # small-to-mid pair products: a GEMM-form distance block (one
+    # (len, ns) output via BLAS, coordinates centered so the
+    # ‖a‖²+‖b‖²−2a·b expansion cannot cancel catastrophically) beats
+    # both the (len, ns, 2)-temporary broadcast form (memory-bound)
+    # and the grid walk's python overhead; the grid path remains for
+    # genuinely big products (dense blocks × large frontiers)
     if ns * len(samples) <= 200_000:
-        d2 = ((samples[:, None, :] - sites[None, :, :]) ** 2).sum(axis=2)
+        c = sites.mean(axis=0)
+        P = sites - c
+        S = samples - c
+        d2 = (
+            (S * S).sum(axis=1)[:, None]
+            + (P * P).sum(axis=1)[None, :]
+            - 2.0 * (S @ P.T)
+        )
         return d2.argmin(axis=1)
     return (nn or _GridNN(sites)).query(samples)
 
