@@ -85,3 +85,34 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
         for r in batch2.where(F.col("window_start").isin(list(emitted2))).collect()
     }
     assert {tuple(r) for r in got2.collect()} == want2
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Rows older than the watermark must be excluded from new window
+    state (the bounded-state guarantee; without it a 10^12-row stream
+    accumulates windows forever)."""
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # drop 1: ids spanning 20 minutes of event time
+    spark.createDataFrame(_make_pages_pdf(np.arange(0, 1200))).write.mode(
+        "overwrite"
+    ).parquet(src)
+    got1 = _drain(spark, src, out, ck)
+    n1 = got1.agg(F.sum("n_pages")).collect()[0][0]
+    # drop 2: ONLY very old rows (ids 0..59 again → ts far behind the
+    # advanced watermark). They are duplicates of already-finalized
+    # windows; the watermark must drop them, emitting nothing new.
+    spark.createDataFrame(_make_pages_pdf(np.arange(0, 60))).write.mode(
+        "append"
+    ).parquet(src)
+    got2 = _drain(spark, src, out, ck)
+    n2 = got2.agg(F.sum("n_pages")).collect()[0][0]
+    assert n2 == n1  # nothing re-emitted, nothing double-counted
+    dup = (
+        got2.groupBy("window_start", "cell")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0
