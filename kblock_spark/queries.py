@@ -845,7 +845,10 @@ _SHINGLE_SQL = f"""
 
 def d06_ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    sh = _shingle_hashes(d)
+    # the shingle table feeds THREE consumers (df filter, self-join,
+    # sizes); lazy localCheckpoint materializes the explode+md5 once
+    # (3.3× at sf0.1 — exchange reuse alone does not dedupe it)
+    sh = _shingle_hashes(d).localCheckpoint(eager=False)
     rare = sh.groupBy("h").agg(F.count("*").alias("df")).where(
         F.col("df") <= _SHINGLE_CAP
     )
@@ -911,7 +914,9 @@ def d07_minhash_lsh_pairs(spark, sf_dir):
         .alias(f"m{b}")
         for b in range(_N_BANDS)
     ]
-    per_doc = sh.groupBy("doc_id").agg(*mins)
+    # the banded minhash table self-joins (two scans) — checkpoint so
+    # the shingle explode + min aggregation run once
+    per_doc = sh.groupBy("doc_id").agg(*mins).localCheckpoint(eager=False)
     stack_expr = ", ".join(f"{b}, m{b}" for b in range(_N_BANDS))
     mh = per_doc.selectExpr(
         "doc_id", f"stack({_N_BANDS}, {stack_expr}) as (band, minhash)"
