@@ -210,6 +210,56 @@ def segments_pairwise_mindist(
     return np.where(crossing, 0.0, d)
 
 
+# memory budget for one (tile, m) pairwise block: keeps the (t,m,2)
+# float64 temporaries inside points_segments_dist_matrix ≤ ~50 MB per
+# task even when both segment sets are 10k+ (a street-dense block) —
+# unbounded n·m would allocate GB-scale intermediates per Python worker
+_PAIR_TILE_ELEMS = 2_000_000
+
+
+def segments_mindist_rowmin(
+    a1: np.ndarray, b1: np.ndarray, a2: np.ndarray, b2: np.ndarray
+) -> np.ndarray:
+    """Per-row min of the exact pairwise segment min-distance matrix
+    (``segments_pairwise_mindist(...).min(axis=1)``) computed in fixed
+    row tiles so peak memory is O(tile·m), not O(n·m)."""
+    n, m = len(a1), len(a2)
+    if n == 0:
+        return np.zeros(0)
+    if m == 0:
+        return np.full(n, np.inf)
+    tile = max(1, _PAIR_TILE_ELEMS // m)
+    out = np.empty(n)
+    for s in range(0, n, tile):
+        e = min(s + tile, n)
+        out[s:e] = segments_pairwise_mindist(a1[s:e], b1[s:e], a2, b2).min(axis=1)
+    return out
+
+
+def segments_pairs_within(
+    a1: np.ndarray,
+    b1: np.ndarray,
+    a2: np.ndarray,
+    b2: np.ndarray,
+    radius: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs (i, j) with exact segment min-distance ≤ radius,
+    computed tile-by-tile — the full (n, m) matrix is never
+    materialized (bounded memory for street-dense blocks)."""
+    n, m = len(a1), len(a2)
+    if n == 0 or m == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    tile = max(1, _PAIR_TILE_ELEMS // m)
+    iis, jjs = [], []
+    for s in range(0, n, tile):
+        e = min(s + tile, n)
+        d = segments_pairwise_mindist(a1[s:e], b1[s:e], a2, b2)
+        ii, jj = np.nonzero(d <= radius)
+        iis.append(ii.astype(np.int64) + s)
+        jjs.append(jj.astype(np.int64))
+    return np.concatenate(iis), np.concatenate(jjs)
+
+
 def segments_min_dist(a1, b1, a2, b2) -> float:
     """Min distance between two segments."""
     if segments_intersect(a1, b1, a2, b2):

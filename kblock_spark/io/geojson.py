@@ -20,6 +20,7 @@ stable wire schema).
 
 from __future__ import annotations
 
+import hashlib
 import json
 
 import pandas as pd
@@ -65,9 +66,18 @@ def _pack_geometry(geom: dict):
     return t, sizes, flat
 
 
+def _fallback_id(feature: dict) -> str:
+    """Stable id for features without an explicit ``id``: md5 of the
+    canonical-serialized feature. A positional enumerate would restart
+    at 0 per file / per text-split and collide across a multi-file
+    load; content hashing is deterministic and split-independent."""
+    blob = json.dumps(feature, sort_keys=True, separators=(",", ":"))
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
 def _features_to_pdf(features) -> pd.DataFrame:
     rows = []
-    for i, f in enumerate(features):
+    for f in features:
         geom = f.get("geometry") or {}
         t, sizes, flat = _pack_geometry(geom)
         if t is None:
@@ -76,9 +86,10 @@ def _features_to_pdf(features) -> pd.DataFrame:
             str(k): ("" if v is None else str(v))
             for k, v in (f.get("properties") or {}).items()
         }
+        fid = f.get("id")
         rows.append(
             {
-                "feature_id": str(f.get("id", i)),
+                "feature_id": _fallback_id(f) if fid is None else str(fid),
                 "geom_type": t,
                 "properties": props,
                 "ring_sizes": sizes,
@@ -119,10 +130,12 @@ def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:
 
     def parse(batches):
         for pdf in batches:
+            # RFC 8142 prefixes each record with RS (0x1E); newline-
+            # delimited GeoJSONL has no separator — strip both forms.
             feats = [
-                json.loads(line)
+                json.loads(line.lstrip("\x1e"))
                 for line in pdf["value"]
-                if line and line.strip()
+                if line and line.lstrip("\x1e").strip()
             ]
             out = _features_to_pdf(feats)
             if len(out):

@@ -19,6 +19,7 @@ the reference's directory listings.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -27,6 +28,9 @@ MANIFEST_SCHEMA = (
     "partition_key string, status string, rows long, wall_ms long, "
     "attempt int, input_fingerprint string, ts string"
 )
+
+# directory-partition column written next to (not instead of) key_col
+PART_DIR_COL = "__pk"
 
 
 class CheckpointManifest:
@@ -112,14 +116,34 @@ def checkpointed_run(
     # key and written with dynamic partition overwrite, so a crash
     # between this write and the manifest record just overwrites the
     # same key-partitions on retry — a blind append would duplicate
-    # every row of the interrupted batch.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # keys are directory names once partitioned; keep them strings on
-    # read-back instead of letting inference re-type "0" → 0
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    )
-    result.write.mode("overwrite").partitionBy(key_col).parquet(out_path)
+    # every row of the interrupted batch. Dynamic overwrite only
+    # replaces partitions PRESENT in the new result, so a retried key
+    # whose rebuild now yields zero rows would keep stale partial data
+    # from the interrupted attempt: explicitly drop every pending
+    # key's partition directory first.
+    for k in keys:
+        part_dir = os.path.join(out_path, f"{PART_DIR_COL}={k}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+    # Partition by a STRING COPY of the key and keep key_col as a
+    # normal data column: directory names carry no dtype, so reading
+    # the key back from them would re-type "0" → 0 (or force a
+    # session-global inference conf — which leaked in round 2).
+    # Keeping the key in the data files preserves its exact dtype
+    # without touching any session conf.
+    to_write = result.withColumn(PART_DIR_COL, F.col(key_col).cast("string"))
+    # session confs are global — save/restore so the write mode does
+    # not leak into every later write in the session
+    _conf = "spark.sql.sources.partitionOverwriteMode"
+    _saved = spark.conf.get(_conf, None)
+    spark.conf.set(_conf, "dynamic")
+    try:
+        to_write.write.mode("overwrite").partitionBy(PART_DIR_COL).parquet(out_path)
+    finally:
+        if _saved is None:
+            spark.conf.unset(_conf)
+        else:
+            spark.conf.set(_conf, _saved)
     wall = int((time.time() - t0) * 1000)
     manifest.record(
         [

@@ -174,15 +174,29 @@ def delineate_blocks(
     is the scale-killer at planetary street counts. Then cogroup by
     gadm_code and run the kernel."""
     blocking = streets.where(~F.col("highway").isin(FOOTPATH_HIGHWAYS))
-    cells = _bbox_cells_udf(pair_cell_deg)
     s = street_bboxes(blocking).select(
         "street_id", "coords", "xmin", "xmax", "ymin", "ymax"
     )
+    a0 = admin_bboxes(admin).select("gadm_code", "xmin", "xmax", "ymin", "ymax")
+    # data-derived cell size: a fixed 0.01° grid makes a large sparse
+    # admin unit (several degrees across) emit 10^5-10^6 covering
+    # cells into the broadcast side. Coarsen the grid so the LARGEST
+    # admin bbox emits at most ~(MAX_CELLS_PER_AXIS+1)² cells; admin
+    # is the small dim, so the stat is one cheap collect. A coarser
+    # grid only weakens pruning (the cell join stays a strict superset
+    # prefilter and the polygonize kernel clips), never correctness.
+    MAX_CELLS_PER_AXIS = 64
+    ext = a0.agg(
+        F.max(F.col("xmax") - F.col("xmin")).alias("dx"),
+        F.max(F.col("ymax") - F.col("ymin")).alias("dy"),
+    ).collect()[0]
+    max_dim = max(float(ext["dx"] or 0.0), float(ext["dy"] or 0.0))
+    cell_deg = max(pair_cell_deg, max_dim / MAX_CELLS_PER_AXIS)
+    cells = _bbox_cells_udf(cell_deg)
     s_cells = s.withColumn(
         "cell", F.explode(cells("xmin", "ymin", "xmax", "ymax"))
     ).select("street_id", "coords", "cell")
-    a = admin_bboxes(admin).select("gadm_code", "xmin", "xmax", "ymin", "ymax")
-    a_cells = a.withColumn(
+    a_cells = a0.withColumn(
         "cell", F.explode(cells("xmin", "ymin", "xmax", "ymax"))
     ).select("gadm_code", "cell")
     pairs = (

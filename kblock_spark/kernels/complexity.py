@@ -45,7 +45,8 @@ from ..geo.geom import (
     clip_polyline_to_polygon,
     convex_hull_indices,
     polyline_length,
-    segments_pairwise_mindist,
+    segments_mindist_rowmin,
+    segments_pairs_within,
     unpack_rings,
 )
 from ..geo.mercator import lonlat_to_mercator
@@ -291,7 +292,7 @@ def _street_networks(
     # pairwise segment-distance matrix covers all of them.
     la = np.array([ln[0] for ln in lines_m])
     lb = np.array([ln[-1] for ln in lines_m])
-    line_ring = segments_pairwise_mindist(la, lb, ring_a, ring_b).min(axis=1)
+    line_ring = segments_mindist_rowmin(la, lb, ring_a, ring_b)
     acc_mask = line_ring <= radius
     acc_a, acc_b = la[acc_mask], lb[acc_mask]
 
@@ -299,20 +300,22 @@ def _street_networks(
     uf = _UnionFind(n + 1)
     # piece to exterior zone: internal r/2 buffer meets external r
     # buffer ⇔ EXACT distance to exterior ring ≤ 1.5 r
-    piece_ring = segments_pairwise_mindist(ends_a, ends_b, ring_a, ring_b).min(axis=1)
+    piece_ring = segments_mindist_rowmin(ends_a, ends_b, ring_a, ring_b)
     for i in np.flatnonzero(piece_ring <= 1.5 * radius):
         uf.union(int(i), EXT)
     # piece-piece: r/2 buffers overlap ⇔ EXACT distance ≤ r (the
-    # reference's GEOS buffer-union predicate; exact, not sampled)
-    pp = segments_pairwise_mindist(ends_a, ends_b, ends_a, ends_b)
-    ii, jj = np.nonzero(np.triu(pp <= radius, k=1))
-    for i, j in zip(ii.tolist(), jj.tolist()):
+    # reference's GEOS buffer-union predicate; exact, not sampled).
+    # Tiled pair extraction — the (n,n) matrix is never materialized.
+    ii, jj = segments_pairs_within(ends_a, ends_b, ends_a, ends_b, radius)
+    keep = ii < jj
+    for i, j in zip(ii[keep].tolist(), jj[keep].tolist()):
         uf.union(i, j)
     kept_roots = set()
     if len(acc_a):
         kept_roots.add(uf.find(EXT))
         # components whose pieces pass within r/2 of an access street
-        dacc = segments_pairwise_mindist(acc_a, acc_b, ends_a, ends_b).min(axis=0)
+        # (min over access segments per piece; sets are symmetric)
+        dacc = segments_mindist_rowmin(ends_a, ends_b, acc_a, acc_b)
         for i in np.flatnonzero(dacc <= radius / 2.0):
             kept_roots.add(uf.find(int(i)))
     on_pieces = [p for i, p in enumerate(pieces) if uf.find(i) in kept_roots]

@@ -44,10 +44,12 @@ def safe_ratio(num, den) -> F.Column:
 def polyline_length_col(coords_col: str = "coords") -> F.Column:
     """Length of a flat [x0,y0,x1,y1,…] polyline — pure Catalyst
     (aggregate over an index sequence; stays in whole-stage codegen,
-    no Python)."""
+    no Python). Degenerate inputs (<2 vertices, i.e. size<4) are 0.0 —
+    without the guard F.sequence would descend (0 → −1) and
+    element_at would read from the array end."""
     c = F.col(coords_col)
     n_seg = (F.size(c) / F.lit(2)).cast("int") - F.lit(2)
-    return F.aggregate(
+    total = F.aggregate(
         F.sequence(F.lit(0), n_seg),
         F.lit(0.0),
         lambda acc, i: acc
@@ -56,6 +58,7 @@ def polyline_length_col(coords_col: str = "coords") -> F.Column:
             + F.pow(F.element_at(c, i * 2 + 4) - F.element_at(c, i * 2 + 2), 2)
         ),
     )
+    return F.when(F.size(c) >= 4, total).otherwise(F.lit(0.0))
 
 
 def linearity_col(coords_col: str = "coords") -> F.Column:

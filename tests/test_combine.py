@@ -94,3 +94,21 @@ def test_street_linearity_golden(spark):
     assert got["n_streets"] == 2
     assert got["total_length"] == pytest.approx(4.0)
     assert got["mean_linearity"] == pytest.approx(want_mean, rel=1e-12)
+
+
+def test_polyline_length_degenerate(spark):
+    """<2-vertex polylines are 0-length (guarded; an unguarded
+    F.sequence(0,-1) would read from the array end) and degenerate
+    linearity is 1.0."""
+    from kblock_spark.ops.combine import linearity_col, polyline_length_col
+
+    df = spark.createDataFrame(
+        [([],), ([3.0, 4.0],), ([0.0, 0.0, 3.0, 4.0],)],
+        "coords array<double>",
+    )
+    rows = df.select(
+        polyline_length_col("coords").alias("len"),
+        linearity_col("coords").alias("lin"),
+    ).collect()
+    assert [r["len"] for r in rows] == [0.0, 0.0, 5.0]
+    assert [r["lin"] for r in rows] == [1.0, 1.0, 1.0]

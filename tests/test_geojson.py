@@ -78,3 +78,31 @@ def test_read_geojson_seq_splittable(spark, tmp_path):
     )
     pc = polygons_with_cells(polys, cell_deg=0.5)
     assert pc.count() >= 4
+
+
+def test_read_geojson_seq_rfc8142_rs(spark, tmp_path):
+    """True RFC 8142 GeoJSONSeq prefixes each record with RS (0x1E)."""
+    p = tmp_path / "features.geojsons"
+    p.write_text("".join("\x1e" + json.dumps(f) + "\n" for f in FEATURES))
+    _check(read_geojson_seq(spark, str(p)))
+
+
+def test_fallback_feature_ids_unique_across_files(spark, tmp_path):
+    """Features without an explicit id must not collide across files
+    (a per-file positional enumerate restarts at 0)."""
+    def feat(x):
+        return {
+            "type": "Feature",
+            "properties": {"x": x},
+            "geometry": {"type": "Point", "coordinates": [float(x), 0.0]},
+        }
+
+    (tmp_path / "a.geojson").write_text(
+        json.dumps({"type": "FeatureCollection", "features": [feat(1)]})
+    )
+    (tmp_path / "b.geojson").write_text(
+        json.dumps({"type": "FeatureCollection", "features": [feat(2)]})
+    )
+    df = read_geojson(spark, str(tmp_path / "*.geojson"))
+    ids = [r["feature_id"] for r in df.collect()]
+    assert len(ids) == 2 and len(set(ids)) == 2

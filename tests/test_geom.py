@@ -190,3 +190,32 @@ def test_representative_point_inside():
     L = np.array([[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4]], dtype=float)
     px, py = representative_point(L)
     assert G.points_in_ring(np.array([px]), np.array([py]), L)[0]
+
+
+def test_tiled_pairwise_matches_full_matrix(monkeypatch):
+    """segments_mindist_rowmin / segments_pairs_within are tiled
+    re-expressions of the full-matrix computation — force a tiny tile
+    and check bit-identical results."""
+    rng = np.random.default_rng(7)
+    a1 = rng.uniform(0, 10, (37, 2))
+    b1 = a1 + rng.uniform(-1, 1, (37, 2))
+    a2 = rng.uniform(0, 10, (23, 2))
+    b2 = a2 + rng.uniform(-1, 1, (23, 2))
+    full = G.segments_pairwise_mindist(a1, b1, a2, b2)
+    monkeypatch.setattr(G, "_PAIR_TILE_ELEMS", 50)  # ~2 rows per tile
+    rm = G.segments_mindist_rowmin(a1, b1, a2, b2)
+    np.testing.assert_array_equal(rm, full.min(axis=1))
+    r = 0.8
+    ii, jj = G.segments_pairs_within(a1, b1, a2, b2, r)
+    want_ii, want_jj = np.nonzero(full <= r)
+    assert len(want_ii) > 0  # non-vacuous fixture
+    np.testing.assert_array_equal(np.sort(ii * 1000 + jj), np.sort(want_ii * 1000 + want_jj))
+
+
+def test_tiled_pairwise_empty_sides():
+    z = np.zeros((0, 2))
+    s = np.array([[0.0, 0.0]])
+    assert G.segments_mindist_rowmin(z, z, s, s).shape == (0,)
+    assert np.isinf(G.segments_mindist_rowmin(s, s, z, z)).all()
+    ii, jj = G.segments_pairs_within(z, z, s, s, 1.0)
+    assert len(ii) == 0 and len(jj) == 0

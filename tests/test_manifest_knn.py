@@ -112,3 +112,53 @@ def test_knn_k3(spark):
         want = list(np.argsort(d[i])[:3])
         gotl = [nk for _, nk in sorted(by_left[i])]
         assert gotl == want
+
+
+def test_checkpointed_run_restores_session_confs(spark, tmp_path):
+    """checkpointed_run must not leak its write-mode confs into the
+    session (they change the semantics of every later write/read)."""
+    before = {
+        c: spark.conf.get(c, None)
+        for c in (
+            "spark.sql.sources.partitionOverwriteMode",
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+        )
+    }
+    out = str(tmp_path / "out")
+    man = CheckpointManifest(spark, str(tmp_path / "manifest"))
+    universe = spark.range(0, 20).select(
+        (F.col("id") % 2).cast("string").alias("part_key"), F.col("id")
+    )
+    checkpointed_run(
+        spark, universe, "part_key",
+        lambda df: df.groupBy("part_key").agg(F.sum("id").alias("total")),
+        out, man,
+    )
+    after = {c: spark.conf.get(c, None) for c in before}
+    assert after == before
+
+
+def test_retry_clears_stale_partition_when_rebuild_is_empty(spark, tmp_path):
+    """Dynamic overwrite only replaces partitions PRESENT in the new
+    result; a retried key whose rebuild now yields zero rows must not
+    keep stale rows from the interrupted attempt."""
+    out = str(tmp_path / "out")
+    man = CheckpointManifest(spark, str(tmp_path / "manifest"))
+    universe = spark.range(0, 20).select(
+        (F.col("id") % 2).cast("string").alias("part_key"), F.col("id")
+    )
+
+    def build_v1(df):
+        return df.groupBy("part_key").agg(F.sum("id").alias("total"))
+
+    # interrupted attempt: output written for both keys, manifest lost
+    checkpointed_run(spark, universe, "part_key", build_v1,
+                     out, man.__class__(spark, str(tmp_path / "lost")))
+
+    # retry builds key "1" empty (e.g. upstream rows were retracted)
+    def build_v2(df):
+        return build_v1(df).where(F.col("part_key") != "1")
+
+    checkpointed_run(spark, universe, "part_key", build_v2, out, man)
+    got = {r["part_key"] for r in spark.read.parquet(out).collect()}
+    assert got == {"0"}  # stale key-1 partition removed
