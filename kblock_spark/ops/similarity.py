@@ -91,104 +91,254 @@ def make_bucket_udf(dim: int, n_tables: int = 8, n_bits: int = 10):
     return buckets
 
 
-def _unit_projections(dim: int, n_dirs: int, seed: str = "kblock-dup") -> np.ndarray:
-    """Deterministic unit directions (md5-seeded), shape (n_dirs, dim)."""
-    out = np.empty((n_dirs, dim))
-    for i in range(n_dirs):
-        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
-        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
-        v = rng.standard_normal(dim)
-        out[i] = v / np.linalg.norm(v)
-    return out
+def _quantized_smallint(vec_col: str):
+    """±1000-quantized smallint vector (halves the Arrow bytes shipped
+    through the shuffle; cosine over these ints is what the DuckDB
+    oracle computes too)."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("smallint")
+    )
+
+
+def assign_ivf_lists(
+    emb: DataFrame,
+    threshold: float,
+    k_lists: int = 16,
+    kmeans_iters: int = 3,
+    fit_cap: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Triangle-inequality IVF assignment for the exact ε-join:
+    (vid, list_id, is_home, qv).
+
+    Fit ``k_lists`` k-means centroids (on a deterministic hash sample
+    of the unit-normalized quantized vectors, capped at ``fit_cap``
+    rows so the fit is one bounded pass regardless of N). Each vector
+    u is HOME in its nearest centroid's list and REPLICATED to every
+    list c with d(u,c) ≤ d(u, c_home) + w, where w = √(2−2t) is the
+    distance equivalent of the cosine threshold on unit vectors.
+
+    Exactness: take a qualifying pair ‖x−y‖ ≤ w and WLOG
+    d(x,c_x) ≤ d(y,c_y) (home distances). Then
+    d(y,c_x) ≤ d(y,x) + d(x,c_x) ≤ w + d(y,c_y), so y is replicated
+    into x's home list — every qualifying pair co-occurs in at least
+    one list as a (home, replica) row pair. Selectivity adapts to the
+    data (tight clusters → few replicas) instead of relying on fixed
+    projections, whose buckets round-2 measured as vacuous (all
+    vectors in 2 buckets → 100% of pairs became candidates)."""
+    w = float(np.sqrt(max(2.0 - 2.0 * threshold, 1e-12)))
+    sc = emb.sparkSession.sparkContext
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.xxhash64(id_col).alias("__h"),
+        _quantized_smallint(vec_col).alias("qv"),
+    )
+    # FAISS-style coarse-quantizer training: ONE bounded-size job (each
+    # partition keeps only its ≤ per_cap smallest-hash rows — a global
+    # TakeOrdered would ship #partitions·fit_cap rows to the driver at
+    # cluster scale), then Lloyd's in numpy driver-side. The quantizer
+    # is just a partitioner: exactness never depends on its quality,
+    # so per-iteration distributed passes would buy nothing.
+    # (Normalization happens in numpy: a Catalyst transform(x/norm)
+    # re-evaluates the norm aggregate per array element — measured 64×
+    # slower than this layout.)
+    nparts = max(1, base.rdd.getNumPartitions())
+    per_cap = max(1, -(-fit_cap // nparts))
+
+    def sample_part(batches):
+        hs = np.empty(0)
+        qs = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bh = pdf["__h"].to_numpy().astype(np.float64)
+            bq = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            if qs is None:
+                hs, qs = bh, bq
+            else:
+                hs = np.concatenate([hs, bh])
+                qs = np.vstack([qs, bq])
+            if len(hs) > per_cap:
+                keep = np.argsort(hs, kind="stable")[:per_cap]
+                hs, qs = hs[keep], qs[keep]
+        if qs is not None:
+            yield pd.DataFrame(
+                {"__h": hs, "qv": [q.astype(np.int16) for q in qs]}
+            )
+
+    sample = (
+        base.select("__h", "qv")
+        .mapInPandas(sample_part, "__h double, qv array<smallint>")
+        .collect()
+    )
+    sample = sorted(sample, key=lambda r: r["__h"])[:fit_cap]
+    k = max(1, min(k_lists, len(sample)))
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in sample])
+    X = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-12)[:, None]
+    C = X[:k].copy()  # init: k smallest-hash rows (deterministic)
+    x2 = (X * X).sum(axis=1)
+    for _ in range(kmeans_iters):
+        # GEMM distance form — no (n, k, dim) temporaries
+        d2 = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = d2.argmin(axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    bc = sc.broadcast(np.ascontiguousarray(C, dtype=np.float64))
+
+    def assign(batches):
+        cen = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            U = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-12)[:, None]
+            d = np.sqrt(
+                np.maximum(
+                    (U * U).sum(axis=1)[:, None]
+                    - 2.0 * (U @ cen.T)
+                    + (cen * cen).sum(axis=1)[None, :],
+                    0.0,
+                )
+            )
+            home = d.argmin(axis=1)
+            dn = d[np.arange(len(d)), home]
+            # 1e-9 slack: float rounding must only ever ADD a replica
+            mask = d <= (dn[:, None] + w + 1e-9)
+            ii, ll = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy()[ii],
+                    "list_id": ll.astype(np.int32),
+                    "is_home": ll == home[ii],
+                    "qv": pdf["qv"].to_numpy()[ii],
+                }
+            )
+
+    return base.select("vid", "qv").mapInPandas(
+        assign, "vid long, list_id int, is_home boolean, qv array<smallint>"
+    )
+
+
+# cap on one GEMM tile inside the per-list kernel (elements of the
+# (h_tile, r) cosine matrix) — bounds task memory for a giant list
+_GEMM_TILE_ELEMS = 4_000_000
 
 
 def exact_dup_pairs_blocked(
     emb: DataFrame,
     threshold: float,
     dim: int = 64,
-    n_dirs: int = 3,
+    k_lists: int = 16,
+    home_splits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ALL pairs with cosine ≥ threshold — EXACT (zero recall loss),
-    with no cross join in the plan.
+    no join in the plan at all.
 
-    For unit vectors, cos(a,b) ≥ t ⇒ ‖a−b‖ ≤ w := √(2−2t), and any
-    unit-direction projection contracts distances, so qualifying pairs
-    differ by ≤ w along EVERY projection. Bucket each row by
-    floor(proj₀/w); one side explodes to its bucket ±1 → the equi-join
-    on the bucket provably catches every qualifying pair. Two further
-    projections prefilter candidates (|Δprojᵢ| ≤ w), then the exact
-    integer-quantized cosine decides. Selectivity grows as the
-    threshold does (w=0.45 at t=0.9); the plan shape — explode →
-    equi-join → filter — is the 10¹²-row shape, unlike the O(N²)
-    cross join this replaces (round-1 e02). The reference's analogue
-    is the tile-prefiltered overlap self-join (batch_1b:98-100)."""
-    w = float(np.sqrt(max(2.0 - 2.0 * threshold, 1e-12)))
-    dirs = _unit_projections(dim, n_dirs)
-    # quantized values are ±1000 → smallint halves the Arrow bytes the
-    # candidate pairs ship to the cosine kernel
-    q = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("smallint")
-    )
-    # widen BEFORE multiplying: smallint·smallint would overflow
-    norm = F.sqrt(
-        F.aggregate(
-            F.zip_with(q, q, lambda x, y: x.cast("bigint") * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).cast("double")
-    )
-    projs = []
-    for i in range(n_dirs):
-        lit = F.array(*[F.lit(float(x)) for x in dirs[i]])
-        p = F.aggregate(
-            F.zip_with(q, lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ) / norm
-        projs.append(p.alias(f"p{i}"))
-    base = emb.select(F.col(id_col).alias("vid"), q.alias("qv"), *projs)
-    bucket = F.floor(F.col("p0") / F.lit(w)).cast("long")
-    a = base.select(
-        F.col("vid").alias("vec_a"), F.col("qv").alias("qa"),
-        *[F.col(f"p{i}").alias(f"pa{i}") for i in range(n_dirs)],
-        F.explode(
-            F.array(bucket - 1, bucket, bucket + 1)
-        ).alias("bucket"),
-    )
-    b = base.select(
-        F.col("vid").alias("vec_b"), F.col("qv").alias("qb"),
-        *[F.col(f"p{i}").alias(f"pb{i}") for i in range(n_dirs)],
-        bucket.alias("bucket"),
-    )
-    cand = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
-    for i in range(1, n_dirs):
-        cand = cand.where(
-            F.abs(F.col(f"pa{i}") - F.col(f"pb{i}")) <= F.lit(w)
-        )
-    # batched numpy cosine (Arrow): ~3× faster than the per-row
-    # Catalyst aggregate at millions of candidates, and EXACT — the
-    # integer dot products are ≤ 64·10⁶ ≪ 2⁵³, so float64 sums are
-    # order-independent and bit-identical to the oracle's
-    # list_dot_product arithmetic.
-    @pandas_udf("double")
-    def cos_udf(qa: pd.Series, qb: pd.Series) -> pd.Series:
-        A = np.stack(qa.to_numpy()).astype(np.float64)
-        B = np.stack(qb.to_numpy()).astype(np.float64)
-        num = (A * B).sum(axis=1)
-        return pd.Series(
-            num
-            / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1)))
-        )
+    Two stages (see :func:`assign_ivf_lists` for the blocking proof):
 
-    return (
-        cand.select(
-            "vec_a", "vec_b",
-            cos_udf(F.col("qa"), F.col("qb")).alias("cosine"),
-        )
-        .where(F.col("cosine") >= F.lit(threshold))
+    1. triangle-inequality IVF assignment — each vector lands in its
+       home list plus the replica lists the proof requires;
+    2. per-(list, split) ``applyInPandas`` kernel: a tiled float64
+       GEMM scores home×replica inside the list and emits only the
+       qualifying pairs. Candidate pairs are never materialized as
+       shuffle rows — the shuffle carries O(N·replication) vector
+       rows, and the quadratic part runs at BLAS speed inside tasks.
+
+    ``home_splits`` > 1 shards a list's home rows across that many
+    tasks (replica rows are duplicated to every shard), bounding the
+    single-list straggler at planetary list sizes.
+
+    Scale honesty: at thresholds so low that w approaches the data
+    diameter (e.g. t=0.5 on isotropic vectors) every exact method
+    degenerates to all-pairs work; this plan then degrades to
+    distributed per-list GEMM — the exact-arithmetic lower bound —
+    instead of an O(N²) pair shuffle. The integer dot products are
+    ≤ 64·10⁶ ≪ 2⁵³, so float64 GEMM sums are order-independent and
+    bit-identical to the oracle's list_dot_product arithmetic. The
+    reference's analogue discipline is the tile-prefiltered overlap
+    self-join (batch_1b_generate_blocks.py:98-100)."""
+    assign = assign_ivf_lists(
+        emb, threshold, k_lists=k_lists, id_col=id_col, vec_col=vec_col
     )
+    S = max(1, int(home_splits))
+    if S == 1:
+        # fast path: H and R are row slices of ONE grouped list — the
+        # assignment subtree is consumed once (no union, one shuffle)
+        rows = assign.select(
+            "vid", "list_id", "qv",
+            F.lit(0).alias("split"), F.col("is_home").alias("home_row"),
+        )
+    else:
+        # shard a list's home rows across S tasks; replica rows (the
+        # full list) are duplicated to every shard. Two consumers of
+        # the assignment subtree → materialize it once.
+        assign = assign.localCheckpoint(eager=False)
+        hom = assign.where(F.col("is_home")).select(
+            "vid", "list_id", "qv",
+            F.pmod(F.xxhash64("vid"), F.lit(S)).cast("int").alias("split"),
+            F.lit(True).alias("home_row"),
+        )
+        rep = assign.select(
+            "vid", "list_id", "qv",
+            F.explode(F.array(*[F.lit(s) for s in range(S)])).alias("split"),
+            F.lit(False).alias("home_row"),
+        )
+        rows = hom.unionByName(rep)
+    thr = float(threshold)
+
+    def emit(key, pdf):
+        # H = home rows; R = every row of the (list, split) group —
+        # home vectors must be scorable on the right side too (a pair
+        # homed in the same list has no separate replica row on the
+        # S=1 path). Extra H×H rescoring on the S>1 path just re-emits
+        # identical pairs, removed by the dedup below.
+        H = pdf[pdf["home_row"]]
+        R = pdf
+        if not len(H) or not len(R):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        Hq = np.stack(H["qv"].to_numpy()).astype(np.float64)
+        Rq = np.stack(R["qv"].to_numpy()).astype(np.float64)
+        hv = H["vid"].to_numpy()
+        rv = R["vid"].to_numpy()
+        nh = np.sqrt((Hq * Hq).sum(axis=1))
+        nr = np.sqrt((Rq * Rq).sum(axis=1))
+        outs = []
+        tile = max(1, _GEMM_TILE_ELEMS // max(len(R), 1))
+        for s in range(0, len(H), tile):
+            e = min(s + tile, len(H))
+            cos = (Hq[s:e] @ Rq.T) / (nh[s:e, None] * nr[None, :])
+            m = (cos >= thr) & (hv[s:e, None] != rv[None, :])
+            ii, jj = np.nonzero(m)
+            if len(ii):
+                ha = hv[s:e][ii]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(ha, rv[jj]),
+                            "vec_b": np.maximum(ha, rv[jj]),
+                            "cosine": cos[ii, jj],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = rows.groupBy("list_id", "split").applyInPandas(
+        emit, "vec_a long, vec_b long, cosine double"
+    )
+    # a pair can surface in ≤2 lists (each member's home); cosine is
+    # deterministic float64, so dropDuplicates keeps identical values
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
 
 
 def kmeans_fit(

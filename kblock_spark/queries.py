@@ -1259,12 +1259,13 @@ WHERE rank <= {_TOPK}
 
 
 # e02 — embedding near-duplicate pairs (cosine ≥ threshold).
-# Spark side: EXACT projection-blocked equi-join (ops/similarity.py —
-# zero recall loss, no CartesianProduct in the plan; asserted in
-# tests/test_plan_quality.py). Oracle side: the O(N²) formulation —
-# fine for DuckDB at sf0.01, and exactly what the blocked plan must
-# reproduce. Threshold 0.5 so the fixture yields pairs (round-1 used
-# 0.9 and "passed" on 0 rows — vacuous).
+# Spark side: EXACT triangle-inequality IVF blocking + per-list GEMM
+# (ops/similarity.py — zero recall loss, no join in the plan at all;
+# candidate pruning is measured in tests/test_similarity.py, replacing
+# round-2's projection buckets which pruned nothing). Oracle side: the
+# O(N²) formulation — fine for DuckDB at sf0.01, and exactly what the
+# blocked plan must reproduce. Threshold 0.5 so the fixture yields
+# pairs (round-1 used 0.9 and "passed" on 0 rows — vacuous).
 
 _DUP_COS = 0.5
 

@@ -86,3 +86,63 @@ def test_kmeans_deterministic(spark):
     c1 = kmeans_fit(emb, k=4, dim=64, iters=3)
     c2 = kmeans_fit(emb, k=4, dim=64, iters=3)
     assert np.array_equal(c1, c2)
+
+
+def test_e02_ivf_blocking_actually_prunes(spark):
+    """Round-2 regression: the projection buckets put 100% of all
+    pairs into the candidate set at BOTH t=0.5 and t=0.9. The IVF
+    triangle-inequality blocking must do real pruning on clustered
+    data: GEMM work Σ_l h_l·r_l < 20% of N² at t=0.9 — while staying
+    EXACT vs the brute-force pair set."""
+    import numpy as np
+    import pandas as pd
+
+    from kblock_spark.ops.similarity import (
+        assign_ivf_lists,
+        exact_dup_pairs_blocked,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((12, 32))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    vid = 0
+    for c in range(12):
+        for _ in range(100):
+            v = centers[c] + rng.standard_normal(32) * 0.08
+            rows.append((vid, v.tolist()))
+            vid += 1
+    n = vid
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).cache()
+
+    thr = 0.9
+    assign = assign_ivf_lists(emb, thr, k_lists=16)
+    per = (
+        assign.groupBy("list_id")
+        .agg(
+            F.sum(F.when(F.col("is_home"), 1).otherwise(0)).alias("h"),
+            F.count("*").alias("r"),
+        )
+        .collect()
+    )
+    work = sum(r["h"] * r["r"] for r in per)
+    assert work < 0.2 * n * n, f"candidate work {work} ≥ 20% of {n*n}"
+
+    # exactness on the same fixture (including home_splits sharding)
+    q = np.round(np.array([r[1] for r in rows]) * 1000)
+    nrm = np.linalg.norm(q, axis=1)
+    C = (q @ q.T) / np.outer(nrm, nrm)
+    want = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if C[i, j] >= thr
+    }
+    assert len(want) > 100  # non-vacuous fixture
+    for splits in (1, 3):
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in exact_dup_pairs_blocked(
+                emb, thr, dim=32, k_lists=16, home_splits=splits
+            ).collect()
+        }
+        assert got == want, f"splits={splits}: {len(got ^ want)} diffs"
