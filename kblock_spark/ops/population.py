@@ -31,7 +31,7 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..geo.geom import box_polygon_overlap_area, unpack_rings
 from ..geo.tiling import DEFAULT_CELL_DEG, cells_covering_bbox
-from .spatial_join import polygons_with_cells
+from .spatial_join import polygon_side_fits_broadcast, polygons_with_cells
 
 
 def make_box_cells_udf(cell_deg: float = DEFAULT_CELL_DEG):
@@ -108,7 +108,12 @@ def allocate_population(
     bc = polygons_with_cells(
         blocks.select("block_id", "gadm_code", "ring_sizes", "coords"), cell_deg
     ).withColumnRenamed("gadm_code", "b_gadm")
-    cand = rpx.join(F.broadcast(bc), "cell", "inner").dropDuplicates(
+    # broadcast only when the block side (geometry inlined) actually
+    # fits — at a planetary block count the hint would OOM the driver;
+    # the shuffled cell equi-join is the automatic fallback
+    if polygon_side_fits_broadcast(blocks):
+        bc = F.broadcast(bc)
+    cand = rpx.join(bc, "cell", "inner").dropDuplicates(
         ["pixel_id", "block_id"]
     )
     ov = _overlap_area_udf()

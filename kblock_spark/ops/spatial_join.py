@@ -80,6 +80,25 @@ def _pip_refine_factory(poly_key: str, geom_bc=None):
     return refine
 
 
+# auto mode-switch limits: above either, the broadcast path (which
+# collects every polygon's ring arrays to the driver) is unreachable
+BROADCAST_MAX_POLYS = 100_000
+BROADCAST_MAX_COORD_BYTES = 256 << 20
+
+
+def polygon_side_fits_broadcast(polys: DataFrame) -> bool:
+    """Cheap one-aggregate decision: polygon count + total coord bytes
+    against the broadcast limits."""
+    st = polys.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("coords")), F.lit(0)).alias("c"),
+    ).collect()[0]
+    return (
+        int(st["n"]) <= BROADCAST_MAX_POLYS
+        and int(st["c"]) * 8 <= BROADCAST_MAX_COORD_BYTES
+    )
+
+
 def assign_points_to_polygons(
     points: DataFrame,
     polys: DataFrame,
@@ -87,7 +106,7 @@ def assign_points_to_polygons(
     poly_key: str = "block_id",
     poly_cols: list[str] | None = None,
     cell_deg: float = DEFAULT_CELL_DEG,
-    broadcast_polys: bool = True,
+    broadcast_polys: bool | str = "auto",
     salt_buckets: int = 0,
     dedupe: bool = True,
 ) -> DataFrame:
@@ -99,11 +118,18 @@ def assign_points_to_polygons(
     broadcast_polys: the polygon side (with exploded cells) is usually
     the small dimension (blocks ≪ points, cf. batch_4:535 reading all
     blocks of a chunk at once) → broadcast hash join, zero shuffle of
-    the fact side. Set False at planetary polygon counts to get a
-    shuffled equi-join on ``cell``; with AQE skew-join splitting, or
-    ``salt_buckets > 0`` to shard hotspot cells explicitly.
+    the fact side. False at planetary polygon counts → shuffled
+    equi-join on ``cell``, with AQE skew-join splitting or
+    ``salt_buckets > 0`` to shard hotspot cells explicitly. The
+    default "auto" measures the polygon side (one count/size
+    aggregate) and picks: the broadcast path's driver-side geometry
+    collect must not be reachable when a caller feeds a planetary
+    polygon table (callers that KNOW their side is small can pass
+    True and skip the stats job).
     """
     poly_cols = poly_cols or []
+    if broadcast_polys == "auto":
+        broadcast_polys = polygon_side_fits_broadcast(polys)
     out_cols = point_cols + ["cell", poly_key] + poly_cols
     pts = points
     if broadcast_polys:

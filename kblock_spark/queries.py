@@ -876,6 +876,39 @@ def d06_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+# d06b — the cap above silently lower-bounds d06's pair list (a
+# shingle shared by > _SHINGLE_CAP docs contributes no candidate
+# pairs). Per the no-silent-caps rule, surface HOW MUCH the cap
+# drops as a first-class oracle-checked side output: total distinct
+# shingles, how many the cap removed, and the worst document
+# frequency observed.
+
+
+def _dropped_shingle_stats(d: DataFrame, cap: int = _SHINGLE_CAP) -> DataFrame:
+    dfs = _shingle_hashes(d).groupBy("h").agg(F.count("*").alias("df"))
+    return dfs.agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") > cap, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("n_dropped"),
+        F.coalesce(F.max("df"), F.lit(0)).cast("bigint").alias("max_df"),
+    )
+
+
+def d06b_dropped_shingle_stats(spark, sf_dir):
+    return _dropped_shingle_stats(_t(spark, sf_dir, "documents"))
+
+
+D06B_SQL = f"""
+WITH sh0 AS ({_SHINGLE_SQL}),
+dfs AS (SELECT h, COUNT(*) AS df FROM sh0 GROUP BY h)
+SELECT COUNT(*)::BIGINT AS n_shingles,
+       COALESCE(SUM(CASE WHEN df > {_SHINGLE_CAP} THEN 1 ELSE 0 END), 0)::BIGINT AS n_dropped,
+       COALESCE(MAX(df), 0)::BIGINT AS max_df
+FROM dfs
+"""
+
+
 D06_SQL = f"""
 WITH sh0 AS ({_SHINGLE_SQL}),
 rare AS (SELECT h FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {_SHINGLE_CAP}),
@@ -1537,6 +1570,7 @@ REGISTRY: dict = {
     "d04_exact_dedup": (d04_exact_dedup, D04_SQL),
     "d05_lang_heuristic": (d05_lang_heuristic, D05_SQL),
     "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
+    "d06b_dropped_shingle_stats": (d06b_dropped_shingle_stats, D06B_SQL),
     "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
     "d08_simhash": (d08_simhash, D08_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
@@ -1549,6 +1583,10 @@ REGISTRY: dict = {
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),
     "e05_ivf_ann_topk": (e05_ivf_ann_topk, None),
+    # media_features sits BEFORE the geo block: it was the only
+    # registry entry missing from CORRECTNESS_r02 (a last-position
+    # enumeration artifact — it runs fine under the driver contract)
+    "media_features": (media_features, None),
     # geospatial (no SQL equivalent → rows-only check; pytest carries
     # the golden invariants)
     "geo_blocks": (geo_blocks, None),
@@ -1559,5 +1597,4 @@ REGISTRY: dict = {
     "geo_dissolve": (geo_dissolve, None),
     "geo_linearity": (geo_linearity, None),
     "s01_stream_tile_rollup": (s01_stream_tile_rollup, None),
-    "media_features": (media_features, None),
 }

@@ -131,3 +131,57 @@ def test_pip_join_shuffled_path_matches_broadcast(spark, city):
     pa = {(r["url"], r["block_id"]) for r in a.select("url", "block_id").collect()}
     pb = {(r["url"], r["block_id"]) for r in b.select("url", "block_id").collect()}
     assert pa == pb
+
+
+def test_pip_auto_mode_switch(spark, city, monkeypatch):
+    """broadcast_polys='auto' (the default) must pick the broadcast
+    path only when the polygon side fits — the driver-side geometry
+    collect must be unreachable at a planetary polygon count. The
+    shuffle path is identified by the inlined __ring_sizes geometry
+    it ships to the refine kernel."""
+    from kblock_spark.ops import spatial_join as SJ
+
+    _, _, blocks = city
+    pages = synth_pages_spark(spark, 800)
+    pts = geocoded_points(pages).where(
+        (F.col("lon") < ORIGIN_LON + NX * ADMIN_SIZE_DEG)
+        & (F.col("lat") < ORIGIN_LAT + NY * ADMIN_SIZE_DEG)
+    )
+
+    small = SJ.assign_points_to_polygons(pts, blocks, ["url", "lon", "lat"])
+    assert "__ring_sizes" not in small._jdf.queryExecution().toString()
+
+    # shrink the limit → the same call auto-routes to the shuffle path
+    monkeypatch.setattr(SJ, "BROADCAST_MAX_POLYS", 1)
+    big = SJ.assign_points_to_polygons(pts, blocks, ["url", "lon", "lat"])
+    assert "__ring_sizes" in big._jdf.queryExecution().toString()
+
+    pa = {(r["url"], r["block_id"]) for r in small.select("url", "block_id").collect()}
+    pb = {(r["url"], r["block_id"]) for r in big.select("url", "block_id").collect()}
+    assert pa == pb and len(pa) > 100
+
+
+def test_population_stage2_broadcast_guard(spark, monkeypatch):
+    """allocate_population's stage-2 block broadcast must auto-fall
+    back to the shuffled cell join when the block side is over the
+    limit — and produce identical allocations."""
+    from kblock_spark.io.synth import synth_pixels
+    from kblock_spark.ops import population as P
+    from kblock_spark.ops import spatial_join as SJ
+    from kblock_spark.pipeline import run_pipeline
+
+    dfs = run_pipeline(spark, n_pages=2000, nx=2, ny=2)
+    blocks = dfs["blocks"].cache()
+    buildings = dfs["buildings"].withColumn(
+        "building_area",
+        (F.pmod(F.xxhash64("url"), F.lit(90)) + F.lit(10)).cast("double"),
+    ).select("block_id", "gadm_code", "lon", "lat", "building_area").cache()
+    pixels = spark.createDataFrame(synth_pixels(2, 2))
+
+    base = P.allocate_population(pixels, buildings, blocks).collect()
+    monkeypatch.setattr(SJ, "BROADCAST_MAX_POLYS", 1)
+    guarded = P.allocate_population(pixels, buildings, blocks).collect()
+    key = lambda rows: {
+        (r["block_id"], round(r["allocated_population"], 9)) for r in rows
+    }
+    assert key(base) == key(guarded) and len(base) > 5
