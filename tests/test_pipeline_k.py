@@ -73,3 +73,25 @@ def test_deterministic_rerun(spark, pipe):
         for r in dfs2["complexity"].collect()
     }
     assert k1 == k2
+
+
+def test_giant_block_kernel_bounded():
+    """Regression guard for the giant-block tail (BASELINE.md round-3
+    measurement): a 10x-median block must stay well under the linear
+    extrapolation — a quadratic regression in any kernel phase would
+    blow past this generous wall."""
+    import sys
+    import time
+
+    sys.path.insert(0, "scripts")
+    from bench_giant_block import giant_block
+
+    from kblock_spark.kernels.complexity import compute_k_block
+
+    shell, holes, pts, streets = giant_block(2330)
+    t0 = time.time()
+    row = compute_k_block(shell, holes, pts, streets)
+    wall = time.time() - t0
+    assert row["building_count"] == 2330
+    assert row["k_complexity"] >= 10
+    assert wall < 10.0, f"10x-median block took {wall:.1f}s (expected ~0.5s)"
