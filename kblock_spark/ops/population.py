@@ -75,6 +75,11 @@ def allocate_population(
     blocks: (block_id, gadm_code, ring_sizes, coords).
     """
     box_cells = make_box_cells_udf(cell_deg)
+    # a raster carrying a per-pixel admin assignment drives the
+    # per-admin stage-3 residual; rename it so it never collides with
+    # the buildings'/blocks' gadm_code through stages 1-2
+    if "gadm_code" in pixels.columns:
+        pixels = pixels.withColumnRenamed("gadm_code", "__px_gadm")
     px = pixels.withColumn(
         "cell", F.explode(box_cells("xmin", "ymin", "xmax", "ymax"))
     )
@@ -129,22 +134,64 @@ def allocate_population(
     )
     done2 = s2.select("pixel_id").distinct()
 
-    # ---- stage 3: pixels touching nothing → building-area shares
-    # (the reference allocates residuals inside the admin unit,
-    # batch_3:312-318; the synthetic raster carries no admin assignment
-    # for out-of-extent pixels, so the share denominator is the whole
-    # layer). Both scalars stay IN THE PLAN as broadcast one-row
+    # ---- stage 3: pixels touching nothing → building-area shares.
+    # The reference allocates residuals INSIDE the admin unit
+    # (batch_3:312-318): when the pixel carries a gadm_code, each
+    # unit's residual pool is shared over that unit's building area.
+    # Pools that cannot be absorbed per-admin (NULL gadm_code — the
+    # synthetic raster's out-of-extent pixels — or an admin unit with
+    # zero building area) roll into a GLOBAL pool so conservation
+    # holds exactly. All scalars stay IN THE PLAN as broadcast one-row
     # aggregates — no global single-partition window, no driver
     # collect: the round-1 version exchanged the full block table into
     # one task at this step.
     resid3 = resid.join(done2, "pixel_id", "left_anti")
-    total3 = resid3.agg(
-        F.coalesce(F.sum(pop_col), F.lit(0.0)).alias("__resid_pop")
-    )
     ba = buildings.groupBy("block_id", "gadm_code").agg(
         F.sum("building_area").alias("ba")
     )
     ba_tot = ba.agg(F.sum("ba").alias("__ba_total"))
+    if "__px_gadm" in resid3.columns:
+        r3 = resid3.select(
+            F.col(pop_col).alias("__p"), F.col("__px_gadm").alias("px_gadm")
+        )
+        tot_admin = (
+            r3.where(F.col("px_gadm").isNotNull())
+            .groupBy("px_gadm")
+            .agg(F.sum("__p").alias("__resid_pop_admin"))
+        )
+        ba_admin = ba.groupBy("gadm_code").agg(F.sum("ba").alias("__ba_admin"))
+        absorb = tot_admin.join(
+            ba_admin.where(F.col("__ba_admin") > 0),
+            tot_admin["px_gadm"] == ba_admin["gadm_code"],
+        ).select("gadm_code", "__resid_pop_admin", "__ba_admin")
+        alloc3a = (
+            ba.join(absorb, "gadm_code")
+            .withColumn(
+                "pop_s3",
+                F.col("__resid_pop_admin") * F.col("ba") / F.col("__ba_admin"),
+            )
+            .select("block_id", "gadm_code", "pop_s3")
+        )
+        orphan = (
+            tot_admin.join(
+                absorb.select(F.col("gadm_code").alias("px_gadm")),
+                "px_gadm",
+                "left_anti",
+            )
+            .agg(F.coalesce(F.sum("__resid_pop_admin"), F.lit(0.0)).alias("__o"))
+        )
+        null_pool = (
+            r3.where(F.col("px_gadm").isNull())
+            .agg(F.coalesce(F.sum("__p"), F.lit(0.0)).alias("__n"))
+        )
+        total3 = null_pool.crossJoin(orphan).select(
+            (F.col("__n") + F.col("__o")).alias("__resid_pop")
+        )
+    else:
+        alloc3a = None
+        total3 = resid3.agg(
+            F.coalesce(F.sum(pop_col), F.lit(0.0)).alias("__resid_pop")
+        )
     alloc3 = (
         ba.crossJoin(F.broadcast(ba_tot))
         .crossJoin(F.broadcast(total3))
@@ -153,6 +200,12 @@ def allocate_population(
         )
         .select("block_id", "gadm_code", "pop_s3")
     )
+    if alloc3a is not None:
+        alloc3 = (
+            alloc3.unionByName(alloc3a)
+            .groupBy("block_id", "gadm_code")
+            .agg(F.sum("pop_s3").alias("pop_s3"))
+        )
 
     out = (
         blocks.select("block_id", "gadm_code")

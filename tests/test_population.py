@@ -57,3 +57,67 @@ def test_rescale_to_target(popdata):
     adj = rescale_to_target(alloc, 12345.0)
     got = adj.agg(F.sum("allocated_population_adj")).collect()[0][0]
     assert got == pytest.approx(12345.0, rel=1e-9)
+
+
+def test_stage3_per_admin_residual(spark, popdata):
+    """batch_3:312-318: when the raster carries an admin assignment,
+    each unit's residual pool is shared within that unit — two admin
+    units with different residual pools must get different shares,
+    NULL-admin pools fall back globally, and conservation still holds
+    exactly."""
+    pixels, buildings, blocks, _ = popdata
+    admins = sorted(
+        r["gadm_code"]
+        for r in buildings.select("gadm_code").distinct().collect()
+    )
+    assert len(admins) >= 2
+    g0, g1 = admins[0], admins[1]
+    # pixels far outside the extent → guaranteed stage-3 residuals,
+    # with per-admin pools of very different size + one NULL pool
+    extra = spark.createDataFrame(
+        [
+            (900001, 50.0, 50.0, 50.004, 50.004, 1000.0, g0),
+            (900002, 51.0, 51.0, 51.004, 51.004, 10.0, g1),
+            (900003, 52.0, 52.0, 52.004, 52.004, 7.0, None),
+        ],
+        "pixel_id long, xmin double, ymin double, xmax double, ymax double, population double, gadm_code string",
+    )
+    base = pixels.withColumn("gadm_code", F.lit(None).cast("string"))
+    px = base.unionByName(extra)
+    alloc = allocate_population(px, buildings, blocks).cache()
+
+    total_pix = px.agg(F.sum("population")).collect()[0][0]
+    total_alloc = alloc.agg(F.sum("allocated_population")).collect()[0][0]
+    assert total_alloc == pytest.approx(total_pix, rel=1e-9)
+
+    # compare against the all-global allocation: g0's blocks must gain
+    # much more than g1's (1000 vs 10 routed INSIDE each unit)
+    glob = allocate_population(
+        px.drop("gadm_code"), buildings, blocks
+    ).withColumnRenamed("allocated_population", "glob_pop")
+    d = (
+        alloc.join(glob, ["block_id", "gadm_code"])
+        .groupBy("gadm_code")
+        .agg(F.sum(F.col("allocated_population") - F.col("glob_pop")).alias("delta"))
+        .collect()
+    )
+    delta = {r["gadm_code"]: r["delta"] for r in d}
+    # each unit's net gain vs global ≈ its own pool minus its global
+    # share of the (1000+10) pool — g0 gains, g1 loses
+    assert delta[g0] > 100.0
+    assert delta[g1] < 0.0
+
+
+def test_stage3_orphan_admin_pool_falls_back_globally(spark, popdata):
+    """A residual pool keyed to an admin unit with zero building area
+    must roll into the global pool, not vanish."""
+    pixels, buildings, blocks, _ = popdata
+    extra = spark.createDataFrame(
+        [(900009, 60.0, 60.0, 60.004, 60.004, 55.0, "ZZZ.404_1")],
+        "pixel_id long, xmin double, ymin double, xmax double, ymax double, population double, gadm_code string",
+    )
+    px = pixels.withColumn("gadm_code", F.lit(None).cast("string")).unionByName(extra)
+    alloc = allocate_population(px, buildings, blocks)
+    total_pix = px.agg(F.sum("population")).collect()[0][0]
+    total_alloc = alloc.agg(F.sum("allocated_population")).collect()[0][0]
+    assert total_alloc == pytest.approx(total_pix, rel=1e-9)
