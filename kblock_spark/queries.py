@@ -1524,6 +1524,55 @@ def s01_stream_tile_rollup(spark, sf_dir):
     )
 
 
+# s02 — stream-side exact dedup (streaming/dedup.py): the documents
+# table plus 50 injected duplicates is drained as one drop through the
+# seen-fingerprint stateful deduper; the kept set (min doc_id per
+# fingerprint + dup count) is deterministic, so unlike s01 this
+# streaming query IS oracle-checked — DuckDB reproduces it as
+# GROUP BY fp → min(doc_id).
+
+def s02_stream_dedup(spark, sf_dir):
+    import tempfile
+
+    from .streaming.dedup import stream_dedup_stateful
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    drop = d.unionByName(dup).withColumn("fp", _h12("text"))
+    base = tempfile.mkdtemp(prefix="kblock_sdedup_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    # one file → one micro-batch → the keeper is the global min doc_id
+    drop.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, fp long").parquet(src)
+    kept = stream_dedup_stateful(stream)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        kept.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("fp", "doc_id", "n_dups")
+
+
+S02_SQL = f"""
+WITH drop0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+fps AS (SELECT {_H12_SQL.format(x='text')} AS fp, doc_id FROM drop0)
+SELECT fp, MIN(doc_id)::BIGINT AS doc_id, (COUNT(*) - 1)::BIGINT AS n_dups
+FROM fps GROUP BY fp
+"""
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -1597,4 +1646,5 @@ REGISTRY: dict = {
     "geo_dissolve": (geo_dissolve, None),
     "geo_linearity": (geo_linearity, None),
     "s01_stream_tile_rollup": (s01_stream_tile_rollup, None),
+    "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
 }
