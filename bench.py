@@ -43,8 +43,12 @@ BENCH_QUERIES = [
     "d07_minhash_lsh_pairs",
     "d08_simhash",
     "d09_regex_tokens",
+    "d10_dup_components",
+    "d12_winnowing_fingerprints",
     "e01_ann_cosine_topk",
     "e02_embedding_dup_pairs",
+    "e05_ivf_ann_topk",
+    "s02_stream_dedup",
 ]
 
 GEO_NX = GEO_NY = 8
