@@ -1323,6 +1323,39 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+# e06 — embedding near-dup CLUSTERS: the dedup finisher composed over
+# the vector modality (e02 exact ε-pairs → distributed connected
+# components with keeper semantics — the same ops/components.py
+# machinery d10 oracle-proved over MinHash pairs). Oracle: DuckDB
+# WITH RECURSIVE transitive closure over the e02 pair SQL.
+
+def e06_embedding_dup_clusters(spark, sf_dir):
+    from .ops.components import dup_clusters
+
+    pairs = e02_embedding_dup_pairs(spark, sf_dir)
+    return dup_clusters(pairs, src="vec_a", dst="vec_b").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("keeper_doc_id").alias("keeper_vec_id"),
+        "is_keeper",
+    )
+
+
+_E06_PAIRS = "WITH" + E02_SQL.split("WITH", 1)[1]
+E06_SQL = f"""
+WITH RECURSIVE pairs AS ({_E06_PAIRS}),
+sym AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS vec_id, MIN(v) AS keeper_vec_id, MIN(v) = u AS is_keeper
+FROM reach GROUP BY u
+"""
+
+
 # geo_linearity — §2.8 street linearity metric (momepy.Linearity,
 # batch_5:576-595): per-street endpoint-chord/length ratio +
 # length-weighted mean per country. Synthetic streets (no DuckDB
@@ -1632,6 +1665,7 @@ REGISTRY: dict = {
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),
     "e05_ivf_ann_topk": (e05_ivf_ann_topk, None),
+    "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
     # media_features sits BEFORE the geo block: it was the only
     # registry entry missing from CORRECTNESS_r02 (a last-position
     # enumeration artifact — it runs fine under the driver contract)
