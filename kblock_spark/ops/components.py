@@ -30,12 +30,15 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # lazy: the first round's own actions materialize both (reused
+    # from the checkpoint thereafter) — eager would spend two extra
+    # jobs before any propagation work
+    sym = sym.distinct().localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # (1) min neighbor label per vertex (hash-to-min)
@@ -57,6 +60,9 @@ def connected_components(
         lut = stepped.select(
             F.col("id").alias("__lid"), F.col("component").alias("__lcomp")
         )
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it — one job per round instead of two
+        # (an eager checkpoint ran its own job before the count)
         jumped = (
             stepped.join(lut, stepped.component == F.col("__lid"), "left")
             .select(
@@ -65,7 +71,7 @@ def connected_components(
                     F.col("component"), F.coalesce("__lcomp", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             jumped.alias("n")
