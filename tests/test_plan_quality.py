@@ -161,3 +161,13 @@ def test_pip_salted_shuffle_path_parity(spark):
     ka = {tuple(r) for r in base["complexity"].collect()}
     kb = {tuple(r) for r in salted["complexity"].collect()}
     assert ka == kb
+
+
+def test_e02_plan_has_no_join_at_all(spark):
+    """Round-3 shape: assignment → per-list GEMM kernel → dedup. The
+    candidate generation is join-free (pairs materialize only inside
+    tasks), so ANY join node in the plan is a regression."""
+    from kblock_spark.queries import e02_embedding_dup_pairs
+
+    plan = _plan(e02_embedding_dup_pairs(spark, SF))
+    assert "Join" not in plan, plan

@@ -49,3 +49,56 @@ def test_shapefile_ids_unique_across_files_and_feeds_pip(spark, tmp_path):
 
     polys = df.select(F.col("feature_id").alias("block_id"), "ring_sizes", "coords")
     assert polygons_with_cells(polys, cell_deg=0.5).count() >= 4
+
+
+def test_shapefile_property_roundtrip(spark, tmp_path):
+    """Property round-trip: random multi-part polygons/polylines
+    survive write→read bit-exactly (coords are raw little-endian
+    doubles — no precision loss is acceptable)."""
+    from hypothesis import given, settings, strategies as st
+
+    coord = st.floats(
+        min_value=-180.0, max_value=180.0,
+        allow_nan=False, allow_infinity=False, width=64,
+    )
+
+    def ring(points):
+        flat = [c for xy in points for c in xy]
+        return flat + flat[:2]  # close the ring
+
+    ring_st = st.lists(
+        st.tuples(coord, coord), min_size=3, max_size=8
+    ).map(ring)
+    shape_st = st.one_of(
+        st.tuples(st.just(5), st.lists(ring_st, min_size=1, max_size=3)),
+        st.tuples(
+            st.just(3),
+            st.lists(
+                st.lists(st.tuples(coord, coord), min_size=2, max_size=6).map(
+                    lambda pts: [c for xy in pts for c in xy]
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+    )
+
+    counter = {"i": 0}
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(shape_st, min_size=1, max_size=4))
+    def check(shapes):
+        counter["i"] += 1
+        p = str(tmp_path / f"prop_{counter['i']}.shp")
+        write_shapefile(p, shapes)
+        got = sorted(
+            read_shapefile(spark, p).collect(),
+            key=lambda r: int(r["feature_id"].split(":")[1]),
+        )
+        assert len(got) == len(shapes)
+        for (stype, parts), row in zip(shapes, got):
+            assert row["ring_sizes"] == [len(part) // 2 for part in parts]
+            want = [c for part in parts for c in part]
+            assert row["coords"] == want  # bit-exact
+
+    check()
