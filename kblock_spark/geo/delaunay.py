@@ -20,6 +20,11 @@ import numpy as np
 
 _EPS = 1e-12
 
+# sweep-retirement cadence: every N insertions the scan set drops
+# triangles whose circumcircle lies left of the front (cheap filter,
+# conservative — margin below). Tuned by measurement in round 3.
+_COMPACT_EVERY = 8
+
 
 def _circumcircles(pts: np.ndarray, tris: np.ndarray):
     """Vectorized circumcenter + squared radius for triangle index
@@ -97,7 +102,7 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
         p = allp[ip]
         live = active[alive[active]]
         since_compact += 1
-        if since_compact >= 64:
+        if since_compact >= _COMPACT_EVERY:
             live = live[reach[live] >= p[0] - margin]
             since_compact = 0
         active = live
@@ -110,22 +115,33 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
             inside[int(np.argmin(d2 - r2[live]))] = True
         bad = live[inside]
         # cavity boundary: edges used exactly once among bad triangles.
-        # Scalar-encode (lo, hi) → lo*(m+3)+hi and count on sorted 1-D
-        # keys — ~5× cheaper than np.unique(axis=0) on the small
-        # per-insertion cavities this loop sees.
+        # Typical cavities are 4-8 triangles, where numpy dispatch
+        # overhead dominates — count them in plain python dicts; large
+        # cavities (degenerate inputs) fall back to the vectorized
+        # sorted-key counting.
         bt = tris[bad]
-        e = np.concatenate([bt[:, [0, 1]], bt[:, [1, 2]], bt[:, [2, 0]]])
-        lo = np.minimum(e[:, 0], e[:, 1])
-        hi = np.maximum(e[:, 0], e[:, 1])
-        key = lo * np.int64(m + 3) + hi
-        order_k = np.argsort(key, kind="stable")
-        ks = key[order_k]
-        first = np.ones(len(ks), dtype=bool)
-        first[1:] = ks[1:] != ks[:-1]
-        last = np.ones(len(ks), dtype=bool)
-        last[:-1] = ks[1:] != ks[:-1]
-        once = order_k[first & last]
-        boundary = np.stack([lo[once], hi[once]], axis=1)
+        if len(bt) <= 16:
+            counts: dict[tuple[int, int], int] = {}
+            for ta, tb, tc in bt.tolist():
+                for u, v in ((ta, tb), (tb, tc), (tc, ta)):
+                    k2 = (u, v) if u < v else (v, u)
+                    counts[k2] = counts.get(k2, 0) + 1
+            boundary = np.array(
+                [k2 for k2, n2 in counts.items() if n2 == 1], dtype=np.int64
+            ).reshape(-1, 2)
+        else:
+            e = np.concatenate([bt[:, [0, 1]], bt[:, [1, 2]], bt[:, [2, 0]]])
+            lo = np.minimum(e[:, 0], e[:, 1])
+            hi = np.maximum(e[:, 0], e[:, 1])
+            key = lo * np.int64(m + 3) + hi
+            order_k = np.argsort(key, kind="stable")
+            ks = key[order_k]
+            first = np.ones(len(ks), dtype=bool)
+            first[1:] = ks[1:] != ks[:-1]
+            last = np.ones(len(ks), dtype=bool)
+            last[:-1] = ks[1:] != ks[:-1]
+            once = order_k[first & last]
+            boundary = np.stack([lo[once], hi[once]], axis=1)
         alive[bad] = False
         nb = len(boundary)
         if ntri + nb > cap:
