@@ -176,6 +176,12 @@ def _packed_k_iter(batches):
                 if b_lons is not None and len(b_lons)
                 else np.zeros((0, 2))
             )
+            # canonical point order: collect_list order depends on the
+            # upstream join/dedupe plan, and the kernel's float sums
+            # (centroid, layer peel seeds) are association-order
+            # sensitive — lexsort makes every join strategy
+            # (broadcast / salted shuffle / local dedupe) bit-identical
+            pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
             lines = _unpack_streets(street_lines)
             row = compute_k_block(shell, holes, pts, lines)
             row["block_id"] = block_id
@@ -236,6 +242,11 @@ def _packed_layers_iter(batches):
                 ],
                 axis=1,
             )
+            # same canonical order as _packed_k_iter, with urls
+            # permuted alongside their points
+            order = np.lexsort((pts[:, 1], pts[:, 0]))
+            pts = pts[order]
+            urls = np.asarray(urls, dtype=object)[order]
             lines = _unpack_streets(street_lines)
             row = compute_k_block(shell, holes, pts, lines)
             outs.append(

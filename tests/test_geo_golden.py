@@ -22,7 +22,11 @@ GOLDEN = {
     "e04_lsh_ann_topk": ("c8667a229b4690c5", 100),
     "geo_blocks": ("4f5d0bfa82259dcc", 28),
     "geo_pip_join": ("0e9e725f5f465342", 28),
-    "geo_k_complexity": ("b5f1d5ecd20406ea", 28),
+    # re-frozen in round 3: the packing layer now lexsorts building
+    # points before the kernel (canonical association order for the
+    # kernel's float sums — bit-stable under ANY join/dedupe plan);
+    # only nearest_external_street float tails moved (~1e-10)
+    "geo_k_complexity": ("9ced17f0b1fac6e5", 28),
     "geo_population": ("c1fe51fbfe1c43ce", 28),
     "geo_knn": ("c5643f2f2332921a", 240),
     "geo_dissolve": ("09159e0763dc6f43", 4),
