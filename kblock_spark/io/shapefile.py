@@ -92,23 +92,120 @@ def _parse_shp(blob: bytes, path: str) -> list[dict]:
     return out
 
 
-def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
-    """.shp file(s) → packed-geometry DataFrame (one task per file)."""
+def _parse_dbf(blob: bytes) -> list[dict]:
+    """dBASE III .dbf attribute table (public format: fixed-width
+    records after 32-byte header + 32-byte field descriptors) →
+    list of {field: string} per active record, in record order
+    (record i pairs with .shp record number i+1)."""
+    if len(blob) < 32:
+        return []
+    nrec = struct.unpack("<i", blob[4:8])[0]
+    hdr_size, rec_size = struct.unpack("<hh", blob[8:12])
+    fields = []
+    off = 32
+    while off + 32 <= hdr_size and blob[off] != 0x0D:
+        raw_name = blob[off : off + 11].split(b"\x00")[0]
+        ftype = chr(blob[off + 11])
+        flen = blob[off + 16]
+        fields.append((raw_name.decode("ascii", "replace"), ftype, flen))
+        off += 32
+    out = []
+    pos = hdr_size
+    for _ in range(nrec):
+        if pos + rec_size > len(blob):
+            break
+        rec = blob[pos : pos + rec_size]
+        pos += rec_size
+        if rec[:1] == b"\x2a":  # deleted
+            continue
+        vals = {}
+        o = 1
+        for name, ftype, flen in fields:
+            raw = rec[o : o + flen]
+            o += flen
+            vals[name] = raw.decode("latin-1").strip()
+        out.append(vals)
+    return out
+
+
+def read_shapefile(
+    spark: SparkSession, path: str, with_attributes: bool = False
+) -> DataFrame:
+    """.shp file(s) → packed-geometry DataFrame (one task per file).
+
+    with_attributes=True also parses each file's sibling ``.dbf``
+    (record i ↔ shape record i+1 — the shapefile spec's pairing) into
+    a ``properties map<string,string>`` column, the same schemaless
+    wire form the GeoJSON source uses. The sibling is opened through
+    the local filesystem (the reference's one-shapefile-per-country
+    layout ships sidecars next to the .shp); on an object store, load
+    the .dbf table separately and join on the record number instead."""
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    schema = SHAPEFILE_SCHEMA
+    if with_attributes:
+        schema += ", properties map<string,string>"
 
     def parse(batches):
         for pdf in batches:
             for p, blob in zip(pdf["path"], pdf["content"]):
                 rows = _parse_shp(bytes(blob), str(p))
-                if rows:
-                    yield pd.DataFrame(
-                        rows,
-                        columns=[
-                            "feature_id", "geom_type", "ring_sizes", "coords",
-                        ],
-                    )
+                if not rows:
+                    continue
+                out = pd.DataFrame(
+                    rows,
+                    columns=["feature_id", "geom_type", "ring_sizes", "coords"],
+                )
+                if with_attributes:
+                    local = str(p)
+                    if local.startswith("file:"):
+                        local = local[5:]
+                        while local.startswith("//"):
+                            local = local[1:]
+                    dbf_path = local.rsplit(".", 1)[0] + ".dbf"
+                    attrs: list[dict] = []
+                    try:
+                        with open(dbf_path, "rb") as f:
+                            attrs = _parse_dbf(f.read())
+                    except OSError:
+                        pass
+                    by_rec = {i + 1: a for i, a in enumerate(attrs)}
+                    out["properties"] = [
+                        by_rec.get(int(fid.split(":")[1]), {})
+                        for fid in out["feature_id"]
+                    ]
+                yield out
 
-    return raw.mapInPandas(parse, SHAPEFILE_SCHEMA)
+    return raw.mapInPandas(parse, schema)
+
+
+def write_dbf(path: str, records: list[dict], field_len: int = 32):
+    """Minimal dBASE III writer (tests only): all fields type C."""
+    names = sorted({k for r in records for k in r})
+    nf = len(names)
+    rec_size = 1 + nf * field_len
+    hdr_size = 32 + nf * 32 + 1
+    hdr = bytearray(32)
+    hdr[0] = 0x03
+    hdr[1:4] = b"\x5f\x01\x01"
+    hdr[4:8] = struct.pack("<i", len(records))
+    hdr[8:12] = struct.pack("<hh", hdr_size, rec_size)
+    body = bytearray(bytes(hdr))
+    for n in names:
+        fd = bytearray(32)
+        fd[0:11] = n.encode("ascii")[:11].ljust(11, b"\x00")
+        fd[11] = ord("C")
+        fd[16] = field_len
+        body += fd
+    body += b"\x0d"
+    for r in records:
+        body += b"\x20"
+        for n in names:
+            body += str(r.get(n, "")).encode("latin-1")[:field_len].ljust(
+                field_len, b" "
+            )
+    body += b"\x1a"
+    with open(path, "wb") as f:
+        f.write(bytes(body))
 
 
 def write_shapefile(path: str, shapes: list[tuple[int, list[list[float]]]]):

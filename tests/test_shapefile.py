@@ -102,3 +102,28 @@ def test_shapefile_property_roundtrip(spark, tmp_path):
             assert row["coords"] == want  # bit-exact
 
     check()
+
+
+def test_shapefile_dbf_attributes(spark, tmp_path):
+    """with_attributes joins the sibling .dbf by record number (the
+    spec's pairing); missing sidecars degrade to empty maps."""
+    from kblock_spark.io.shapefile import write_dbf
+
+    p = str(tmp_path / "c.shp")
+    write_shapefile(p, [(5, [SQUARE]), (5, [[x + 2 for x in SQUARE]])])
+    write_dbf(
+        str(tmp_path / "c.dbf"),
+        [{"NAME": "alpha", "POP": "120"}, {"NAME": "beta", "POP": "7"}],
+    )
+    rows = sorted(
+        read_shapefile(spark, p, with_attributes=True).collect(),
+        key=lambda r: int(r["feature_id"].split(":")[1]),
+    )
+    assert rows[0]["properties"] == {"NAME": "alpha", "POP": "120"}
+    assert rows[1]["properties"] == {"NAME": "beta", "POP": "7"}
+
+    # no sidecar → empty properties, no crash
+    q = str(tmp_path / "lonely.shp")
+    write_shapefile(q, [(5, [SQUARE])])
+    row = read_shapefile(spark, q, with_attributes=True).collect()[0]
+    assert row["properties"] == {}
