@@ -671,6 +671,81 @@ FROM orders
 """
 
 
+# q26 — A13: hierarchical rollup (GROUPING SETS). Spark .rollup() =
+# DuckDB GROUP BY ROLLUP; grouping_id disambiguates real NULL keys
+# from subtotal rows. Decimal-exact sums, one cast to double (q01
+# convention).
+
+def q26_rollup_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+Q26_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+       COUNT(*) AS n_orders,
+       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# q27 — as-of join (ops/asof.py): each event picks the user's most
+# recent order at or before the event time — the point-in-time lookup
+# of every event/training pipeline, formulated as ONE shuffle + sort
+# (union-tag + last-non-null window), never a per-key range
+# explosion. Oracle: DuckDB's native ASOF JOIN over the identically
+# deduped right side.
+
+def q27_asof_join(spark, sf_dir):
+    from .ops.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    res = asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
+Q27_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey,
+         MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id,
+       o.o_orderkey AS asof_orderkey,
+       o.o_totalprice AS asof_totalprice
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 # ============================================ training-data ops: text
 
 # d01 — token counting (whitespace tokenizer)
@@ -1645,6 +1720,8 @@ REGISTRY: dict = {
     "q23_right_join_order_rollup": (q23_right_join_order_rollup, Q23_SQL),
     "q24_group_id_assignment": (q24_group_id_assignment, Q24_SQL),
     "q25_windowed_count": (q25_windowed_count, Q25_SQL),
+    "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
+    "q27_asof_join": (q27_asof_join, Q27_SQL),
     # text / dedup
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
