@@ -746,6 +746,63 @@ FROM events e ASOF LEFT JOIN o
 """
 
 
+# q28 — A14: grouped EXACT percentiles (Spark `percentile` ↔ DuckDB
+# `quantile_cont`, both linear-interpolating). Quantities are
+# integer-valued, so the interpolation arithmetic is float64-exact in
+# both engines.
+
+def q28_grouped_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+Q28_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# q29 — §2.8 semi-structured extraction: the events table's props
+# column is a JSON string (the web-pipeline shape); extract a field
+# path and aggregate. get_json_object ↔ json_extract_string.
+
+def q29_json_extraction(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.count_distinct("k").alias("k_distinct"),
+        )
+    )
+
+
+Q29_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+       MAX(json_extract_string(props, '$.k')::BIGINT) AS k_max,
+       COUNT(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS k_distinct
+FROM events GROUP BY event_type
+"""
+
+
 # ============================================ training-data ops: text
 
 # d01 — token counting (whitespace tokenizer)
@@ -1722,6 +1779,8 @@ REGISTRY: dict = {
     "q25_windowed_count": (q25_windowed_count, Q25_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
+    "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
+    "q29_json_extraction": (q29_json_extraction, Q29_SQL),
     # text / dedup
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
