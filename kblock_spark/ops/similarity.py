@@ -230,7 +230,6 @@ _GEMM_TILE_ELEMS = 4_000_000
 def exact_dup_pairs_blocked(
     emb: DataFrame,
     threshold: float,
-    dim: int = 64,
     k_lists: int = 16,
     home_splits: int = 1,
     id_col: str = "vec_id",

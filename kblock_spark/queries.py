@@ -1439,7 +1439,7 @@ def e02_embedding_dup_pairs(spark, sf_dir):
     from .ops.similarity import exact_dup_pairs_blocked
 
     e = _t(spark, sf_dir, "embeddings")
-    return exact_dup_pairs_blocked(e, _DUP_COS, dim=64).select(
+    return exact_dup_pairs_blocked(e, _DUP_COS).select(
         "vec_a", "vec_b", "cosine"
     )
 

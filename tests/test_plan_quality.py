@@ -73,7 +73,7 @@ def test_e02_blocked_matches_bruteforce(spark):
     for thr in (0.5, 0.8, 0.95):
         got = {
             (r["vec_a"], r["vec_b"])
-            for r in exact_dup_pairs_blocked(emb, thr, dim=dim).collect()
+            for r in exact_dup_pairs_blocked(emb, thr).collect()
         }
         want = {
             (i, j)

@@ -142,7 +142,7 @@ def test_e02_ivf_blocking_actually_prunes(spark):
         got = {
             (r["vec_a"], r["vec_b"])
             for r in exact_dup_pairs_blocked(
-                emb, thr, dim=32, k_lists=16, home_splits=splits
+                emb, thr, k_lists=16, home_splits=splits
             ).collect()
         }
         assert got == want, f"splits={splits}: {len(got ^ want)} diffs"
