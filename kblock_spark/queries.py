@@ -1221,6 +1221,120 @@ FROM fps GROUP BY doc_id
 """
 
 
+# d13 — token-window document chunking (the context-window prep every
+# training pipeline runs: window 100 tokens, stride 80, 20-token
+# overlap; short docs yield one chunk). Identical integer chunk-count
+# arithmetic in both engines: n_chunks = max((n+59) div 80, 1).
+
+_CHUNK_W, _CHUNK_S = 100, 80
+
+
+def d13_token_chunking(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    # (n + 59) div 80, floored — written as floor(double), which
+    # equals integer division for positive ints
+    n_chunks = F.greatest(
+        F.floor((n + F.lit(_CHUNK_W - _CHUNK_S - 1)) / F.lit(_CHUNK_S)).cast("bigint"),
+        F.lit(1),
+    )
+    chunked = d.select(
+        "doc_id",
+        toks.alias("w"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("w"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        _h12(F.array_join(piece, " ")).alias("chunk_fp"),
+    )
+
+
+D13_SQL = f"""
+SELECT doc_id, i AS chunk_id,
+       len(w[(i*{_CHUNK_S})+1 : (i*{_CHUNK_S})+{_CHUNK_W}])::BIGINT AS n_chunk_tokens,
+       {_H12_SQL.format(x=f"array_to_string(w[(i*{_CHUNK_S})+1 : (i*{_CHUNK_S})+{_CHUNK_W}], ' ')")} AS chunk_fp
+FROM (SELECT doc_id, string_split(text,' ') w FROM documents),
+     UNNEST(range(0, greatest((len(w)+{_CHUNK_W - _CHUNK_S - 1})//{_CHUNK_S}, 1))) t(i)
+"""
+
+
+# d14 — pattern scrubbing (the PII-redaction primitive: count matches
+# of a pattern and measure the redacted length; the synthetic corpus
+# carries no real PII, so the exercised pattern is a corpus-present
+# token shape — the operator is the point, RE2∩Java-safe regex).
+
+_SCRUB_RE = "s[a-z]+k"
+
+
+def d14_pattern_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_SCRUB_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_matches"),
+        F.length(F.regexp_replace("text", _SCRUB_RE, "<X>"))
+        .cast("bigint")
+        .alias("scrubbed_len"),
+    )
+
+
+D14_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_SCRUB_RE}'))::BIGINT AS n_matches,
+       length(regexp_replace(text, '{_SCRUB_RE}', '<X>', 'g'))::BIGINT AS scrubbed_len
+FROM documents
+"""
+
+
+# d15 — stratified class rebalancing: deterministic hash-mod
+# downsampling so every lang keeps ≈ the smallest class's count
+# (keep_permille = min_count*1000 div count_lang — integer arithmetic,
+# identical in both engines; the md5-mod filter makes the kept SET
+# deterministic, not just the size — the reproducible-sampling
+# property a training pipeline needs for re-runs).
+
+def d15_stratified_rebalance(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    min_cnt = cnt.agg(F.min("n_total").alias("__min"))
+    rates = cnt.crossJoin(F.broadcast(min_cnt)).select(
+        "lang", "n_total",
+        F.floor(F.col("__min") * 1000 / F.col("n_total")).cast("bigint").alias("keep_permille"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .where(F.pmod(_h12(F.col("doc_id").cast("string")), F.lit(1000)) < F.col("keep_permille"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang", "n_total", "keep_permille",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+D15_SQL = f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, n_total,
+         ((SELECT MIN(n_total) FROM cnt) * 1000) // n_total AS keep_permille
+  FROM cnt),
+kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE {_H12_SQL.format(x="d.doc_id::VARCHAR")} % 1000 < r.keep_permille
+  GROUP BY d.lang)
+SELECT r.lang, r.n_total, r.keep_permille::BIGINT AS keep_permille,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+"""
+
+
 # d11 — repetition-based quality filters (the Gopher/C4 family:
 # duplicated-top-bigram fraction and max single-token dominance —
 # documents dominated by repeated fragments are low-quality training
@@ -1795,6 +1909,9 @@ REGISTRY: dict = {
     "d10_dup_components": (d10_dup_components, D10_SQL),
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
+    "d13_token_chunking": (d13_token_chunking, D13_SQL),
+    "d14_pattern_scrub": (d14_pattern_scrub, D14_SQL),
+    "d15_stratified_rebalance": (d15_stratified_rebalance, D15_SQL),
     # similarity / ANN
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
