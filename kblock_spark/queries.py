@@ -1852,6 +1852,72 @@ FROM fps GROUP BY fp
 """
 
 
+# s03 — STREAMING session windows (F.session_window), oracle-checked:
+# gap-sessionization of the events table in a stream, flushed to
+# exactly the batch result. Spark's streaming session-window state is
+# evicted per KEY (a watermark advance alone does not finalize an
+# untouched user's last session — measured: 7 of 9,549 sessions stuck
+# at sf0.01 with a single global sentinel), so the flush appends one
+# far-future sentinel event PER USER; sentinel sessions are excluded
+# by their start time. session_window semantics: new session when the
+# gap is ≥ the 30-minute window (strict), hence >= in the oracle —
+# q21's lag-based formulation uses > and is a different query.
+
+def s03_stream_session_windows(spark, sf_dir):
+    import tempfile
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    base = tempfile.mkdtemp(prefix="kblock_s03_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+    sent = e.select("user_id").distinct().select(
+        "user_id", F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    sess = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("sw.start") < F.lit("2029-01-01").cast("timestamp"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("user_id", "session_start", "n_events")
+
+
+S03_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -1934,4 +2000,5 @@ REGISTRY: dict = {
     "geo_linearity": (geo_linearity, None),
     "s01_stream_tile_rollup": (s01_stream_tile_rollup, None),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
+    "s03_stream_session_windows": (s03_stream_session_windows, S03_SQL),
 }
