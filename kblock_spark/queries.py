@@ -746,6 +746,42 @@ FROM events e ASOF LEFT JOIN o
 """
 
 
+# q30 — U4/U5: INTERSECT and EXCEPT ALL set operations (customers
+# active in BOTH halves of the order history vs early-only, with
+# multiplicity preserved on the EXCEPT ALL side).
+
+_Q30_SPLIT = "2024-04-01"
+
+
+def q30_set_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    split = F.lit(_Q30_SPLIT).cast("timestamp_ntz")
+    early = o.where(F.col("o_orderdate") < split).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= split).select("o_custkey")
+    both = early.intersect(late).select(
+        "o_custkey", F.lit("both").alias("bucket"), F.lit(1).cast("bigint").alias("n")
+    )
+    early_only = (
+        early.exceptAll(late)
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select("o_custkey", F.lit("early_surplus").alias("bucket"), "n")
+    )
+    return both.unionByName(early_only)
+
+
+Q30_SQL = f"""
+WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '{_Q30_SPLIT}'),
+late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{_Q30_SPLIT}')
+SELECT o_custkey, 'both' AS bucket, 1::BIGINT AS n
+FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+UNION ALL
+SELECT o_custkey, 'early_surplus' AS bucket, COUNT(*)::BIGINT AS n
+FROM (SELECT o_custkey FROM early EXCEPT ALL SELECT o_custkey FROM late)
+GROUP BY o_custkey
+"""
+
+
 # q28 — A14: grouped EXACT percentiles (Spark `percentile` ↔ DuckDB
 # `quantile_cont`, both linear-interpolating). Quantities are
 # integer-valued, so the interpolation arithmetic is float64-exact in
@@ -1961,6 +1997,7 @@ REGISTRY: dict = {
     "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
     "q29_json_extraction": (q29_json_extraction, Q29_SQL),
+    "q30_set_ops": (q30_set_ops, Q30_SQL),
     # text / dedup
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
