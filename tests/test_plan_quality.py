@@ -89,7 +89,12 @@ def test_e02_blocked_matches_bruteforce(spark):
     # geo_population crossJoin a ONE-ROW broadcast aggregate (scalar
     # attach — O(N·1), the right plan for a global total; the bad NLJ
     # this sweep hunts is the multi-row kind)
-_CARTESIAN_OK = {"e01_ann_cosine_topk", "geo_k_complexity", "geo_population"}
+# d15's crossJoin is a ONE-ROW broadcast aggregate attach (the global
+# min class count) — O(N·1) by construction, same as geo_population's
+_CARTESIAN_OK = {
+    "e01_ann_cosine_topk", "geo_k_complexity", "geo_population",
+    "d15_stratified_rebalance",
+}
     # queries that trigger driver-side work/iterations when the plan is
     # built — cheap but not needed for this static audit
 _PLAN_AUDIT_SKIP = {"s01_stream_tile_rollup", "e05_ivf_ann_topk",
