@@ -95,16 +95,21 @@ spark.range(0, cores * 4, 1, cores * 4).mapInPandas(_warm, "x long").count()
 admin = spark.createDataFrame(synth_admin({nx}, {ny}))
 streets = spark.createDataFrame(synth_streets({nx}, {ny}, {grid}))
 blocks = delineate_blocks(admin, streets).cache(); blocks.count()
-points = geocoded_points(synth_pages_spark(spark, {pages})).cache()
+# data-derived PIP tile size (results exact at any cell size; only
+# the candidate ratio changes — see suggest_pip_cell_deg)
+from kblock_spark.ops.spatial_join import suggest_pip_cell_deg
+cd = suggest_pip_cell_deg(blocks)
+points = geocoded_points(synth_pages_spark(spark, {pages}), cd).cache()
 n_points = points.count()
 
 # ---- measured: PIP join + k-complexity
 t0 = time.time()
 assigned = assign_points_to_polygons(
     points, blocks, point_cols=["url", "lon", "lat"],
-    poly_key="block_id", poly_cols=["gadm_code"]).cache()
+    poly_key="block_id", poly_cols=["gadm_code"], cell_deg=cd,
+    broadcast_polys=True).cache()
 assigned.count()
-k = compute_k(blocks, assigned, streets)
+k = compute_k(blocks, assigned, streets, cd)
 n_blocks = k.count()
 elapsed = time.time() - t0
 print("GEORESULT " + json.dumps({{

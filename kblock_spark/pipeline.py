@@ -289,7 +289,7 @@ def run_full_build(
     nx: int = 3,
     ny: int = 3,
     grid: int = 3,
-    cell_deg: float = DEFAULT_CELL_DEG,
+    cell_deg: float | None = None,
 ):
     """The reference user's whole per-country job sequence (deploy
     jobs 1b→2→4→3→5) as ONE resumable Spark build: blocks → PIP join →
@@ -348,7 +348,7 @@ def run_pipeline(
     nx: int = 3,
     ny: int = 3,
     grid: int = 3,
-    cell_deg: float = DEFAULT_CELL_DEG,
+    cell_deg: float | None = None,
     broadcast_polys: bool = True,
     salt_buckets: int = 0,
     cache_intermediate: bool = True,
@@ -359,12 +359,20 @@ def run_pipeline(
     blocks/buildings feed multiple downstream branches (kernel
     cogroup, empty-block anti-join, street assignment) — cache them so
     delineation and the PIP join run once (the reference likewise
-    materializes each stage to parquet between batches)."""
+    materializes each stage to parquet between batches).
+
+    cell_deg None → derived from the block size distribution
+    (ops/spatial_join.suggest_pip_cell_deg): results are exact at any
+    cell size, only the candidate ratio changes."""
+    from .ops.spatial_join import suggest_pip_cell_deg
+
     admin = spark.createDataFrame(synth_admin(nx, ny))
     streets = spark.createDataFrame(synth_streets(nx, ny, grid))
     blocks = delineate_blocks(admin, streets)
     if cache_intermediate:
         blocks = blocks.cache()
+    if cell_deg is None:
+        cell_deg = suggest_pip_cell_deg(blocks)
     pages = synth_pages_spark(spark, n_pages)
     points = geocoded_points(pages, cell_deg)
     assigned = assign_points_to_polygons(
