@@ -56,3 +56,16 @@ def test_gpkg_table_select_and_pip_compat(spark, tmp_path):
         F.col("feature_id").alias("block_id"), "ring_sizes", "coords"
     )
     assert polygons_with_cells(polys, cell_deg=0.5).count() >= 4
+
+
+def test_gpkg_rejects_zm_wkb(tmp_path):
+    """Z/M WKB variants are rejected explicitly, never mis-parsed."""
+    import struct
+
+    import pytest
+
+    from kblock_spark.io.gpkg import _parse_wkb
+
+    zpoint = struct.pack("<bI3d", 1, 1001, 1.0, 2.0, 3.0)  # wkbPointZ
+    with pytest.raises(ValueError, match="unsupported WKB"):
+        _parse_wkb(zpoint)

@@ -127,3 +127,16 @@ def test_shapefile_dbf_attributes(spark, tmp_path):
     write_shapefile(q, [(5, [SQUARE])])
     row = read_shapefile(spark, q, with_attributes=True).collect()[0]
     assert row["properties"] == {}
+
+
+def test_shapefile_rejects_corrupt_input(spark, tmp_path):
+    """Bad magic / truncated headers raise clearly instead of
+    mis-parsing silently."""
+    import pytest
+
+    from kblock_spark.io.shapefile import _parse_shp
+
+    with pytest.raises(ValueError, match="magic"):
+        _parse_shp(b"\x00" * 120, "bad.shp")
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_shp(b"\x00" * 10, "short.shp")
