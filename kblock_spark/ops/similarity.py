@@ -364,7 +364,10 @@ def kmeans_fit(
         .collect()
     )
     C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in init_rows])
-    vecs = emb.select(vec_col)
+    # materialize the projected vectors once — each Lloyd's iteration
+    # is a full pass, and without this every pass re-runs the upstream
+    # scan/projection
+    vecs = emb.select(vec_col).localCheckpoint(eager=False)
     for _ in range(iters):
         bc = sc.broadcast(C)
 

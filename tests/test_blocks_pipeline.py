@@ -185,3 +185,29 @@ def test_population_stage2_broadcast_guard(spark, monkeypatch):
         (r["block_id"], round(r["allocated_population"], 9)) for r in rows
     }
     assert key(base) == key(guarded) and len(base) > 5
+
+
+def test_suggest_pip_cell_deg(spark, city):
+    """Derived tile size ≈ ¼ the median block bbox dimension, clamped;
+    empty/degenerate inputs fall back to the fixed default."""
+    from kblock_spark.geo.tiling import DEFAULT_CELL_DEG
+    from kblock_spark.ops.spatial_join import suggest_pip_cell_deg
+
+    _, _, blocks = city
+    cd = suggest_pip_cell_deg(blocks)
+    assert 1e-5 <= cd <= 1.0
+    # sanity: within a decade of median-block-dim/4 for the test city
+    import numpy as np
+
+    dims = [
+        max(
+            max(r["coords"][0::2]) - min(r["coords"][0::2]),
+            max(r["coords"][1::2]) - min(r["coords"][1::2]),
+        )
+        for r in blocks.select("coords").collect()
+    ]
+    want = float(np.median(dims)) / 4
+    assert want / 3 <= cd <= want * 3
+
+    empty = blocks.where("1=0")
+    assert suggest_pip_cell_deg(empty) == DEFAULT_CELL_DEG
