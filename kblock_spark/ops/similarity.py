@@ -486,3 +486,108 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def save_ivf_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Persist an IVF index: the coarse quantizer (tiny parquet of
+    centroid rows) + the inverted lists (vectors partitioned BY list
+    id). Repeated ANN queries then skip the assignment pass and read
+    only the probed lists' partitions — partition pruning does the
+    candidate selection at the storage layer."""
+    spark = emb.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(C)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        cen = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ cen.T)
+                + (cen * cen).sum(axis=1)[None, :]
+            )
+            pdf = pdf.copy()
+            pdf["list_id"] = d2.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<double>, list_id int"
+    )
+    out.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+
+
+def load_ivf_index(spark, path: str):
+    """→ (centroids ndarray, lists DataFrame). The lists DataFrame is
+    hive-partitioned by list_id: a ``.where(list_id IN probes)``
+    prunes to the probed partitions at scan time."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    return C, spark.read.parquet(f"{path}/lists")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over a persisted index: probe partitions by list id (scan
+    prunes to them), exact cosine rerank — same semantics as
+    :func:`ivf_topk` built fresh."""
+    C, lists = load_ivf_index(spark, path)
+    bc = spark.sparkContext.broadcast(C)
+
+    def probes_udf(n_lists: int):
+        @pandas_udf(ArrayType(LongType()))
+        def probes(v: pd.Series) -> pd.Series:
+            cen = bc.value
+            X = np.stack(v.to_numpy()).astype(np.float64)
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ cen.T)
+                + (cen * cen).sum(axis=1)[None, :]
+            )
+            order = np.argsort(d2, axis=1)[:, :n_lists]
+            return pd.Series([row.tolist() for row in order])
+
+        return probes
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantize(vec_col).alias("qv"),
+        F.explode(probes_udf(nprobe)(F.col(vec_col))).alias("list_id"),
+    )
+    e = lists.select(
+        F.col(id_col).alias("neighbor_id"),
+        _quantize(vec_col).alias("nv"),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+    cand = (
+        q.join(e, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("nv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

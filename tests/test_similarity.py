@@ -146,3 +146,37 @@ def test_e02_ivf_blocking_actually_prunes(spark):
             ).collect()
         }
         assert got == want, f"splits={splits}: {len(got ^ want)} diffs"
+
+
+def test_ivf_index_persistence_roundtrip(spark, emb, tmp_path):
+    """Persisted IVF index: rebuild-free ANN must return EXACTLY what
+    the freshly-built ivf_topk returns, and the lists layout must be
+    hive-partitioned by list id (partition pruning = candidate
+    selection at the storage layer)."""
+    import glob
+
+    from kblock_spark.ops.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        kmeans_fit,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    C = kmeans_fit(emb, k=4, dim=64, iters=3)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, C, path)
+    assert glob.glob(f"{path}/lists/list_id=*"), "expected hive partitions"
+
+    C2, lists = load_ivf_index(spark, path)
+    import numpy as np
+
+    assert np.array_equal(C, C2)
+    assert lists.count() == emb.count()
+
+    queries = emb.where(F.col("vec_id") < 10)
+    fresh = ivf_topk(emb, queries, C, k=5, nprobe=2)
+    from_idx = ivf_topk_from_index(spark, path, queries, k=5, nprobe=2)
+    a = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in fresh.collect()}
+    b = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in from_idx.collect()}
+    assert a == b and len(a) == 50

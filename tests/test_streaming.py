@@ -116,3 +116,87 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_session_windows_resume_across_drops(spark, tmp_path):
+    """Streaming session windows across TWO drops with a checkpoint
+    restart: the union of emitted sessions must equal batch
+    sessionization of all events (drop-2 events lie past drop-1's
+    watermark, so no session is retro-merged after emission)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def events(day, n, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        ts = pd.to_datetime(f"2024-01-{day:02d}") + pd.to_timedelta(
+            np.sort(rng.integers(0, 6 * 3600, n)), unit="s"
+        )
+        return pd.DataFrame({"user_id": rng.integers(0, 5, n), "ts": ts})
+
+    def drain():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        sess = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count("*").alias("n_events"))
+            .where(F.col("sw.start") < F.lit("2029-01-01").cast("timestamp"))
+            .select(
+                "user_id",
+                F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("start"),
+                "n_events",
+            )
+        )
+        q = (
+            sess.writeStream.outputMode("append")
+            .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    d1, d2 = events(1, 300, 1), events(2, 200, 2)
+    spark.createDataFrame(d1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # second drop + per-user flush sentinels (the key-local eviction
+    # finding: a watermark advance alone leaves untouched keys' final
+    # sessions in state)
+    spark.createDataFrame(d2).coalesce(1).write.mode("append").parquet(src)
+    sent = pd.DataFrame(
+        {"user_id": range(5), "ts": pd.to_datetime(["2030-01-01"] * 5)}
+    )
+    spark.createDataFrame(sent).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        (r["user_id"], r["start"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    allev = spark.createDataFrame(pd.concat([d1, d2]))
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP'2000-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    flag = F.when(gap.isNull() | (gap >= 1800_000_000), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r["user_id"], r["start"], r["n_events"])
+        for r in (
+            allev.withColumn("us", micros)
+            .withColumn("f", flag)
+            .withColumn("sid", F.sum("f").over(wc))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("s"), F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("s", "yyyy-MM-dd HH:mm:ss").alias("start"),
+                "n_events",
+            )
+        ).collect()
+    }
+    assert got == want and len(want) > 10
