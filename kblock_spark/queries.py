@@ -782,6 +782,46 @@ GROUP BY o_custkey
 """
 
 
+# q31 — W6: RANGE-frame window (time-based sliding aggregate — a
+# different frame class from the ROWS frames of q03/q12/q25): each
+# order's customer-spend over the trailing 7 days, inclusive. Integer
+# epoch-seconds ordering keys in both engines.
+
+_Q31_RANGE_S = 7 * 24 * 3600
+
+
+def q31_trailing_week_spend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ'2000-01-01 00:00:00', o_orderdate)"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-_Q31_RANGE_S, 0)
+    )
+    return (
+        o.withColumn("epoch_s", epoch)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("trailing_7d"),
+            F.count("*").over(w).alias("n_trailing"),
+        )
+    )
+
+
+Q31_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       (SUM(o_totalprice::DECIMAL(18,2)) OVER w)::DOUBLE AS trailing_7d,
+       COUNT(*) OVER w AS n_trailing
+FROM (SELECT *, epoch(o_orderdate)::BIGINT - epoch(TIMESTAMP '2000-01-01')::BIGINT AS epoch_s
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+             RANGE BETWEEN {_Q31_RANGE_S} PRECEDING AND CURRENT ROW)
+"""
+
+
 # q28 — A14: grouped EXACT percentiles (Spark `percentile` ↔ DuckDB
 # `quantile_cont`, both linear-interpolating). Quantities are
 # integer-valued, so the interpolation arithmetic is float64-exact in
@@ -1998,6 +2038,7 @@ REGISTRY: dict = {
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
     "q29_json_extraction": (q29_json_extraction, Q29_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
+    "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     # text / dedup
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
