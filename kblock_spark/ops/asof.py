@@ -9,8 +9,16 @@ sessionization q21). Spark-first formulation — NOT a range join
 (whose candidate explosion is O(|L|·|R|) per key at 100 TB):
 
   union the two sides tagged, sort once per key by (ts, tag), and
-  carry the last non-null right payload forward with
+  carry the last right row's payload forward with
   ``F.last(ignorenulls=True)`` over a running window.
+
+The payload travels as ONE struct (null on left rows, a non-null
+struct — possibly with null fields — on right rows), so every output
+payload field comes from the SAME matched right row. Carrying the
+columns independently would let a null field in the matched row be
+backfilled from an older right row, stitching together an output row
+that never existed and diverging from DuckDB ASOF JOIN semantics
+(which returns the matched row's null).
 
 One shuffle on the key + one per-partition sort — the same cost as a
 groupBy over the combined input, independent of how far back the
@@ -24,6 +32,7 @@ what DuckDB's native ASOF JOIN (the oracle) expects.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -39,19 +48,20 @@ def asof_join(
     from the latest right row with right_ts ≤ left_ts (null when no
     right row precedes the left row)."""
     left_cols = left.columns
+    ptype = T.StructType([right.schema[c] for c in payload])
     l = left.select(
         F.col(left_on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__tag"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(ptype).alias("__p"),
     )
     r = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
     )
     w = (
         Window.partitionBy("__k")
@@ -61,9 +71,9 @@ def asof_join(
     filled = l.unionByName(r).select(
         "__tag",
         *left_cols,
-        *[
-            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in payload
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__m"),
     )
-    return filled.where(F.col("__tag") == 1).drop("__tag")
+    return filled.where(F.col("__tag") == 1).select(
+        *left_cols,
+        *[F.col(f"__m.{c}").alias(c) for c in payload],
+    )

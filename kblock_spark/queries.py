@@ -1415,6 +1415,44 @@ FROM rates r LEFT JOIN kept k ON r.lang = k.lang
 # duplicated-top-bigram fraction and max single-token dominance —
 # documents dominated by repeated fragments are low-quality training
 # data). Pure Catalyst on both engines.
+#
+# Linear plan (round-4 fix): the mode count of a string multiset is
+# the longest run in its SORTED order, so each document is scored by
+# array_sort + one O(n) run-length fold (F.aggregate) — per-row
+# O(n log n), fully row-local, ZERO shuffle. The previous shape
+# (transform(array_distinct, t -> size(filter(toks, x -> x == t))))
+# rescanned the whole token array per distinct token: O(n^2) per
+# document, ~10^10 comparisons inside a single row's evaluation for a
+# 100k-token web document — a per-row straggler no partitioning can
+# fix. Guarded by test_d11_long_doc_linear.
+
+
+def _max_run_count(arr):
+    """Max multiplicity of any element in a string array: longest run
+    after sorting, via a single left fold. 0 for an empty array.
+    Elements must be non-null (split() output is)."""
+    def step(st, x):
+        run = (
+            F.when(st["prev"].isNotNull() & (x == st["prev"]), st["run"] + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(st["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda st: st["best"],
+    )
+
 
 def d11_repetition_filter(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -1429,29 +1467,21 @@ def d11_repetition_filter(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tok_counts = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.size(F.filter(toks, lambda x: x == t)),
-    )
-    big_counts = F.transform(
-        F.array_distinct(big),
-        lambda b: F.size(F.filter(big, lambda x: x == b)),
-    )
     return d.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         (
-            F.coalesce(F.array_max(tok_counts), F.lit(0)).cast("double")
-            / n.cast("double")
+            _max_run_count(toks).cast("double") / n.cast("double")
         ).alias("top_token_frac"),
         F.when(
             F.size(big) > 0,
-            F.coalesce(F.array_max(big_counts), F.lit(0)).cast("double")
-            / F.size(big).cast("double"),
+            _max_run_count(big).cast("double") / F.size(big).cast("double"),
         ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
 
 
+# Oracle mirrors the linear shape: unnest -> GROUP BY -> max count
+# (DuckDB's natural linear formulation of the same mode count).
 D11_SQL = """
 WITH t AS (
   SELECT doc_id, string_split(text,' ') AS w,
@@ -1462,17 +1492,27 @@ b AS (
          CASE WHEN n >= 2 THEN
            list_transform(range(1, n), i -> w[i] || ' ' || w[i+1])
          ELSE [] END AS bg
-  FROM t)
-SELECT doc_id, n::BIGINT AS n_tokens,
-       COALESCE(list_max(list_transform(list_distinct(w),
-         tk -> len(list_filter(w, x -> x = tk)))), 0)::DOUBLE / n::DOUBLE
-         AS top_token_frac,
+  FROM t),
+tok_max AS (
+  SELECT doc_id, MAX(c) AS mt FROM (
+    SELECT doc_id, tk, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS tk FROM b)
+    GROUP BY doc_id, tk)
+  GROUP BY doc_id),
+big_max AS (
+  SELECT doc_id, MAX(c) AS mb FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT b.doc_id, n::BIGINT AS n_tokens,
+       COALESCE(mt, 0)::DOUBLE / n::DOUBLE AS top_token_frac,
        CASE WHEN len(bg) > 0 THEN
-         COALESCE(list_max(list_transform(list_distinct(bg),
-           g -> len(list_filter(bg, x -> x = g)))), 0)::DOUBLE
-           / len(bg)::DOUBLE
+         COALESCE(mb, 0)::DOUBLE / len(bg)::DOUBLE
        ELSE 0.0 END AS top_bigram_frac
 FROM b
+LEFT JOIN tok_max USING (doc_id)
+LEFT JOIN big_max USING (doc_id)
 """
 
 

@@ -44,6 +44,29 @@ def test_asof_semantics(spark):
     }
 
 
+def test_asof_null_payload_field_not_backfilled(spark):
+    """A null field in the matched right row must stay null — NOT be
+    filled from an older right row (row-atomic payload carry, matching
+    DuckDB ASOF JOIN)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-03-01T00:00:00"))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T00:00:00"), 100, "old"),
+            # matched row: val is NULL — output must carry (None, "new"),
+            # never the stitched (100, "new")
+            (10, _ts("2024-02-01T00:00:00"), None, "new"),
+        ],
+        "rk long, rts timestamp, val long, lab string",
+    )
+    [row] = asof_join(
+        left, right, "k", "rk", "ts", "rts", ["val", "lab"]
+    ).collect()
+    assert (row["val"], row["lab"]) == (None, "new")
+
+
 def test_asof_plan_is_window_not_range_join(spark):
     from kblock_spark.queries import q27_asof_join
 
