@@ -49,14 +49,19 @@ def polyline_length_col(coords_col: str = "coords") -> F.Column:
     element_at would read from the array end."""
     c = F.col(coords_col)
     n_seg = (F.size(c) / F.lit(2)).cast("int") - F.lit(2)
+
+    # explicit dx*dx (not F.pow → Math.pow, only 1-ulp accurate):
+    # keeps segment lengths bit-identical to any IEEE engine — the
+    # geo_linearity DuckDB oracle mirrors this arithmetic exactly
+    def seg(i):
+        dx = F.element_at(c, i * 2 + 3) - F.element_at(c, i * 2 + 1)
+        dy = F.element_at(c, i * 2 + 4) - F.element_at(c, i * 2 + 2)
+        return F.sqrt(dx * dx + dy * dy)
+
     total = F.aggregate(
         F.sequence(F.lit(0), n_seg),
         F.lit(0.0),
-        lambda acc, i: acc
-        + F.sqrt(
-            F.pow(F.element_at(c, i * 2 + 3) - F.element_at(c, i * 2 + 1), 2)
-            + F.pow(F.element_at(c, i * 2 + 4) - F.element_at(c, i * 2 + 2), 2)
-        ),
+        lambda acc, i: acc + seg(i),
     )
     return F.when(F.size(c) >= 4, total).otherwise(F.lit(0.0))
 
@@ -66,10 +71,9 @@ def linearity_col(coords_col: str = "coords") -> F.Column:
     divided by polyline length; 1.0 for degenerate zero-length lines."""
     c = F.col(coords_col)
     sz = F.size(c)
-    chord = F.sqrt(
-        F.pow(F.element_at(c, sz - 1) - F.element_at(c, 1), 2)
-        + F.pow(F.element_at(c, sz) - F.element_at(c, 2), 2)
-    )
+    cdx = F.element_at(c, sz - 1) - F.element_at(c, 1)
+    cdy = F.element_at(c, sz) - F.element_at(c, 2)
+    chord = F.sqrt(cdx * cdx + cdy * cdy)
     ln = polyline_length_col(coords_col)
     return F.when(ln > 0, chord / ln).otherwise(F.lit(1.0))
 

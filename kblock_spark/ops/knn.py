@@ -93,11 +93,17 @@ def knn_join(
         cand = (
             unresolved.withColumn("jcell", F.explode(ring("cell")))
             .join(r_side, F.col("jcell") == F.col("r_cell"), "inner")
+            # explicit x*x (not **2 → Math.pow, which is only 1-ulp
+            # accurate): keeps the distance bit-identical to any IEEE
+            # engine computing dx*dx + dy*dy — the DuckDB oracle for
+            # geo_knn relies on this
             .withColumn(
                 "dist_deg",
                 F.sqrt(
-                    (F.col("lon") - F.col("r_lon")) ** 2
-                    + (F.col("lat") - F.col("r_lat")) ** 2
+                    (F.col("lon") - F.col("r_lon"))
+                    * (F.col("lon") - F.col("r_lon"))
+                    + (F.col("lat") - F.col("r_lat"))
+                    * (F.col("lat") - F.col("r_lat"))
                 ),
             )
             .select(left_key, "lon", "lat", "cell", "nn_key", "dist_deg")

@@ -28,9 +28,9 @@ GOLDEN = {
     # only nearest_external_street float tails moved (~1e-10)
     "geo_k_complexity": ("9ced17f0b1fac6e5", 28),
     "geo_population": ("c1fe51fbfe1c43ce", 28),
-    "geo_knn": ("c5643f2f2332921a", 240),
+    # geo_knn / geo_linearity graduated to hard DuckDB oracles in
+    # round 4 (SQL-reproducible inputs) and left the golden set
     "geo_dissolve": ("09159e0763dc6f43", 4),
-    "geo_linearity": ("2bb19bb07bedb4b0", 1),
     "media_features": ("1f9e2bd35fe6dccd", 300),
     "s01_stream_tile_rollup": ("a3824bff0cd6587c", 867),
     "e05_ivf_ann_topk": ("73afa9e353501e2d", 100),
