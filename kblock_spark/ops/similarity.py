@@ -173,6 +173,13 @@ def assign_ivf_lists(
         .collect()
     )
     sample = sorted(sample, key=lambda r: r["__h"])[:fit_cap]
+    if not sample:
+        # empty input: no lists, no rows — callers (e.g.
+        # exact_dup_pairs_blocked) get an empty assignment instead of
+        # an np.stack crash before k-means init
+        return emb.sparkSession.createDataFrame(
+            [], "vid long, list_id int, is_home boolean, qv array<smallint>"
+        )
     k = max(1, min(k_lists, len(sample)))
     Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in sample])
     X = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-12)[:, None]
@@ -573,7 +580,15 @@ def ivf_topk_from_index(
         _quantize(vec_col).alias("qv"),
         F.explode(probes_udf(nprobe)(F.col(vec_col))).alias("list_id"),
     )
-    e = lists.select(
+    # Collect the distinct probed list ids (≤ k_lists values — one
+    # tiny job over the query table) and push them as a STATIC filter:
+    # the hive-partitioned lists scan then prunes to exactly the
+    # probed partitions at planning time (PartitionFilters in the scan
+    # node — asserted by test_ivf_index_scan_prunes_partitions), with
+    # no reliance on runtime DPP kicking in.
+    q = q.localCheckpoint(eager=False)
+    probe_ids = sorted(r["list_id"] for r in q.select("list_id").distinct().collect())
+    e = lists.where(F.col("list_id").isin(probe_ids)).select(
         F.col(id_col).alias("neighbor_id"),
         _quantize(vec_col).alias("nv"),
         F.col("list_id").cast("long").alias("list_id"),

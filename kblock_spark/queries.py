@@ -1953,6 +1953,38 @@ FROM rk WHERE rnk <= 2
 """
 
 
+def e07_ivf_index_ann(spark, sf_dir):
+    """ANN over a PERSISTED IVF index: save → load → probed query
+    (ops/similarity.py save_ivf_index / ivf_topk_from_index). The
+    inverted lists are hive-partitioned by list id and the probed
+    read pushes a static ``list_id IN`` filter, so partition pruning
+    does the candidate selection at the storage layer (plan-asserted
+    by tests/test_similarity.py::test_ivf_index_scan_prunes_partitions).
+    Same centroids/probing as e05 → identical output to the fresh
+    build, which is exactly the round-trip property worth pinning.
+    Rows-only: an index save/load cycle has no SQL analogue."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .ops.similarity import (
+        ivf_topk_from_index,
+        kmeans_fit,
+        save_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    C = np.round(kmeans_fit(e, k=8, dim=64, iters=3), 6)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"kblock_ivf_index_{tag}")
+    save_ivf_index(e, C, path)
+    q = e.where(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk_from_index(spark, path, q, k=_TOPK, nprobe=3).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 12).alias("cosine")
+    )
+
+
 def geo_dissolve(spark, sf_dir):
     from .io.synth import synth_admin, synth_streets
     from .kernels.blocks import delineate_blocks
@@ -2233,6 +2265,7 @@ REGISTRY: dict = {
     # tests/test_geo_golden.py pin these)
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),
     "e05_ivf_ann_topk": (e05_ivf_ann_topk, None),
+    "e07_ivf_index_ann": (e07_ivf_index_ann, None),
     "media_features": (media_features, None),
     "geo_blocks": (geo_blocks, None),
     "geo_pip_join": (geo_pip_join, None),

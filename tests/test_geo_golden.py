@@ -34,6 +34,9 @@ GOLDEN = {
     "media_features": ("1f9e2bd35fe6dccd", 300),
     "s01_stream_tile_rollup": ("a3824bff0cd6587c", 867),
     "e05_ivf_ann_topk": ("73afa9e353501e2d", 100),
+    # persisted-index round trip: same hash as e05 BY CONSTRUCTION —
+    # save → load → probed query must reproduce the fresh build exactly
+    "e07_ivf_index_ann": ("73afa9e353501e2d", 100),
 }
 
 
