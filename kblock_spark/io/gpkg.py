@@ -1,6 +1,7 @@
-"""GeoPackage source (SURVEY §2 S4's last piece — the reference reads
-GHSL / Africapolis .gpkg via geopandas,
-kblock/deploy/0-ingest-data/subjob_ingestion.py:59,95).
+"""GeoPackage source AND sink (SURVEY §2 S4's last piece + S10's
+write half — the reference reads GHSL / Africapolis .gpkg via
+geopandas, kblock/deploy/0-ingest-data/subjob_ingestion.py:59,95, and
+writes per-country block .gpkg at batch_1b_generate_blocks.py:390,407).
 
 A GeoPackage is a sqlite database (public OGC spec) whose feature
 tables store geometry as a GPKG blob: 'GP' magic, version, flags
@@ -92,17 +93,33 @@ def _parse_gpkg_blob(blob: bytes):
 def _read_gpkg_file(path: str, table: str | None):
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
+        # ORDER BY: sqlite gives no row-order guarantee, so the
+        # default-layer pick must not depend on storage order in a
+        # multi-table package
         geo_cols = con.execute(
             "SELECT table_name, column_name FROM gpkg_geometry_columns"
+            " ORDER BY table_name"
         ).fetchall()
         if not geo_cols:
             return []
         by_table = dict(geo_cols)
         if table is None:
             table = geo_cols[0][0]
+        if table not in by_table:
+            raise ValueError(
+                f"gpkg layer {table!r} not found in {path}; "
+                f"available layers: {sorted(by_table)}"
+            )
         geom_col = by_table[table]
-        cols = [r[1] for r in con.execute(f'PRAGMA table_info("{table}")')]
-        prop_cols = [c for c in cols if c != geom_col]
+        info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+        # exclude the geometry and the INTEGER PRIMARY KEY (the fid /
+        # rowid alias — an identifier, not a feature property; it is
+        # surfaced as part of feature_id instead)
+        prop_cols = [
+            r[1] for r in info
+            if r[1] != geom_col
+            and not (r[5] and (r[2] or "").upper() == "INTEGER")
+        ]
         sel = ", ".join(f'"{c}"' for c in [geom_col] + prop_cols)
         rows = []
         for rec in con.execute(f'SELECT rowid, {sel} FROM "{table}"'):
@@ -155,57 +172,160 @@ def read_gpkg(
     return raw.mapInPandas(parse, GPKG_SCHEMA)
 
 
-def write_gpkg(path: str, table: str, features: list[tuple[str, list, list, dict]]):
-    """Minimal spec-conformant GeoPackage writer (tests only):
-    features = [(geom_type, ring_sizes, flat_coords, properties)].
-    Geometry is written as little-endian 2D WKB inside a GPKG blob."""
+def _encode_wkb(gt: str, sizes: list, flat: list) -> bytes:
+    """Packed-ring form → little-endian 2D WKB (inverse of
+    :func:`_parse_wkb`). Multi* parts are re-grouped one ring per
+    part — the packed form keeps ring sizes, not part nesting, so a
+    read→write→read cycle reproduces the packed form exactly even
+    when the WKB part structure differs from the original file."""
+    code = {v: k for k, v in _WKB_NAMES.items()}[gt]
+    out = struct.pack("<BI", 1, code)
+    if code == 1:  # Point
+        return out + struct.pack("<2d", flat[0], flat[1])
+    if code == 2:  # LineString
+        return out + struct.pack(f"<I{2*sizes[0]}d", sizes[0], *flat)
+    if code == 3:  # Polygon
+        out += struct.pack("<I", len(sizes))
+        o = 0
+        for n in sizes:
+            out += struct.pack(f"<I{2*n}d", n, *flat[2*o:2*(o+n)])
+            o += n
+        return out
+    # Multi*: one part per packed size entry
+    part_code = {4: 1, 5: 2, 6: 3}[code]
+    out += struct.pack("<I", len(sizes))
+    o = 0
+    for n in sizes:
+        part = _encode_wkb(
+            _WKB_NAMES[part_code],
+            [n],
+            flat[2*o:2*(o+n)],
+        )
+        out += part
+        o += n
+    return out
+
+
+def _gpkg_blob(wkb: bytes, flat: list, srs_id: int) -> bytes:
+    """Wrap WKB in a GPKG binary header: magic, version 0, flags
+    (little-endian + 32-byte envelope), srs_id, [minx maxx miny maxy]."""
+    xs, ys = flat[0::2], flat[1::2]
+    env = (min(xs), max(xs), min(ys), max(ys))
+    # flags 0b0000_0011: envelope code 1 (bits 3-1), LE header (bit 0)
+    return b"GP\x00\x03" + struct.pack("<i4d", srs_id, *env) + wkb
+
+
+_SRS_ROWS = [
+    ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+    ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+    (
+        "WGS 84 geodetic", 4326, "EPSG", 4326,
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+        '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]]',
+        "longitude/latitude on the WGS 84 ellipsoid",
+    ),
+]
+
+
+def write_gpkg(
+    path: str,
+    table: str,
+    features: list[tuple[str, list, list, dict]],
+    srs_id: int = 4326,
+):
+    """Spec-conformant GeoPackage writer (S10's write half — the
+    reference exports per-country block .gpkg at
+    kblock/batch_1b_generate_blocks.py:390,407):
+    ``features = [(geom_type, ring_sizes, flat_coords, properties)]``.
+
+    Writes the three required metadata tables (gpkg_spatial_ref_sys,
+    gpkg_contents with the dataset bbox, gpkg_geometry_columns) plus
+    the feature table (fid INTEGER PRIMARY KEY, GPKG-blob geometry
+    with per-feature envelope, property columns as TEXT) — openable
+    by OGR/QGIS, round-trips through :func:`read_gpkg`."""
     type_codes = {v: k for k, v in _WKB_NAMES.items()}
     con = sqlite3.connect(path)
     con.execute("PRAGMA application_id = 0x47504B47")
+    con.execute("PRAGMA user_version = 10300")  # GeoPackage 1.3
     con.execute(
-        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name "
-        "TEXT, geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)"
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, "
+        "srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, "
+        "organization_coordsys_id INTEGER NOT NULL, "
+        "definition TEXT NOT NULL, description TEXT)"
+    )
+    con.executemany(
+        "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)", _SRS_ROWS
+    )
+    con.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, "
+        "data_type TEXT NOT NULL, identifier TEXT UNIQUE, "
+        "description TEXT DEFAULT '', last_change TEXT, "
+        "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, "
+        "srs_id INTEGER)"
+    )
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, "
+        "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
+        "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL, "
+        "PRIMARY KEY (table_name, column_name))"
+    )
+    gtypes = {gt for gt, *_ in features}
+    gname = gtypes.pop().upper() if len(gtypes) == 1 else "GEOMETRY"
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', ?, ?, 0, 0)",
+        (table, gname, srs_id),
     )
     prop_names = sorted({k for *_, pr in features for k in pr})
     col_ddl = "".join(f', "{c}" TEXT' for c in prop_names)
-    con.execute(f'CREATE TABLE "{table}" (geom BLOB{col_ddl})')
     con.execute(
-        "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', 'GEOMETRY', 4326, 0, 0)",
-        (table,),
+        f'CREATE TABLE "{table}" '
+        f"(fid INTEGER PRIMARY KEY AUTOINCREMENT, geom BLOB{col_ddl})"
     )
-
-    def wkb(gt, sizes, flat):
-        code = type_codes[gt]
-        out = struct.pack("<bI", 1, code)
-        if code == 1:
-            out += struct.pack("<2d", flat[0], flat[1])
-        elif code == 2:
-            out += struct.pack("<I", sizes[0])
-            out += struct.pack(f"<{2*sizes[0]}d", *flat)
-        elif code == 3:
-            out += struct.pack("<I", len(sizes))
-            o = 0
-            for n in sizes:
-                out += struct.pack("<I", n)
-                out += struct.pack(f"<{2*n}d", *flat[2*o:2*(o+n)])
-                o += n
-        elif code == 6:  # MultiPolygon: one single-ring polygon per size
-            out += struct.pack("<I", len(sizes))
-            o = 0
-            for n in sizes:
-                out += struct.pack("<bII", 1, 3, 1)
-                out += struct.pack("<I", n)
-                out += struct.pack(f"<{2*n}d", *flat[2*o:2*(o+n)])
-                o += n
-        else:
-            raise ValueError(gt)
-        return out
-
+    bbox = [None, None, None, None]  # minx, miny, maxx, maxy
     for gt, sizes, flat, props in features:
-        blob = b"GP\x00\x01" + struct.pack("<i", 4326) + wkb(gt, sizes, flat)
+        if gt not in type_codes:
+            raise ValueError(f"unsupported geometry type {gt!r}")
+        blob = _gpkg_blob(_encode_wkb(gt, sizes, flat), flat, srs_id)
+        xs, ys = flat[0::2], flat[1::2]
+        for i, v in enumerate(
+            (min(xs), min(ys), max(xs), max(ys))
+        ):
+            if bbox[i] is None or (v < bbox[i] if i < 2 else v > bbox[i]):
+                bbox[i] = v
+        prop_cols = "".join(', "' + c + '"' for c in prop_names)
+        marks = ",".join(["?"] * (1 + len(prop_names)))
         con.execute(
-            f'INSERT INTO "{table}" VALUES ({",".join(["?"] * (1 + len(prop_names)))})',
+            f'INSERT INTO "{table}" (geom{prop_cols}) VALUES ({marks})',
             (blob, *[str(props.get(c, "")) for c in prop_names]),
         )
+    con.execute(
+        "INSERT INTO gpkg_contents VALUES "
+        "(?, 'features', ?, '', '1970-01-01T00:00:00.000Z', ?, ?, ?, ?, ?)",
+        (table, table, *bbox, srs_id),
+    )
     con.commit()
     con.close()
+
+
+def write_gpkg_df(
+    df: DataFrame, path: str, table: str = "features", srs_id: int = 4326
+):
+    """DataFrame → GeoPackage sink. A GeoPackage is one sqlite file —
+    an inherently single-writer EXPORT format (the reference's
+    per-country .gpkg outputs are the same shape), so rows stream to
+    the driver with ``toLocalIterator`` (one partition in memory at a
+    time) and sqlite3 writes the container; engine-to-engine handoff
+    at scale stays parquet (io/sinks.py). Input is the engine's
+    packed-geometry schema (geom_type, ring_sizes, coords,
+    properties)."""
+    feats = (
+        (
+            r["geom_type"],
+            list(r["ring_sizes"]),
+            list(r["coords"]),
+            dict(r["properties"]) if "properties" in df.columns else {},
+        )
+        for r in df.toLocalIterator()
+    )
+    write_gpkg(path, table, list(feats), srs_id=srs_id)

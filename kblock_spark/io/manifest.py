@@ -19,7 +19,6 @@ the reference's directory listings.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -31,6 +30,30 @@ MANIFEST_SCHEMA = (
 
 # directory-partition column written next to (not instead of) key_col
 PART_DIR_COL = "__pk"
+
+# Characters Spark/Hive percent-escape in partition directory names
+# (ExternalCatalogUtils.escapePathName): control chars plus this set.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(0x20)}
+
+
+def escape_partition_value(v: str) -> str:
+    """Escape a partition VALUE the way Spark writes it into the
+    directory name (%XX uppercase hex), so cleanup paths match the
+    actual on-disk layout for keys containing ':', '/', '%', etc."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in v
+    )
+
+
+def _delete_dir_any_fs(spark: SparkSession, path: str):
+    """Recursive delete via the Hadoop FileSystem API — resolves
+    through the same filesystem Spark writes to (local, HDFS, object
+    store), unlike os.path/shutil which silently no-op off-driver."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 class CheckpointManifest:
@@ -121,10 +144,15 @@ def checkpointed_run(
     # whose rebuild now yields zero rows would keep stale partial data
     # from the interrupted attempt: explicitly drop every pending
     # key's partition directory first.
+    # Partition values are escaped exactly as Spark writes them
+    # (':' → %3A etc.) and deleted through the Hadoop FS API, so the
+    # cleanup works for special-character keys and on non-local
+    # filesystems alike.
     for k in keys:
-        part_dir = os.path.join(out_path, f"{PART_DIR_COL}={k}")
-        if os.path.isdir(part_dir):
-            shutil.rmtree(part_dir)
+        part_dir = os.path.join(
+            out_path, f"{PART_DIR_COL}={escape_partition_value(str(k))}"
+        )
+        _delete_dir_any_fs(spark, part_dir)
     # Partition by a STRING COPY of the key and keep key_col as a
     # normal data column: directory names carry no dtype, so reading
     # the key back from them would re-type "0" → 0 (or force a

@@ -19,9 +19,12 @@ Geometry lands in the engine's packed-ring form (ring_sizes, coords),
 ring order preserved from the file (shapefile polygons store the
 outer ring first in well-formed data — the same shell-first
 convention as geo.geom.pack_rings). The companion .dbf attribute
-table is out of scope (the reference's geometry ingest is what S4
-covers); feature ids are ``<md5(path)[:8]>:<record_number>`` so they
-stay unique across a multi-file load.
+sidecar IS parsed (``_parse_dbf`` below: dBASE III header + field
+descriptors, every field decoded as a trimmed string) and joined onto
+features when ``with_attributes=True`` — covered by
+test_shapefile_dbf_attributes. Feature ids are
+``<md5(path)[:8]>:<record_number>`` so they stay unique across a
+multi-file load.
 """
 
 from __future__ import annotations

@@ -101,15 +101,22 @@ def compact_parquet(
     ~target_file_mb files (the maintenance job any long-running
     ingest needs — thousands of tiny stream/checkpoint outputs
     destroy scan throughput at scale). Returns the file count
-    written."""
-    import math
-    import os
+    written.
 
+    Sizing walks the dataset through the Hadoop FileSystem API, so
+    it resolves the same way Spark reads the path (local, HDFS or
+    object store) instead of silently seeing 0 bytes off-driver."""
+    import math
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(p, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(out_path)
     return n

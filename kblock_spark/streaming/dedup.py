@@ -74,7 +74,15 @@ def _keep_first(key, pdfs, state: GroupState):
 def stream_dedup_stateful(docs: DataFrame) -> DataFrame:
     """Seen-fingerprint registry dedup: emits (fp, kept doc_id, #dups
     suppressed in the emitting batch) once per fingerprint, ever.
-    Input must carry ``fp`` and ``doc_id``; output mode 'update'."""
+    Input must carry ``fp`` and ``doc_id``; output mode 'update'.
+
+    ``n_dups`` counts only duplicates that ARRIVED IN THE EMITTING
+    micro-batch (the seen-flag state carries no counter, so later
+    batches' duplicates are suppressed silently). A lifetime
+    duplicate count needs a counting state — ``seen boolean`` →
+    ``n long`` and an update-mode re-emit per batch — which trades
+    one state row per fingerprint forever; this op deliberately
+    keeps the cheaper flag."""
     return (
         docs.select("fp", "doc_id")
         .groupBy("fp")

@@ -2,6 +2,7 @@
 GPKG-blob/WKB struct parse, round-tripped against the test writer and
 fed to the PIP machinery."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from kblock_spark.geo.geom import polygon_area, unpack_rings
@@ -69,3 +70,69 @@ def test_gpkg_rejects_zm_wkb(tmp_path):
     zpoint = struct.pack("<bI3d", 1, 1001, 1.0, 2.0, 3.0)  # wkbPointZ
     with pytest.raises(ValueError, match="unsupported WKB"):
         _parse_wkb(zpoint)
+
+
+def test_gpkg_sink_roundtrip_all_types(spark, tmp_path):
+    """write_gpkg_df → read_gpkg must reproduce the packed-geometry
+    form exactly for all six 2D types, and the written file must
+    carry the required GeoPackage metadata (contents row with the
+    dataset bbox, geometry column registration, SRS table)."""
+    import sqlite3
+
+    from kblock_spark.io.gpkg import read_gpkg, write_gpkg_df
+
+    SQ = [0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0, 0.0, 0.0]
+    feats = [
+        ("f1", "Point", {"name": "pt"}, [1], [9.0, 9.5]),
+        ("f2", "LineString", {"name": "ln"}, [3], [0.0, 0.0, 1.0, 1.0, 2.0, 0.5]),
+        ("f3", "Polygon", {"name": "pg"}, [5], SQ),
+        ("f4", "MultiPoint", {"name": "mp"}, [1, 1], [1.0, 2.0, 3.0, 4.0]),
+        ("f5", "MultiLineString", {"name": "ml"}, [2, 2],
+         [0.0, 0.0, 1.0, 0.0, 5.0, 5.0, 6.0, 6.0]),
+        ("f6", "MultiPolygon", {"name": "mg"}, [5, 5],
+         SQ + [x + 5 for x in SQ]),
+    ]
+    df = spark.createDataFrame(
+        feats,
+        "feature_id string, geom_type string, "
+        "properties map<string,string>, ring_sizes array<int>, "
+        "coords array<double>",
+    )
+    p = str(tmp_path / "sink.gpkg")
+    write_gpkg_df(df, p, table="blocks")
+
+    back = {
+        r["properties"]["name"]: r for r in read_gpkg(spark, p).collect()
+    }
+    want = {f[2]["name"]: f for f in feats}
+    assert set(back) == set(want)
+    for name, f in want.items():
+        r = back[name]
+        assert r["geom_type"] == f[1]
+        assert list(r["ring_sizes"]) == f[3]
+        assert list(r["coords"]) == f[4]
+
+    con = sqlite3.connect(p)
+    [(tname, dtype, minx, miny, maxx, maxy, srs)] = con.execute(
+        "SELECT table_name, data_type, min_x, min_y, max_x, max_y, srs_id "
+        "FROM gpkg_contents"
+    ).fetchall()
+    assert (tname, dtype, srs) == ("blocks", "features", 4326)
+    assert (minx, miny, maxx, maxy) == (0.0, 0.0, 9.0, 9.5)
+    [(gname,)] = con.execute(
+        "SELECT geometry_type_name FROM gpkg_geometry_columns "
+        "WHERE table_name='blocks'"
+    ).fetchall()
+    assert gname == "GEOMETRY"  # mixed-type table
+    assert con.execute("SELECT COUNT(*) FROM gpkg_spatial_ref_sys").fetchone()[0] == 3
+    con.close()
+
+
+def test_gpkg_unknown_layer_raises(spark, tmp_path):
+    from kblock_spark.io.gpkg import read_gpkg, write_gpkg
+
+    p = str(tmp_path / "one.gpkg")
+    write_gpkg(p, "streets", [("Point", [1], [1.0, 2.0], {})])
+    with pytest.raises(Exception) as ei:
+        read_gpkg(spark, p, table="nope").collect()
+    assert "available layers" in str(ei.value)

@@ -162,3 +162,36 @@ def test_retry_clears_stale_partition_when_rebuild_is_empty(spark, tmp_path):
     checkpointed_run(spark, universe, "part_key", build_v2, out, man)
     got = {r["part_key"] for r in spark.read.parquet(out).collect()}
     assert got == {"0"}  # stale key-1 partition removed
+
+
+def test_retry_clears_stale_partition_for_special_char_keys(spark, tmp_path):
+    """Keys containing characters Spark percent-escapes in partition
+    directory names (':', '%', '/') must still get their stale
+    partitions dropped on retry — the cleanup path is built with the
+    same escaping Spark writes (a raw f\"__pk={k}\" never matches, so
+    the stale data would silently survive)."""
+    from kblock_spark.io.manifest import escape_partition_value
+
+    assert escape_partition_value("a:b/c%d") == "a%3Ab%2Fc%25d"
+
+    out = str(tmp_path / "out")
+    man = CheckpointManifest(spark, str(tmp_path / "manifest"))
+    universe = spark.range(0, 20).select(
+        F.concat(F.lit("k:"), (F.col("id") % 2).cast("string")).alias("part_key"),
+        F.col("id"),
+    )
+
+    def build_v1(df):
+        return df.groupBy("part_key").agg(F.sum("id").alias("total"))
+
+    # interrupted attempt: output written for both keys, manifest lost
+    checkpointed_run(spark, universe, "part_key", build_v1,
+                     out, man.__class__(spark, str(tmp_path / "lost")))
+
+    # retry builds key "k:1" empty — its stale partition must go
+    def build_v2(df):
+        return build_v1(df).where(F.col("part_key") != "k:1")
+
+    checkpointed_run(spark, universe, "part_key", build_v2, out, man)
+    got = {r["part_key"] for r in spark.read.parquet(out).collect()}
+    assert got == {"k:0"}
