@@ -38,17 +38,30 @@ BENCH_QUERIES = [
     "q22_weighted_buckets",
     "q23_right_join_order_rollup",
     "q25_windowed_count",
+    "q26_rollup_status_priority",
+    "q27_asof_join",
+    "q28_grouped_percentiles",
+    "q29_json_extraction",
+    "q30_set_ops",
+    "q31_trailing_week_spend",
     "d04_exact_dedup",
     "d06_ngram_jaccard_pairs",
     "d07_minhash_lsh_pairs",
     "d08_simhash",
     "d09_regex_tokens",
     "d10_dup_components",
+    "d11_repetition_filter",
     "d12_winnowing_fingerprints",
+    "d13_token_chunking",
+    "d14_pattern_scrub",
+    "d15_stratified_rebalance",
     "e01_ann_cosine_topk",
     "e02_embedding_dup_pairs",
     "e05_ivf_ann_topk",
+    "e06_embedding_dup_clusters",
+    "e07_ivf_index_ann",
     "s02_stream_dedup",
+    "s03_stream_session_windows",
 ]
 
 GEO_NX = GEO_NY = 8
