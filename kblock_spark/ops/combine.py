@@ -150,3 +150,244 @@ def regional_rollup(combined: DataFrame, region_col: str = "gadm_code") -> DataF
         ).alias("k_weighted_mean"),
         *pivots,
     )
+
+
+# the reference's 15 log10-building-area bins (batch_5:129-144)
+BIN_AREA_LABELS = [
+    "01_0.50__log10_3.2", "02_0.75__log10_5.6", "03_1.00__log10_10",
+    "04_1.25__log10_17.8", "05_1.50__log10_31.6", "06_1.75__log10_56.2",
+    "07_2.00__log10_100", "08_2.25__log10_177.8", "09_2.50__log10_316.2",
+    "10_2.75__log10_562.3", "11_3.00__log10_1000", "12_3.25__log10_1778.3",
+    "13_3.50__log10_3162.3", "14_3.75__log10_5623.4", "15_4.00__log10_10000",
+]
+
+BIN_AREA_COL_LIST = [
+    f"bldg_area_count_bin_{s}" for s in BIN_AREA_LABELS
+] + [f"bldg_area_m2_bin_{s}" for s in BIN_AREA_LABELS]
+
+
+def building_area_bins(buildings: DataFrame) -> DataFrame:
+    """block_id → the 30 building-area-bin pivot columns
+    (batch_5:125-157: per-building log10-area binned into 15 classes,
+    then per-block count and m² sums per bin). The reference's
+    get_dummies + multiply + groupby collapses to ONE conditional
+    aggregation — a single shuffle with map-side combine, no N×30
+    dummy matrix ever materialized."""
+    lg = safe_log10("building_area")
+    edges = [0.75 + 0.25 * i for i in range(14)]  # 0.75 .. 4.0
+    b = F.when(lg < edges[0], BIN_AREA_LABELS[0])
+    for i, e in enumerate(edges[:-1]):
+        b = b.when((lg >= e) & (lg < edges[i + 1]), BIN_AREA_LABELS[i + 1])
+    bin_col = b.otherwise(BIN_AREA_LABELS[14])
+    d = buildings.select("block_id", "building_area", bin_col.alias("__bin"))
+    aggs = []
+    for s in BIN_AREA_LABELS:
+        aggs.append(
+            F.sum(F.when(F.col("__bin") == s, 1).otherwise(0))
+            .cast("long").alias(f"bldg_area_count_bin_{s}")
+        )
+    for s in BIN_AREA_LABELS:
+        aggs.append(
+            F.sum(
+                F.when(F.col("__bin") == s, F.col("building_area")).otherwise(0.0)
+            ).alias(f"bldg_area_m2_bin_{s}")
+        )
+    return d.groupBy("block_id").agg(*aggs)
+
+
+def k_labels_col(k_col: str = "k_complexity",
+                 offnet_col: str = "nearest_external_street_meters"):
+    """k_labels / k_labels_detailed (batch_5:313-331): blocks whose
+    nearest external street is ≥200 m away are 'Off-network'
+    regardless of k. The reference also force-patches two hardcoded
+    block-id lists (mokoko/kibera data-fix spots, batch_5:310-312) —
+    a data patch, not an operator semantic, deliberately not
+    reproduced."""
+    k = F.col(k_col)
+    offnet = F.col(offnet_col) >= 200.0
+    labels = (
+        F.when(offnet, "Off-network")
+        .when(k >= 10, "10+")
+        .otherwise(k.cast("int").cast("string"))
+    )
+    detailed = (
+        F.when(offnet, "Off-network")
+        .when(k >= 30, "30+")
+        .otherwise(k.cast("int").cast("string"))
+    )
+    return labels.alias("k_labels"), detailed.alias("k_labels_detailed")
+
+
+COMBINE_FULL_COLS = [
+    "block_id", "block_geohash", "block_area_m2", "block_hectares",
+    "block_area_km2", "block_perimeter_meters", "building_area_m2",
+    "building_count", "average_building_area_m2",
+    "building_to_block_area_ratio", "parcel_count",
+    "average_parcel_area_m2", "parcel_layers", "k_complexity", "k_labels",
+    "k_labels_detailed", "k_complexity_weighted_landscan_un",
+    "k_complexity_weighted_worldpop_un", "landscan_population",
+    "landscan_population_un", "landscan_population_un_log",
+    "landscan_population_un_density_hectare",
+    "landscan_population_un_density_hectare_log",
+    "landscan_population_un_per_building_area_m2",
+    "landscan_population_un_per_building", "worldpop_population",
+    "worldpop_population_un", "worldpop_population_un_log",
+    "worldpop_population_un_density_hectare",
+    "worldpop_population_un_density_hectare_log",
+    "worldpop_population_un_per_building_area_m2",
+    "worldpop_population_un_per_building",
+    "on_network_street_length_meters", "off_network_street_length_meters",
+    "nearest_external_street_meters", "on_network_street_length_na",
+    "off_network_street_length_na", "gadm_code", "country_code",
+    "country_name", "continent", "area_type", "class_urban_hierarchy",
+    "class_urban_periurban_nonurban", "class_urban_nonurban", "urban_id",
+    "urban_center_name", "urban_country_code", "urban_country_name",
+    "conurbation_id", "conurbation_area_name_short",
+    "conurbation_country_code", "conurbation_country_name", "agglosid",
+    "agglosname", "metropole", "urban_layer_code",
+] + BIN_AREA_COL_LIST
+
+
+def combine_full(
+    blocks: DataFrame,
+    complexity: DataFrame,
+    buildings: DataFrame,
+    landscan: DataFrame,
+    worldpop: DataFrame,
+    xwalk: DataFrame,
+) -> DataFrame:
+    """The reference's FULL combine surface (batch_5:253-346,
+    ``all_data_col_list``): 57 named columns + the 30 building-area
+    bin pivots, in the reference's exact order (its trailing
+    ``geometry`` column is the engine's packed ring form and lives on
+    the blocks table, not here).
+
+    Inputs: ``blocks`` (block_id, block_geohash, gadm_code,
+    country_code, block_area, block_perimeter), ``complexity`` (the
+    k output: k_complexity, building_count, building_layers, street
+    lengths, nearest_external_street), ``buildings`` (block_id,
+    building_area rows), ``landscan``/``worldpop`` (block_id,
+    population, population_un), and ``xwalk``
+    (:func:`~kblock_spark.ops.crosswalk.full_crosswalk` output).
+
+    Spark shape: everything per-block joins on block_id (chained left
+    joins, one shuffle key end to end — co-partitioned under AQE);
+    the only aggregates are per-block building sums/bins (map-side
+    combine). parcel_count equals building_count by construction in
+    the reference too (one Voronoi parcel per building, batch_4), and
+    complexity's building_layers string is the reference's
+    parcel_layers surface."""
+    bsum = buildings.groupBy("block_id").agg(
+        F.sum("building_area").alias("building_area_m2")
+    )
+    bins = building_area_bins(buildings)
+    ls = landscan.select(
+        "block_id",
+        F.col("population").alias("landscan_population"),
+        F.col("population_un").alias("landscan_population_un"),
+    )
+    wp = worldpop.select(
+        "block_id",
+        F.col("population").alias("worldpop_population"),
+        F.col("population_un").alias("worldpop_population_un"),
+    )
+    x = (
+        blocks.select(
+            "block_id", "block_geohash", "gadm_code", "country_code",
+            F.col("block_area").alias("block_area_m2"),
+            F.col("block_perimeter").alias("block_perimeter_meters"),
+        )
+        .join(
+            complexity.select(
+                "block_id", "k_complexity", "building_count",
+                F.col("building_layers").alias("parcel_layers"),
+                F.col("on_network_street_length").alias(
+                    "on_network_street_length_meters"
+                ),
+                F.col("off_network_street_length").alias(
+                    "off_network_street_length_meters"
+                ),
+                F.col("nearest_external_street").alias(
+                    "nearest_external_street_meters"
+                ),
+            ),
+            "block_id", "left",
+        )
+        .join(bsum, "block_id", "left")
+        .join(bins, "block_id", "left")
+        .join(ls, "block_id", "left")
+        .join(wp, "block_id", "left")
+        .join(
+            xwalk.select(
+                "block_id", "country_name", "continent", "area_type",
+                "class_urban_hierarchy", "class_urban_periurban_nonurban",
+                "class_urban_nonurban", "urban_id", "urban_center_name",
+                "urban_country_code", "urban_country_name", "conurbation_id",
+                "conurbation_area_name_short", "conurbation_country_code",
+                "conurbation_country_name", "agglosid", "agglosname",
+                "metropole", "urban_layer_code",
+            ),
+            "block_id", "left",
+        )
+    )
+    # na flags BEFORE the zero-fills (batch_5:265-266)
+    x = x.withColumn(
+        "on_network_street_length_na",
+        F.col("on_network_street_length_meters").isNull().cast("int"),
+    ).withColumn(
+        "off_network_street_length_na",
+        F.col("off_network_street_length_meters").isNull().cast("int"),
+    )
+    for c in (
+        "building_area_m2", "building_count", "k_complexity",
+        "landscan_population", "landscan_population_un",
+        "worldpop_population", "worldpop_population_un",
+        "on_network_street_length_meters", "off_network_street_length_meters",
+        "nearest_external_street_meters",
+        *BIN_AREA_COL_LIST,
+    ):
+        # backticks: the bin labels contain dots, which F.col would
+        # otherwise parse as struct-field access
+        x = x.withColumn(c, F.coalesce(F.col(f"`{c}`"), F.lit(0)))
+    x = (
+        x.withColumn("block_hectares", F.col("block_area_m2") * 0.0001)
+        .withColumn("block_area_km2", F.col("block_area_m2") * 1e-6)
+        .withColumn("parcel_count", F.col("building_count"))
+        .withColumn(
+            "average_building_area_m2",
+            safe_ratio("building_area_m2", "building_count"),
+        )
+        .withColumn(
+            "average_parcel_area_m2", safe_ratio("block_area_m2", "parcel_count")
+        )
+        .withColumn(
+            "building_to_block_area_ratio",
+            safe_ratio("building_area_m2", "block_area_m2"),
+        )
+        .withColumn(
+            "k_complexity_weighted_landscan_un",
+            F.col("k_complexity") * F.col("landscan_population_un"),
+        )
+        .withColumn(
+            "k_complexity_weighted_worldpop_un",
+            F.col("k_complexity") * F.col("worldpop_population_un"),
+        )
+    )
+    for src in ("landscan", "worldpop"):
+        un = f"{src}_population_un"
+        x = (
+            x.withColumn(f"{un}_log", safe_log10(un))
+            .withColumn(
+                f"{un}_density_hectare", safe_ratio(un, "block_hectares")
+            )
+            .withColumn(
+                f"{un}_density_hectare_log", safe_log10(f"{un}_density_hectare")
+            )
+            .withColumn(
+                f"{un}_per_building_area_m2", safe_ratio(un, "building_area_m2")
+            )
+            .withColumn(f"{un}_per_building", safe_ratio(un, "building_count"))
+        )
+    kl, kld = k_labels_col()
+    x = x.withColumn("k_labels", kl).withColumn("k_labels_detailed", kld)
+    return x.select(*[F.col(f"`{c}`") for c in COMBINE_FULL_COLS])

@@ -74,3 +74,216 @@ def crosswalk(
         urban_class.alias("urban_class"),
         F.concat_ws("_", urban_class, urban_id).alias("urban_layer_code"),
     )
+
+
+def _country_composite_labels(
+    member_areas: DataFrame, id_col: str, label_col: str, out_col: str
+) -> DataFrame:
+    """Per id: member labels joined with '–', ordered by summed
+    overlap area descending (the reference's groupby-sort-apply(list)
+    dictionaries, batch_1c:280-287) — one tiny aggregate + one
+    window, deterministic via (area desc, label) ordering."""
+    g = member_areas.groupBy(id_col, label_col).agg(
+        F.sum("urban_area").alias("__a")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.desc("__a"), F.asc(label_col))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        g.select(
+            id_col,
+            F.array_join(F.collect_list(label_col).over(w), "–").alias(out_col),
+        )
+        .dropDuplicates([id_col])
+    )
+
+
+def full_crosswalk(
+    blocks: DataFrame,
+    urban: DataFrame,
+    conurbation: DataFrame,
+    agglos: DataFrame,
+    countries: DataFrame,
+) -> DataFrame:
+    """The reference's FULL 23-column crosswalk label surface
+    (batch_1c_regions_crosswalk.py:253-349: area_type, the three
+    class_* hierarchies via the core/peripheral rank, composite
+    '–'-joined multi-country labels, Africapolis agglomeration
+    attributes, and every fillna fallback).
+
+    Inputs: ``blocks`` (block_id, block_geohash, gadm_code,
+    country_code, ring_sizes, coords); ``urban`` (urban_id,
+    urban_center_name, geometry); ``conurbation`` (conurbation_id,
+    conurbation_area_name, geometry); ``agglos`` (agglosid,
+    agglosname, metropole, geometry); ``countries`` (country_code,
+    country_name, continent).
+
+    Spark shape: three overlay top-1 joins (the heavy part — tile
+    prefiltered, same machinery as :func:`crosswalk`), then
+    broadcast-joined label dims and two TINY aggregates (per-urban_id
+    and per-conurbation_id country compositions + the core/peripheral
+    rank) — label work never shuffles block-sized data again."""
+    u = _top1_overlap(blocks, urban.select("urban_id", "ring_sizes", "coords"), "urban_id")
+    c = _top1_overlap(
+        blocks,
+        conurbation.select("conurbation_id", "ring_sizes", "coords"),
+        "conurbation_id",
+    )
+    a = _top1_overlap(blocks, agglos.select("agglosid", "ring_sizes", "coords"), "agglosid")
+
+    base = (
+        blocks.select("block_id", "block_geohash", "gadm_code", "country_code")
+        .join(F.broadcast(countries), "country_code", "left")
+        .join(u, "block_id", "left")
+        .join(c, "block_id", "left")
+        .join(a.select("block_id", "agglosid"), "block_id", "left")
+        .join(
+            F.broadcast(urban.select("urban_id", "urban_center_name").distinct()),
+            "urban_id", "left",
+        )
+        .join(
+            F.broadcast(
+                conurbation.select("conurbation_id", "conurbation_area_name").distinct()
+            ),
+            "conurbation_id", "left",
+        )
+        .join(
+            F.broadcast(
+                agglos.select("agglosid", "agglosname", "metropole").distinct()
+            ),
+            "agglosid", "left",
+        )
+        .withColumn("urban_area", F.coalesce("urban_id_overlap", F.lit(0.0)))
+        .withColumn(
+            "area_type",
+            F.when(F.col("urban_id").isNotNull(), "Urban")
+            .when(F.col("conurbation_id").isNotNull(), "Peri-urban")
+            .otherwise("Non-urban"),
+        )
+    )
+    base = base.localCheckpoint(eager=False)
+
+    urban_members = base.where(F.col("urban_id").isNotNull())
+    conur_members = base.where(F.col("conurbation_id").isNotNull())
+    ucn = _country_composite_labels(
+        urban_members, "urban_id", "country_name", "urban_country_name"
+    )
+    ucc = _country_composite_labels(
+        urban_members, "urban_id", "country_code", "urban_country_code"
+    )
+    ccn = _country_composite_labels(
+        conur_members, "conurbation_id", "country_name", "conurbation_country_name"
+    )
+    ccc = _country_composite_labels(
+        conur_members, "conurbation_id", "country_code", "conurbation_country_code"
+    )
+
+    # core/peripheral rank: urban centers ranked within their
+    # conurbation by total intersected area (batch_1c:304-307;
+    # method='first' → row_number, urban_id tiebreak for determinism)
+    rank_src = (
+        urban_members.groupBy("urban_id", "conurbation_id")
+        .agg(F.sum("urban_area").alias("__ua"))
+    )
+    wr = Window.partitionBy("conurbation_id").orderBy(
+        F.desc("__ua"), F.asc("urban_id")
+    )
+    ranks = rank_src.select(
+        "urban_id", "conurbation_id", F.row_number().over(wr).alias("__rank")
+    )
+
+    x = (
+        base.join(F.broadcast(ucn), "urban_id", "left")
+        .join(F.broadcast(ucc), "urban_id", "left")
+        .join(F.broadcast(ccn), "conurbation_id", "left")
+        .join(F.broadcast(ccc), "conurbation_id", "left")
+        .join(F.broadcast(ranks), ["urban_id", "conurbation_id"], "left")
+    )
+
+    # conurbation_area_name_short: first two '-'-separated segments
+    # (batch_1c:295-297)
+    short = F.when(
+        F.col("conurbation_area_name").isNotNull(),
+        F.array_join(
+            F.slice(F.split(F.col("conurbation_area_name"), "-"), 1, 2), "-"
+        ),
+    )
+    x = x.withColumn("conurbation_area_name_short", short)
+
+    hierarchy = (
+        F.when((F.col("area_type") == "Urban") & (F.col("__rank") == 1), "1 - Core urban")
+        .when((F.col("area_type") == "Urban") & (F.col("__rank") > 1), "2 - Peripheral urban")
+        .when(F.col("area_type") == "Peri-urban", "3 - Peri-urban")
+        .otherwise("4 - Non-urban")
+    )
+    x = x.withColumn("class_urban_hierarchy", hierarchy)
+    x = x.withColumn(
+        "class_urban_periurban_nonurban",
+        F.when(
+            F.col("class_urban_hierarchy").isin("1 - Core urban", "2 - Peripheral urban"),
+            "1 - Core & peripheral urban",
+        )
+        .when(F.col("class_urban_hierarchy") == "3 - Peri-urban", "2 - Peri-urban")
+        .otherwise("3 - Non-urban"),
+    )
+    x = x.withColumn(
+        "class_urban_nonurban",
+        F.when(
+            F.col("class_urban_hierarchy").isin(
+                "1 - Core urban", "2 - Peripheral urban", "3 - Peri-urban"
+            ),
+            "1 - Core, peripheral, & peri-urban",
+        ).otherwise("2 - Non-urban"),
+    )
+
+    rest = F.concat(F.lit("Rest of "), F.col("country_name"))
+    x = (
+        x.withColumn(
+            "urban_center_name",
+            F.when(
+                F.col("urban_center_name").isNull()
+                & (F.col("class_urban_hierarchy") == "3 - Peri-urban"),
+                F.concat(F.lit("Peri-urban "), F.col("conurbation_area_name_short")),
+            )
+            .when(F.col("urban_center_name").isNull(), rest)
+            .otherwise(F.col("urban_center_name")),
+        )
+        .withColumn("urban_country_name", F.coalesce("urban_country_name", "country_name"))
+        .withColumn("urban_country_code", F.coalesce("urban_country_code", "country_code"))
+        .withColumn("conurbation_area_name", F.coalesce("conurbation_area_name", rest))
+        .withColumn(
+            "conurbation_area_name_short",
+            F.coalesce("conurbation_area_name_short", rest),
+        )
+        .withColumn(
+            "conurbation_country_name",
+            F.coalesce("conurbation_country_name", "country_name"),
+        )
+        .withColumn(
+            "conurbation_country_code",
+            F.coalesce("conurbation_country_code", "country_code"),
+        )
+    )
+    # batch_1c:347-348; null-free variant — concat_ws drops the null
+    # urban_id of peri-urban blocks instead of nulling the whole code
+    x = x.withColumn(
+        "urban_layer_code",
+        F.when(
+            F.col("area_type") == "Non-urban",
+            F.concat(F.col("country_code"), F.lit("_nonurban")),
+        ).otherwise(
+            F.concat_ws("_", "country_code", "conurbation_id", "urban_id")
+        ),
+    )
+    return x.select(
+        "block_id", "block_geohash", "gadm_code", "country_code",
+        "country_name", "continent", "area_type", "class_urban_hierarchy",
+        "class_urban_periurban_nonurban", "class_urban_nonurban",
+        "urban_id", "urban_center_name", "urban_country_code",
+        "urban_country_name", "conurbation_id", "conurbation_area_name",
+        "conurbation_area_name_short", "conurbation_country_code",
+        "conurbation_country_name", "agglosid", "agglosname", "metropole",
+        "urban_layer_code",
+    )

@@ -1997,6 +1997,75 @@ def geo_dissolve(spark, sf_dir):
     return d.select("key", "n_parts", F.size("ring_sizes").alias("n_rings"))
 
 
+def geo_combine_full(spark, sf_dir):
+    """End-to-end output-fidelity surface: full_crosswalk (23-column
+    batch-1c label surface) feeding combine_full (87-column batch-5
+    all_data_col_list) over the 2×2 synthetic city. Rows-only
+    (geometry pipeline upstream); value-hash golden pins a stable
+    12-column projection."""
+    import numpy as np
+
+    from .geo.geom import pack_rings
+    from .io.synth import ADMIN_SIZE_DEG, ORIGIN_LAT, ORIGIN_LON, synth_pixels
+    from .ops.combine import combine_full
+    from .ops.crosswalk import full_crosswalk
+    from .ops.population import allocate_population
+    from .pipeline import run_pipeline
+
+    dfs = run_pipeline(spark, n_pages=1500, nx=2, ny=2, grid=2)
+    blocks = dfs["blocks"]
+    buildings = dfs["buildings"].withColumn(
+        "building_area",
+        (F.pmod(F.xxhash64("url"), F.lit(900)) + F.lit(10)).cast("double"),
+    )
+    pop = allocate_population(
+        spark.createDataFrame(synth_pixels(2, 2)),
+        buildings.select("block_id", "gadm_code", "lon", "lat", "building_area"),
+        blocks,
+    ).select(
+        "block_id",
+        F.col("allocated_population").alias("population"),
+        (F.col("allocated_population") * 1.1).alias("population_un"),
+    )
+
+    def poly(x0, y0, w, h):
+        return pack_rings(
+            np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]])
+        )
+
+    s1, c1 = poly(ORIGIN_LON, ORIGIN_LAT, ADMIN_SIZE_DEG, ADMIN_SIZE_DEG)
+    s2, c2 = poly(ORIGIN_LON, ORIGIN_LAT, 2 * ADMIN_SIZE_DEG, ADMIN_SIZE_DEG)
+    urban = spark.createDataFrame(
+        [("u1", "Bigville", s1, c1)],
+        "urban_id string, urban_center_name string, "
+        "ring_sizes array<int>, coords array<double>",
+    )
+    conur = spark.createDataFrame(
+        [("c1", "Bigville-Metro-Area", s2, c2)],
+        "conurbation_id string, conurbation_area_name string, "
+        "ring_sizes array<int>, coords array<double>",
+    )
+    agglos = spark.createDataFrame(
+        [("ag1", "Bigville Agglo", "yes", s1, c1)],
+        "agglosid string, agglosname string, metropole string, "
+        "ring_sizes array<int>, coords array<double>",
+    )
+    countries = spark.createDataFrame(
+        [("AAA", "Aaaland", "Africa")],
+        "country_code string, country_name string, continent string",
+    )
+    xwalk = full_crosswalk(blocks, urban, conur, agglos, countries)
+    out = combine_full(blocks, dfs["complexity"], buildings, pop, pop, xwalk)
+    return out.select(
+        "block_id", "area_type", "class_urban_hierarchy", "urban_layer_code",
+        "urban_center_name", "k_labels", "k_labels_detailed",
+        "building_count", "parcel_count",
+        F.round("building_area_m2", 6).alias("building_area_m2"),
+        F.round("landscan_population_un", 6).alias("landscan_population_un"),
+        F.round("building_to_block_area_ratio", 9).alias("b2b_ratio"),
+    )
+
+
 def e04_lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed ANN (the scale path; deterministic hyperplanes +
     exact rerank — no SQL equivalent, rows-only check; recall vs the
@@ -2272,5 +2341,6 @@ REGISTRY: dict = {
     "geo_k_complexity": (geo_k_complexity, None),
     "geo_population": (geo_population, None),
     "geo_dissolve": (geo_dissolve, None),
+    "geo_combine_full": (geo_combine_full, None),
     "s01_stream_tile_rollup": (s01_stream_tile_rollup, None),
 }

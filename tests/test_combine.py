@@ -112,3 +112,97 @@ def test_polyline_length_degenerate(spark):
     ).collect()
     assert [r["len"] for r in rows] == [0.0, 0.0, 5.0]
     assert [r["lin"] for r in rows] == [1.0, 1.0, 1.0]
+
+
+def test_combine_full_surface(spark, combined):
+    """The reference's full 87-column combine surface
+    (batch_5:345 all_data_col_list, minus its trailing geometry
+    column which lives on the blocks table in this engine): exact
+    column order, null-free, and the metric/bin identities."""
+    from kblock_spark.ops.combine import (
+        BIN_AREA_COL_LIST,
+        COMBINE_FULL_COLS,
+        combine_full,
+    )
+    from kblock_spark.ops.crosswalk import full_crosswalk
+
+    dfs = run_pipeline(spark, n_pages=2500, nx=2, ny=2, grid=2)
+    blocks = dfs["blocks"].cache()
+    buildings = dfs["buildings"].withColumn(
+        "building_area",
+        (F.pmod(F.xxhash64("url"), F.lit(900)) + F.lit(10)).cast("double"),
+    ).cache()
+    k = dfs["complexity"]
+    pop = allocate_population(
+        spark.createDataFrame(synth_pixels(2, 2)),
+        buildings.select("block_id", "gadm_code", "lon", "lat", "building_area"),
+        blocks,
+    ).select(
+        "block_id",
+        F.col("allocated_population").alias("population"),
+        (F.col("allocated_population") * 1.1).alias("population_un"),
+    ).cache()
+
+    # minimal crosswalk fixture: one urban core + conurbation + agglo
+    import numpy as np
+
+    from kblock_spark.geo.geom import pack_rings
+    from kblock_spark.io.synth import ADMIN_SIZE_DEG, ORIGIN_LAT, ORIGIN_LON
+
+    def poly(x0, y0, w, h):
+        return pack_rings(
+            np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]])
+        )
+
+    sizes, coords = poly(ORIGIN_LON, ORIGIN_LAT, ADMIN_SIZE_DEG, ADMIN_SIZE_DEG)
+    urban = spark.createDataFrame(
+        [("u1", "Bigville", sizes, coords)],
+        "urban_id string, urban_center_name string, "
+        "ring_sizes array<int>, coords array<double>",
+    )
+    sizes2, coords2 = poly(ORIGIN_LON, ORIGIN_LAT, 2 * ADMIN_SIZE_DEG, ADMIN_SIZE_DEG)
+    conur = spark.createDataFrame(
+        [("c1", "Bigville-Metro-Area", sizes2, coords2)],
+        "conurbation_id string, conurbation_area_name string, "
+        "ring_sizes array<int>, coords array<double>",
+    )
+    agglos = spark.createDataFrame(
+        [("ag1", "Bigville Agglo", "yes", sizes, coords)],
+        "agglosid string, agglosname string, metropole string, "
+        "ring_sizes array<int>, coords array<double>",
+    )
+    countries = spark.createDataFrame(
+        [("AAA", "Aaaland", "Africa")],
+        "country_code string, country_name string, continent string",
+    )
+    xwalk = full_crosswalk(blocks, urban, conur, agglos, countries)
+
+    out = combine_full(blocks, k, buildings, pop, pop, xwalk).cache()
+    assert out.columns == COMBINE_FULL_COLS
+    assert len(out.columns) == 87  # 57 named + 30 bins
+    assert out.count() == blocks.count()
+    for col in (
+        "k_labels", "k_labels_detailed", "building_area_m2",
+        "landscan_population_un_log", "urban_layer_code", "area_type",
+    ):
+        assert out.where(F.col(col).isNull()).count() == 0, col
+
+    # bin identities: per-block bin counts sum to building_count and
+    # bin m² sums to building_area_m2 (exact: integer-valued areas)
+    bin_count_sum = sum(F.col(f"`{c}`") for c in BIN_AREA_COL_LIST[:15])
+    bin_m2_sum = sum(F.col(f"`{c}`") for c in BIN_AREA_COL_LIST[15:])
+    bad = out.where(
+        (bin_count_sum != F.col("building_count"))
+        | (F.abs(bin_m2_sum - F.col("building_area_m2")) > 1e-6)
+    ).count()
+    assert bad == 0
+
+    # k_labels semantics vs k and the off-network rule
+    mism = out.where(
+        (F.col("nearest_external_street_meters") < 200)
+        & (F.col("k_complexity") < 10)
+        & (F.col("k_labels") != F.col("k_complexity").cast("int").cast("string"))
+    ).count()
+    assert mism == 0
+    # parcel identities (one Voronoi parcel per building in the ref)
+    assert out.where(F.col("parcel_count") != F.col("building_count")).count() == 0

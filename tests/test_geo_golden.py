@@ -31,6 +31,9 @@ GOLDEN = {
     # geo_knn / geo_linearity graduated to hard DuckDB oracles in
     # round 4 (SQL-reproducible inputs) and left the golden set
     "geo_dissolve": ("09159e0763dc6f43", 4),
+    # round 4: full 23-col crosswalk -> 87-col combine surface
+    # (12-column stable projection)
+    "geo_combine_full": ("fe75e2ecdfb96b95", 28),
     "media_features": ("1f9e2bd35fe6dccd", 300),
     "s01_stream_tile_rollup": ("a3824bff0cd6587c", 867),
     "e05_ivf_ann_topk": ("73afa9e353501e2d", 100),
