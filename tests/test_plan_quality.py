@@ -93,6 +93,9 @@ def test_e02_blocked_matches_bruteforce(spark):
 # min class count) — O(N·1) by construction, same as geo_population's
 _CARTESIAN_OK = {
     "e01_ann_cosine_topk", "geo_k_complexity", "geo_population",
+    # embeds allocate_population → same ONE-ROW broadcast scalar
+    # attach as geo_population
+    "geo_combine_full",
     "d15_stratified_rebalance",
 }
     # queries that trigger driver-side work/iterations when the plan is
