@@ -1015,28 +1015,35 @@ _SHINGLE_CAP = 200
 _JACCARD_MIN = 0.5
 
 
+def _trigram_shingles(toks):
+    """3-token shingle array via nested zip_with over slices — the
+    lambda bodies touch only their element arguments, so nothing is
+    re-evaluated per element (the transform(sequence,
+    i -> element_at(toks, i+…)) shape re-ran the captured split()
+    expression inside the lambda body for EVERY index: O(n²) per
+    document — the d11 round-4 lesson, same trap here). Docs with
+    < 3 tokens yield no shingles."""
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, n - 2),
+                F.slice(toks, 2, n - 2),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice(toks, 3, n - 2),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _shingle_hashes(d: DataFrame) -> DataFrame:
-    """documents → distinct (doc_id, h) 3-token shingle hash rows.
-    Docs with < 3 tokens yield no shingles (guarded: F.sequence would
-    otherwise produce a DESCENDING range and element_at(…, 0))."""
-    toks = F.split("text", " ")
-    idx = F.when(
-        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
-    ).otherwise(F.array().cast("array<int>"))
+    """documents → distinct (doc_id, h) 3-token shingle hash rows."""
     return (
         d.select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                        F.element_at(toks, i + 3),
-                    ),
-                )
-            ).alias("shingle"),
+            F.explode(_trigram_shingles(F.split("text", " "))).alias("shingle"),
         )
         .select("doc_id", _h12("shingle").alias("h"))
         .distinct()
@@ -1242,23 +1249,13 @@ _WINNOW_W = 4
 
 def d12_winnowing_fingerprints(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    idx = F.when(
-        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
-    ).otherwise(F.array().cast("array<int>"))
+    # zip_with shingles — see _trigram_shingles for why not
+    # transform(sequence, element_at) (O(n²) lambda-body re-eval)
     sh = d.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ).alias("pos", "shingle"),
+        F.posexplode(_trigram_shingles(F.split("text", " "))).alias(
+            "pos", "shingle"
+        ),
     ).select("doc_id", "pos", _h12("shingle").alias("h"))
     w = (
         Window.partitionBy("doc_id")
@@ -1416,66 +1413,67 @@ FROM rates r LEFT JOIN kept k ON r.lang = k.lang
 # documents dominated by repeated fragments are low-quality training
 # data). Pure Catalyst on both engines.
 #
-# Linear plan (round-4 fix): the mode count of a string multiset is
-# the longest run in its SORTED order, so each document is scored by
-# array_sort + one O(n) run-length fold (F.aggregate) — per-row
-# O(n log n), fully row-local, ZERO shuffle. The previous shape
-# (transform(array_distinct, t -> size(filter(toks, x -> x == t))))
-# rescanned the whole token array per distinct token: O(n^2) per
-# document, ~10^10 comparisons inside a single row's evaluation for a
-# 100k-token web document — a per-row straggler no partitioning can
-# fix. Guarded by test_d11_long_doc_linear.
-
-
-def _max_run_count(arr):
-    """Max multiplicity of any element in a string array: longest run
-    after sorting, via a single left fold. 0 for an empty array.
-    Elements must be non-null (split() output is)."""
-    def step(st, x):
-        run = (
-            F.when(st["prev"].isNotNull() & (x == st["prev"]), st["run"] + 1)
-            .otherwise(F.lit(1))
-        )
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(st["best"], run).alias("best"),
-        )
-
-    return F.aggregate(
-        F.array_sort(arr),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        step,
-        lambda st: st["best"],
-    )
+# Linear plan (round-4 fix): tokens AND bigrams posexplode into
+# kind-tagged unit rows, then ONE groupBy(doc, unit).count() with
+# map-side combine and a per-doc max — O(total tokens) end to end.
+# The previous shape (transform(array_distinct,
+# t -> size(filter(toks, x -> x == t)))) rescanned the whole token
+# array per distinct token: O(n^2) per document, ~10^10 comparisons
+# inside a single row's evaluation for a 100k-token web document — a
+# per-row straggler no partitioning can fix. A zero-shuffle
+# alternative (array_sort + run-length fold via F.aggregate) is also
+# linear but measured 2× slower here: Catalyst higher-order lambdas
+# evaluate interpreted at ~30µs/element, while the explode shape does
+# its counting in whole-stage-codegen hash aggregation; the shuffle
+# it pays carries only post-combine (doc, unit, count) partials.
+# Guarded by test_d11_long_doc_linear.
 
 
 def d11_repetition_filter(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
+    # Bigrams via zip_with over two slices — NOT
+    # transform(sequence, i -> element_at(toks, i+1) ...): a Catalyst
+    # lambda BODY is re-evaluated per element, so referencing the
+    # captured split() expression inside it recomputes the full token
+    # array n times → O(n²) per document (measured: 339 s for one
+    # 50k-token doc). zip_with's lambda only touches its element
+    # arguments; the sliced arrays are evaluated once per row.
     big = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return d.select(
+    base = d.select("doc_id", toks.alias("t"), big.alias("b"), n.alias("n"))
+    units = base.select(
         "doc_id",
-        n.cast("bigint").alias("n_tokens"),
+        "n",
+        F.explode(
+            F.concat(
+                F.transform("t", lambda x: F.struct(F.lit(0).alias("k"), x.alias("u"))),
+                F.transform("b", lambda x: F.struct(F.lit(1).alias("k"), x.alias("u"))),
+            )
+        ).alias("ku"),
+    )
+    cnt = units.groupBy("doc_id", "n", "ku").agg(F.count("*").alias("c"))
+    per = cnt.groupBy("doc_id", "n").agg(
+        F.max(F.when(F.col("ku.k") == 0, F.col("c"))).alias("mt"),
+        F.max(F.when(F.col("ku.k") == 1, F.col("c"))).alias("mb"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
         (
-            _max_run_count(toks).cast("double") / n.cast("double")
+            F.coalesce("mt", F.lit(0)).cast("double") / F.col("n").cast("double")
         ).alias("top_token_frac"),
         F.when(
-            F.size(big) > 0,
-            _max_run_count(big).cast("double") / F.size(big).cast("double"),
+            F.col("n") >= 2,
+            F.coalesce("mb", F.lit(0)).cast("double")
+            / (F.col("n") - 1).cast("double"),
         ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
 
