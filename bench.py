@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "e07_ivf_index_ann",
     "s02_stream_dedup",
     "s03_stream_session_windows",
+    "s04_stream_tumbling_rollup",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -2241,6 +2241,77 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+# s04 — watermarked tumbling-window rollup (the canonical Structured
+# Streaming aggregate), oracle-checked: the finalized append-mode
+# stream output over the events table must equal batch SQL's
+# GROUP BY time bucket. Unlike session windows (s03: key-local state
+# needs a per-key sentinel), tumbling-window finalization is driven
+# by the GLOBAL watermark — ONE far-future sentinel row flushes every
+# real window. Float sums are avoided: per-row value is quantized to
+# integer micro-units before summing, so the aggregate is exact under
+# any micro-batch/partition order.
+
+def s04_stream_tumbling_rollup(spark, sf_dir):
+    import tempfile
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="kblock_s04_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+    sent = spark.createDataFrame(
+        [("__sentinel__",)], "event_type string"
+    ).select(
+        "event_type",
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0.0).alias("value"),
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, user_id long, value double"
+    ).parquet(src)
+    roll = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias("value_e6"),
+            F.size(F.collect_set("user_id")).alias("n_users"),
+        )
+        .where(F.col("w.start") < F.lit("2029-01-01").cast("timestamp"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "value_e6",
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+    )
+    q = (
+        roll.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "window_start", "event_type", "n_events", "value_e6", "n_users"
+    )
+
+
+S04_SQL = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(round(value * 1000000.0)::BIGINT) AS value_e6,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -2275,7 +2346,6 @@ REGISTRY: dict = {
     "q10_price_histogram": (q10_price_histogram, Q10_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q13_weighted_discount_by_brand": (q13_weighted_discount_by_brand, Q13_SQL),
-    "q15_isin_null_filter": (q15_isin_null_filter, Q15_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
     "q17_closest_price_part": (q17_closest_price_part, Q17_SQL),
     "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
@@ -2316,6 +2386,7 @@ REGISTRY: dict = {
     # streaming (oracle-backed)
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
     "s03_stream_session_windows": (s03_stream_session_windows, S03_SQL),
+    "s04_stream_tumbling_rollup": (s04_stream_tumbling_rollup, S04_SQL),
     # geospatial with hard oracles (round 4): SQL-reproducible inputs
     "geo_knn": (geo_knn, GEO_KNN_SQL),
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
@@ -2327,6 +2398,7 @@ REGISTRY: dict = {
     "q09_custkeys_per_status": (q09_custkeys_per_status, Q09_SQL),
     "q12_running_customer_spend": (q12_running_customer_spend, Q12_SQL),
     "q14_prefix_consistency": (q14_prefix_consistency, Q14_SQL),
+    "q15_isin_null_filter": (q15_isin_null_filter, Q15_SQL),
     "q25_windowed_count": (q25_windowed_count, Q25_SQL),
     # rows-only (no SQL equivalent → value-hash goldens in
     # tests/test_geo_golden.py pin these)
