@@ -206,11 +206,15 @@ def _encode_wkb(gt: str, sizes: list, flat: list) -> bytes:
     return out
 
 
-def _gpkg_blob(wkb: bytes, flat: list, srs_id: int) -> bytes:
+def _envelope(flat: list) -> tuple:
+    """(minx, maxx, miny, maxy) of a flat coord list."""
+    xs, ys = flat[0::2], flat[1::2]
+    return (min(xs), max(xs), min(ys), max(ys))
+
+
+def _gpkg_blob(wkb: bytes, env: tuple, srs_id: int) -> bytes:
     """Wrap WKB in a GPKG binary header: magic, version 0, flags
     (little-endian + 32-byte envelope), srs_id, [minx maxx miny maxy]."""
-    xs, ys = flat[0::2], flat[1::2]
-    env = (min(xs), max(xs), min(ys), max(ys))
     # flags 0b0000_0011: envelope code 1 (bits 3-1), LE header (bit 0)
     return b"GP\x00\x03" + struct.pack("<i4d", srs_id, *env) + wkb
 
@@ -282,21 +286,26 @@ def write_gpkg(
         f'CREATE TABLE "{table}" '
         f"(fid INTEGER PRIMARY KEY AUTOINCREMENT, geom BLOB{col_ddl})"
     )
+    prop_cols = "".join(', "' + c + '"' for c in prop_names)
+    marks = ",".join(["?"] * (1 + len(prop_names)))
+    insert_sql = f'INSERT INTO "{table}" (geom{prop_cols}) VALUES ({marks})'
     bbox = [None, None, None, None]  # minx, miny, maxx, maxy
-    for gt, sizes, flat, props in features:
+    for fi, (gt, sizes, flat, props) in enumerate(features):
         if gt not in type_codes:
             raise ValueError(f"unsupported geometry type {gt!r}")
-        blob = _gpkg_blob(_encode_wkb(gt, sizes, flat), flat, srs_id)
-        xs, ys = flat[0::2], flat[1::2]
-        for i, v in enumerate(
-            (min(xs), min(ys), max(xs), max(ys))
-        ):
+        if not flat:
+            raise ValueError(
+                f"feature {fi} ({gt}) has no coordinates — empty "
+                "geometries cannot be written to a GeoPackage envelope"
+            )
+        env = _envelope(flat)
+        blob = _gpkg_blob(_encode_wkb(gt, sizes, flat), env, srs_id)
+        minx, maxx, miny, maxy = env
+        for i, v in enumerate((minx, miny, maxx, maxy)):
             if bbox[i] is None or (v < bbox[i] if i < 2 else v > bbox[i]):
                 bbox[i] = v
-        prop_cols = "".join(', "' + c + '"' for c in prop_names)
-        marks = ",".join(["?"] * (1 + len(prop_names)))
         con.execute(
-            f'INSERT INTO "{table}" (geom{prop_cols}) VALUES ({marks})',
+            insert_sql,
             (blob, *[str(props.get(c, "")) for c in prop_names]),
         )
     con.execute(

@@ -39,7 +39,12 @@ _ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(0x20)}
 def escape_partition_value(v: str) -> str:
     """Escape a partition VALUE the way Spark writes it into the
     directory name (%XX uppercase hex), so cleanup paths match the
-    actual on-disk layout for keys containing ':', '/', '%', etc."""
+    actual on-disk layout for keys containing ':', '/', '%', etc.
+    An empty value becomes __HIVE_DEFAULT_PARTITION__ — Spark writes
+    null/empty partition values under that directory, so a raw
+    '__pk=' path would never match and stale data would survive."""
+    if v == "":
+        return "__HIVE_DEFAULT_PARTITION__"
     return "".join(
         f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in v
     )

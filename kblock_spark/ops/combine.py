@@ -173,13 +173,19 @@ def building_area_bins(buildings: DataFrame) -> DataFrame:
     get_dummies + multiply + groupby collapses to ONE conditional
     aggregation — a single shuffle with map-side combine, no N×30
     dummy matrix ever materialized."""
-    lg = safe_log10("building_area")
+    # null area → 0.0 BEFORE binning: a null would land in bin 01 via
+    # safe_log10's otherwise(0.0) yet vanish from the m² sum (F.sum
+    # skips nulls), breaking the count-vs-m² bin identities
+    area = F.coalesce(F.col("building_area"), F.lit(0.0))
+    lg = safe_log10(area)
     edges = [0.75 + 0.25 * i for i in range(14)]  # 0.75 .. 4.0
     b = F.when(lg < edges[0], BIN_AREA_LABELS[0])
     for i, e in enumerate(edges[:-1]):
         b = b.when((lg >= e) & (lg < edges[i + 1]), BIN_AREA_LABELS[i + 1])
     bin_col = b.otherwise(BIN_AREA_LABELS[14])
-    d = buildings.select("block_id", "building_area", bin_col.alias("__bin"))
+    d = buildings.select(
+        "block_id", area.alias("building_area"), bin_col.alias("__bin")
+    )
     aggs = []
     for s in BIN_AREA_LABELS:
         aggs.append(

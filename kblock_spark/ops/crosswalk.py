@@ -124,7 +124,18 @@ def full_crosswalk(
     prefiltered, same machinery as :func:`crosswalk`), then
     broadcast-joined label dims and two TINY aggregates (per-urban_id
     and per-conurbation_id country compositions + the core/peripheral
-    rank) — label work never shuffles block-sized data again."""
+    rank) — label work never shuffles block-sized data again.
+
+    Two reference-matching quirks kept deliberately:
+    (a) an Urban block whose urban center overlaps NO conurbation
+    falls through to '4 - Non-urban' in the class_* hierarchies (the
+    reference's np.select default, batch_1c:310-316 — unreachable in
+    its data, where conurbations are built FROM urban buffers so
+    urban ⊆ conurbation by construction);
+    (b) the conurbation country compositions are ordered by summed
+    URBAN overlap area, exactly like the urban ones (batch_1c:273 —
+    all-peri-urban member countries tie at 0 and fall back to
+    alphabetical)."""
     u = _top1_overlap(blocks, urban.select("urban_id", "ring_sizes", "coords"), "urban_id")
     c = _top1_overlap(
         blocks,

@@ -136,3 +136,13 @@ def test_gpkg_unknown_layer_raises(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         read_gpkg(spark, p, table="nope").collect()
     assert "available layers" in str(ei.value)
+
+
+def test_gpkg_write_rejects_empty_geometry(tmp_path):
+    from kblock_spark.io.gpkg import write_gpkg
+
+    with pytest.raises(ValueError, match="no coordinates"):
+        write_gpkg(
+            str(tmp_path / "bad.gpkg"), "t",
+            [("LineString", [0], [], {})],
+        )

@@ -195,3 +195,13 @@ def test_retry_clears_stale_partition_for_special_char_keys(spark, tmp_path):
     checkpointed_run(spark, universe, "part_key", build_v2, out, man)
     got = {r["part_key"] for r in spark.read.parquet(out).collect()}
     assert got == {"k:0"}
+
+
+def test_escape_empty_key_maps_to_hive_default_partition():
+    """Spark writes null/empty partition values under
+    __HIVE_DEFAULT_PARTITION__ — the cleanup path must match that
+    directory, not a bare '__pk='."""
+    from kblock_spark.io.manifest import escape_partition_value
+
+    assert escape_partition_value("") == "__HIVE_DEFAULT_PARTITION__"
+    assert escape_partition_value("x") == "x"
