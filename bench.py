@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "d13_token_chunking",
     "d14_pattern_scrub",
     "d15_stratified_rebalance",
+    "d16_decontamination",
     "e01_ann_cosine_topk",
     "e02_embedding_dup_pairs",
     "e05_ivf_ann_topk",

@@ -1408,6 +1408,59 @@ FROM rates r LEFT JOIN kept k ON r.lang = k.lang
 """
 
 
+# d16 — benchmark decontamination (the train/test n-gram overlap
+# check every training-data pipeline runs before release: documents
+# sharing 3-token shingles with a held-out benchmark slice are
+# flagged with their overlap counts). Spark shape: the benchmark
+# side's distinct shingle hashes are TINY → broadcast left-semi join
+# on the int48 hash; the corpus text is never shuffled, only its
+# (doc_id, h) shingle rows aggregate with map-side combine. At 100 TB
+# the benchmark set stays a broadcast (benchmarks are ~10⁴-10⁶
+# n-grams) and the scan stays one pass.
+
+def d16_decontamination(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingle_hashes(d)
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = sh.where(is_bench).select("h").distinct()
+    corpus = sh.where(~is_bench)
+    hits = corpus.join(F.broadcast(bench), "h", "left_semi")
+    per_doc_tot = corpus.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    per_doc_hits = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_contaminated")
+    )
+    return (
+        per_doc_tot.join(per_doc_hits, "doc_id")  # contaminated docs only
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+D16_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM corpus SEMI JOIN bench USING (h)
+  GROUP BY doc_id)
+SELECT t.doc_id, n_shingles::BIGINT AS n_shingles,
+       n_contaminated::BIGINT AS n_contaminated,
+       n_contaminated::DOUBLE / n_shingles::DOUBLE AS contamination_frac
+FROM tot t JOIN hit USING (doc_id)
+"""
+
+
 # d11 — repetition-based quality filters (the Gopher/C4 family:
 # duplicated-top-bigram fraction and max single-token dominance —
 # documents dominated by repeated fragments are low-quality training
@@ -2396,9 +2449,10 @@ REGISTRY: dict = {
     "geo_knn": (geo_knn, GEO_KNN_SQL),
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
     # --- driver record window ends here (50 entries above) ---
-    # oracle-backed queries displaced from the window (green in
-    # CORRECTNESS_r01/r02/r03; still run by the sf0.001 parity suite
-    # and the self-check each round)
+    # oracle-backed queries outside the window (the q's are green in
+    # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
+    # suite and the self-check each round)
+    "d16_decontamination": (d16_decontamination, D16_SQL),
     "q03_windowed_share": (q03_windowed_share, Q03_SQL),
     "q09_custkeys_per_status": (q09_custkeys_per_status, Q09_SQL),
     "q12_running_customer_spend": (q12_running_customer_spend, Q12_SQL),
