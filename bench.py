@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "s02_stream_dedup",
     "s03_stream_session_windows",
     "s04_stream_tumbling_rollup",
+    "s05_stream_static_enrich",
 ]
 
 GEO_NX = GEO_NY = 8

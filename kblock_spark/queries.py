@@ -2370,6 +2370,75 @@ GROUP BY 1, 2
 """
 
 
+# s05 — stream-static broadcast enrichment (the remaining streaming
+# operator class: a micro-batch join of the stream against a STATIC
+# dimension, re-read per batch and broadcast — the Structured
+# Streaming pattern for slowly-changing reference data). Events map
+# to nations by pmod(user_id, 25); each enriched event then flows
+# into the watermarked daily rollup. Oracle: the identical batch SQL
+# join+rollup. The sentinel row that flushes the final windows has
+# user_id -1 → pmod 24, a REAL nation: its far-future window is
+# excluded by the 2029 cut (watermark advances from source event
+# time regardless).
+
+def s05_stream_static_enrich(spark, sf_dir):
+    import tempfile
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    base = tempfile.mkdtemp(prefix="kblock_s05_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame([(-1,)], "user_id long").select(
+        "user_id",
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    enriched = stream.withColumn("nk", F.pmod("user_id", F.lit(25))).join(
+        F.broadcast(nat), "nk", "inner"
+    )
+    roll = (
+        enriched.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 day").alias("w"), "n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias("value_e6"),
+        )
+        .where(F.col("w.start") < F.lit("2029-01-01").cast("timestamp"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_name",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "value_e6",
+        )
+    )
+    q = (
+        roll.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("day", "n_name", "n_events", "value_e6")
+
+
+S05_SQL = """
+SELECT strftime(time_bucket(INTERVAL 1 DAY, e.ts), '%Y-%m-%d') AS day,
+       n.n_name,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(round(e.value * 1000000.0)::BIGINT) AS value_e6
+FROM events e
+JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -2453,6 +2522,7 @@ REGISTRY: dict = {
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
     "d16_decontamination": (d16_decontamination, D16_SQL),
+    "s05_stream_static_enrich": (s05_stream_static_enrich, S05_SQL),
     "q03_windowed_share": (q03_windowed_share, Q03_SQL),
     "q09_custkeys_per_status": (q09_custkeys_per_status, Q09_SQL),
     "q12_running_customer_spend": (q12_running_customer_spend, Q12_SQL),
