@@ -249,6 +249,16 @@ def write_gpkg(
     with per-feature envelope, property columns as TEXT) — openable
     by OGR/QGIS, round-trips through :func:`read_gpkg`."""
     type_codes = {v: k for k, v in _WKB_NAMES.items()}
+    # validate BEFORE touching the destination: raising mid-write
+    # would leave a half-written corrupt .gpkg and an open connection
+    for fi, (gt, _sizes, flat, _props) in enumerate(features):
+        if gt not in type_codes:
+            raise ValueError(f"unsupported geometry type {gt!r} (feature {fi})")
+        if not flat:
+            raise ValueError(
+                f"feature {fi} ({gt}) has no coordinates — empty "
+                "geometries cannot be written to a GeoPackage envelope"
+            )
     con = sqlite3.connect(path)
     con.execute("PRAGMA application_id = 0x47504B47")
     con.execute("PRAGMA user_version = 10300")  # GeoPackage 1.3
@@ -290,14 +300,7 @@ def write_gpkg(
     marks = ",".join(["?"] * (1 + len(prop_names)))
     insert_sql = f'INSERT INTO "{table}" (geom{prop_cols}) VALUES ({marks})'
     bbox = [None, None, None, None]  # minx, miny, maxx, maxy
-    for fi, (gt, sizes, flat, props) in enumerate(features):
-        if gt not in type_codes:
-            raise ValueError(f"unsupported geometry type {gt!r}")
-        if not flat:
-            raise ValueError(
-                f"feature {fi} ({gt}) has no coordinates — empty "
-                "geometries cannot be written to a GeoPackage envelope"
-            )
+    for gt, sizes, flat, props in features:
         env = _envelope(flat)
         blob = _gpkg_blob(_encode_wkb(gt, sizes, flat), env, srs_id)
         minx, maxx, miny, maxy = env

@@ -30,6 +30,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(prefix: str) -> str:
+    """Per-call scratch dir under ONE per-process root that is swept
+    at interpreter exit. The streaming/index queries write table
+    copies, checkpoints and outputs to scratch; a bare mkdtemp per
+    call leaked them into /tmp forever (bench runs these queries
+    dozens of times per round). Cleanup cannot happen before return —
+    the returned DataFrame lazily reads the scratch output — so the
+    sweep is atexit."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="kblock_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def _dec(c) -> F.Column:
     col = F.col(c) if isinstance(c, str) else c
     return col.cast("decimal(18,2)")
@@ -1420,7 +1444,10 @@ FROM rates r LEFT JOIN kept k ON r.lang = k.lang
 
 def d16_decontamination(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    sh = _shingle_hashes(d)
+    # three consumers of the shingle subtree (bench set, hit counts,
+    # totals) → materialize once; exchange reuse alone does not
+    # dedupe it (d06's measured 3.3× lesson, queries.py d06 notes)
+    sh = _shingle_hashes(d).localCheckpoint(eager=False)
     is_bench = F.col("doc_id") % 97 == 0
     bench = sh.where(is_bench).select("h").distinct()
     corpus = sh.where(~is_bench)
@@ -2018,7 +2045,6 @@ def e07_ivf_index_ann(spark, sf_dir):
     build, which is exactly the round-trip property worth pinning.
     Rows-only: an index save/load cycle has no SQL analogue."""
     import os
-    import tempfile
 
     import numpy as np
 
@@ -2033,7 +2059,7 @@ def e07_ivf_index_ann(spark, sf_dir):
     # fresh dir per call: a fixed per-sf path would let concurrent
     # runs (driver + parity suite) race overwrite-vs-scan on the
     # same hive partitions
-    path = os.path.join(tempfile.mkdtemp(prefix="kblock_ivf_"), "index")
+    path = os.path.join(_scratch("kblock_ivf_"), "index")
     save_ivf_index(e, C, path)
     q = e.where(F.col("vec_id") < _N_QUERIES)
     return ivf_topk_from_index(spark, path, q, k=_TOPK, nprobe=3).select(
@@ -2158,7 +2184,6 @@ def s01_stream_tile_rollup(spark, sf_dir):
     checkpoint-resume proofs live in tests/test_streaming.py): drain a
     deterministic pages drop through the watermarked per-tile rollup
     with an availableNow trigger and return the finalized windows."""
-    import tempfile
 
     import numpy as np
 
@@ -2169,7 +2194,7 @@ def s01_stream_tile_rollup(spark, sf_dir):
         stream_tile_rollup,
     )
 
-    base = tempfile.mkdtemp(prefix="kblock_stream_")
+    base = _scratch("kblock_stream_")
     src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
     spark.createDataFrame(_make_pages_pdf(np.arange(0, 1200))).write.mode(
         "overwrite"
@@ -2192,7 +2217,6 @@ def s01_stream_tile_rollup(spark, sf_dir):
 # GROUP BY fp → min(doc_id).
 
 def s02_stream_dedup(spark, sf_dir):
-    import tempfile
 
     from .streaming.dedup import stream_dedup_stateful
 
@@ -2201,7 +2225,7 @@ def s02_stream_dedup(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     drop = d.unionByName(dup).withColumn("fp", _h12("text"))
-    base = tempfile.mkdtemp(prefix="kblock_sdedup_")
+    base = _scratch("kblock_sdedup_")
     src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
     # one file → one micro-batch → the keeper is the global min doc_id
     drop.coalesce(1).write.mode("overwrite").parquet(src)
@@ -2245,10 +2269,9 @@ FROM fps GROUP BY fp
 # q21's lag-based formulation uses > and is a different query.
 
 def s03_stream_session_windows(spark, sf_dir):
-    import tempfile
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts")
-    base = tempfile.mkdtemp(prefix="kblock_s03_")
+    base = _scratch("kblock_s03_")
     src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
     e.coalesce(1).write.mode("overwrite").parquet(src)
     sent = e.select("user_id").distinct().select(
@@ -2310,10 +2333,9 @@ FROM sess GROUP BY user_id, sid
 # any micro-batch/partition order.
 
 def s04_stream_tumbling_rollup(spark, sf_dir):
-    import tempfile
 
     e = _t(spark, sf_dir, "events").select("event_type", "ts", "user_id", "value")
-    base = tempfile.mkdtemp(prefix="kblock_s04_")
+    base = _scratch("kblock_s04_")
     src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
     e.coalesce(1).write.mode("overwrite").parquet(src)
     sent = spark.createDataFrame(
@@ -2382,13 +2404,12 @@ GROUP BY 1, 2
 # time regardless).
 
 def s05_stream_static_enrich(spark, sf_dir):
-    import tempfile
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     nat = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("nk"), "n_name"
     )
-    base = tempfile.mkdtemp(prefix="kblock_s05_")
+    base = _scratch("kblock_s05_")
     src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
     e.coalesce(1).write.mode("overwrite").parquet(src)
     spark.createDataFrame([(-1,)], "user_id long").select(
@@ -2434,7 +2455,9 @@ SELECT strftime(time_bucket(INTERVAL 1 DAY, e.ts), '%Y-%m-%d') AS day,
        COUNT(*)::BIGINT AS n_events,
        SUM(round(e.value * 1000000.0)::BIGINT) AS value_e6
 FROM events e
-JOIN nation n ON e.user_id % 25 = n.n_nationkey
+-- ((x % 25) + 25) % 25 == Spark's pmod: identical-by-construction
+-- even for negative keys (DuckDB's bare % is sign-preserving)
+JOIN nation n ON ((e.user_id % 25) + 25) % 25 = n.n_nationkey
 GROUP BY 1, 2
 """
 
