@@ -2476,13 +2476,14 @@ def media_features(spark, sf_dir):
 
 # Ordering contract (round 4): the driver records correctness rows
 # for the FIRST 50 registry entries (observed: r01/r02/r03 each hold
-# exactly the 50-entry registry-order prefix). There are now 56
+# exactly the 50-entry registry-order prefix). There are now 58
 # oracle-backed queries, so the window is packed with the 50 whose
 # hard driver record is most valuable: every query that has NEVER had
 # a driver row (e06, s02, s03, s04, and the newly oracle-backed
-# geo_knn / geo_linearity) is inside; the six displaced to positions
-# 51-56 (q03, q09, q12, q14, q15, q25) each carry three consecutive
-# green driver records (r01-r03) and stay covered by the sf0.001
+# geo_knn / geo_linearity) is inside. Positions 51-58 are the
+# remaining oracle-backed queries — the round-4 late adds d16/s05,
+# then q03, q09, q12, q14, q15, q25 (each with three consecutive
+# green driver records, r01-r03); all of them run in the sf0.001
 # parity suite and the self-check. Rows-only queries close the list.
 REGISTRY: dict = {
     # relational core
