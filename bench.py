@@ -317,7 +317,47 @@ def main():
             "samples": samples,
         },
     }
-    print(json.dumps(out))
+    # Full-detail record: earlier stdout line + bench_runs file. The
+    # driver captures only a bounded tail of stdout (round 4's single
+    # 2.4 kB line overflowed it -> "parsed": null), so the FINAL line
+    # must be a compact headline that always fits.
+    print("BENCH_DETAIL " + json.dumps(out))
+    try:
+        os.makedirs(os.path.join(REPO, "bench_runs"), exist_ok=True)
+        with open(os.path.join(REPO, "bench_runs", "latest.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError as ex:
+        print(f"# bench_runs write failed: {ex}", file=sys.stderr)
+
+    headline = {
+        "metric": "blocks_per_sec",
+        "value": high["blocks_per_sec"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": out["sf"],
+        "scaling": {
+            "low_bps": low["blocks_per_sec"],
+            "high_bps": high["blocks_per_sec"],
+            "low_cores": low["cores"],
+            "high_cores": high["cores"],
+            "efficiency": round(efficiency, 3),
+            "efficiency_vs_host_ceiling": out["scaling"][
+                "efficiency_vs_host_ceiling"
+            ],
+            "host_ceiling_efficiency": ceiling["ceiling_efficiency"],
+        },
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1600:  # stay well inside the driver's tail capture
+        headline["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:20]
+        }
+        headline["queries_truncated_to_slowest"] = 20
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -71,7 +71,15 @@ def test_query_matches_oracle(spark, ddb, name, fn, sql):
     s_rows = [tuple(r) for r in sdf.collect()]
     res = ddb.execute(sql)
     d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    # Materialize via pandas (.df()) exactly like the driver: DuckDB
+    # HUGEINT/DECIMAL widen to float64 on this path but stay Python int
+    # via fetchall() -- the round-4 s04 red row was invisible to this
+    # harness precisely because it used fetchall().
+    d_pdf = res.df()
+    d_rows = [
+        tuple(v.item() if hasattr(v, "item") else v for v in row)
+        for row in d_pdf.itertuples(index=False, name=None)
+    ]
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     sset = _rows_to_set(s_cols, s_rows)
