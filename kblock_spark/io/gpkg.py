@@ -251,13 +251,48 @@ def write_gpkg(
     type_codes = {v: k for k, v in _WKB_NAMES.items()}
     # validate BEFORE touching the destination: raising mid-write
     # would leave a half-written corrupt .gpkg and an open connection
-    for fi, (gt, _sizes, flat, _props) in enumerate(features):
+    for fi, (gt, sizes, flat, _props) in enumerate(features):
         if gt not in type_codes:
             raise ValueError(f"unsupported geometry type {gt!r} (feature {fi})")
         if not flat:
             raise ValueError(
                 f"feature {fi} ({gt}) has no coordinates — empty "
                 "geometries cannot be written to a GeoPackage envelope"
+            )
+        # sizes/coords consistency: _encode_wkb would otherwise raise
+        # (or silently drop coordinates) mid-write, leaving the
+        # half-written .gpkg this guard exists to prevent
+        if len(flat) % 2:
+            raise ValueError(
+                f"feature {fi} ({gt}): odd flat-coord length {len(flat)}"
+            )
+        if gt == "Point":
+            if len(flat) != 2:
+                raise ValueError(
+                    f"feature {fi} (Point): expected exactly 2 flat "
+                    f"coords, got {len(flat)}"
+                )
+            continue
+        if not sizes or any(n <= 0 for n in sizes):
+            raise ValueError(
+                f"feature {fi} ({gt}): ring_sizes must be non-empty "
+                f"and positive, got {list(sizes)!r}"
+            )
+        if 2 * sum(sizes) != len(flat):
+            raise ValueError(
+                f"feature {fi} ({gt}): ring_sizes sum {sum(sizes)} "
+                f"inconsistent with {len(flat)} flat coords "
+                f"(expected {2 * sum(sizes)})"
+            )
+        if gt == "LineString" and len(sizes) != 1:
+            raise ValueError(
+                f"feature {fi} (LineString): exactly one size entry "
+                f"expected, got {len(sizes)}"
+            )
+        if gt == "MultiPoint" and any(n != 1 for n in sizes):
+            raise ValueError(
+                f"feature {fi} (MultiPoint): every part size must be "
+                f"1, got {list(sizes)!r}"
             )
     con = sqlite3.connect(path)
     con.execute("PRAGMA application_id = 0x47504B47")

@@ -344,8 +344,13 @@ def combine_full(
         "off_network_street_length_na",
         F.col("off_network_street_length_meters").isNull().cast("int"),
     )
+    # k_complexity fills to 1, not 0 (batch_5_combine_data.py:268 —
+    # `fillna(value=1)` runs BEFORE the generic zero-fill loop), so a
+    # block with no complexity row gets k=1 / k_labels '1' and real
+    # weighted metrics, never the out-of-vocabulary label '0'.
+    x = x.withColumn("k_complexity", F.coalesce(F.col("k_complexity"), F.lit(1)))
     for c in (
-        "building_area_m2", "building_count", "k_complexity",
+        "building_area_m2", "building_count",
         "landscan_population", "landscan_population_un",
         "worldpop_population", "worldpop_population_un",
         "on_network_street_length_meters", "off_network_street_length_meters",

@@ -84,7 +84,10 @@ def _country_composite_labels(
     dictionaries, batch_1c:280-287) — one tiny aggregate + one
     window, deterministic via (area desc, label) ordering."""
     g = member_areas.groupBy(id_col, label_col).agg(
-        F.sum("urban_area").alias("__a")
+        # all-peri-urban member countries sum NaN→0 in the reference's
+        # pandas; coalesce reproduces that (Spark SUM of all-null is
+        # null) so ties fall back to the alphabetical tiebreak
+        F.coalesce(F.sum("urban_area"), F.lit(0.0)).alias("__a")
     )
     w = (
         Window.partitionBy(id_col)
@@ -126,16 +129,20 @@ def full_crosswalk(
     and per-conurbation_id country compositions + the core/peripheral
     rank) — label work never shuffles block-sized data again.
 
-    Two reference-matching quirks kept deliberately:
+    One reference-matching quirk kept deliberately:
     (a) an Urban block whose urban center overlaps NO conurbation
     falls through to '4 - Non-urban' in the class_* hierarchies (the
     reference's np.select default, batch_1c:310-316 — unreachable in
     its data, where conurbations are built FROM urban buffers so
-    urban ⊆ conurbation by construction);
-    (b) the conurbation country compositions are ordered by summed
-    URBAN overlap area, exactly like the urban ones (batch_1c:273 —
-    all-peri-urban member countries tie at 0 and fall back to
-    alphabetical)."""
+    urban ⊆ conurbation by construction).
+
+    Weighting matches the reference: the rank and the '–'-joined
+    country compositions are weighted by the urban CENTER's own area
+    (the ``urban_area`` attribute merged from the urban dim,
+    batch_1c:256,273,281 — constant per urban_id, summed over member
+    block rows), not by per-block overlap area. Peri-/non-urban rows
+    carry a null ``urban_area`` and contribute 0, exactly like the
+    reference's NaN under pandas ``sum``."""
     u = _top1_overlap(blocks, urban.select("urban_id", "ring_sizes", "coords"), "urban_id")
     c = _top1_overlap(
         blocks,
@@ -144,13 +151,73 @@ def full_crosswalk(
     )
     a = _top1_overlap(blocks, agglos.select("agglosid", "ring_sizes", "coords"), "agglosid")
 
-    base = (
+    # urban_area: the urban center polygon's own area (the reference's
+    # GHSL attribute, batch_1c:256) — computed from the dim geometry,
+    # one tiny mapInPandas over the broadcast-sized urban layer
+    import pandas as pd
+
+    from ..geo.geom import polygon_area, unpack_rings
+
+    def _areas(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "urban_id": pdf["urban_id"],
+                    "urban_area": [
+                        polygon_area(*unpack_rings(s, xy))
+                        for s, xy in zip(pdf["ring_sizes"], pdf["coords"])
+                    ],
+                }
+            )
+
+    urban_areas = (
+        urban.select("urban_id", "ring_sizes", "coords")
+        .mapInPandas(_areas, "urban_id string, urban_area double")
+        .groupBy("urban_id")
+        .agg(F.sum("urban_area").alias("urban_area"))
+    )
+
+    pre = (
         blocks.select("block_id", "block_geohash", "gadm_code", "country_code")
         .join(F.broadcast(countries), "country_code", "left")
         .join(u, "block_id", "left")
         .join(c, "block_id", "left")
         .join(a.select("block_id", "agglosid"), "block_id", "left")
-        .join(
+        .withColumn(
+            "area_type",
+            F.when(F.col("urban_id").isNotNull(), "Urban")
+            .when(F.col("conurbation_id").isNotNull(), "Peri-urban")
+            .otherwise("Non-urban"),
+        )
+    )
+    # Coerce every conurbation to contain at least one urban-member
+    # block (batch_1c:259-261): a conurbation whose overlapping blocks
+    # are ALL peri-urban has its id nulled, so those blocks fall back
+    # to the 'Rest of <country>' label family below. area_type was
+    # fixed above, BEFORE the coercion, like the reference's
+    # per-country stage. Shape: a conurbation-sized aggregate +
+    # broadcast join (NOT a window over conurbation_id, which would
+    # funnel every non-conurbation block into one null partition).
+    urbanless = (
+        pre.where(F.col("conurbation_id").isNotNull())
+        .groupBy("conurbation_id")
+        .agg(F.count("urban_id").alias("__n_urban_members"))
+        .where(F.col("__n_urban_members") == 0)
+        .select("conurbation_id", F.lit(True).alias("__urbanless"))
+    )
+    pre = (
+        pre.join(F.broadcast(urbanless), "conurbation_id", "left")
+        .withColumn(
+            "conurbation_id",
+            F.when(F.col("__urbanless"), F.lit(None).cast("string")).otherwise(
+                F.col("conurbation_id")
+            ),
+        )
+        .drop("__urbanless")
+    )
+
+    base = (
+        pre.join(
             F.broadcast(urban.select("urban_id", "urban_center_name").distinct()),
             "urban_id", "left",
         )
@@ -166,13 +233,11 @@ def full_crosswalk(
             ),
             "agglosid", "left",
         )
-        .withColumn("urban_area", F.coalesce("urban_id_overlap", F.lit(0.0)))
-        .withColumn(
-            "area_type",
-            F.when(F.col("urban_id").isNotNull(), "Urban")
-            .when(F.col("conurbation_id").isNotNull(), "Peri-urban")
-            .otherwise("Non-urban"),
-        )
+        .join(F.broadcast(urban_areas), "urban_id", "left")
+        # Africapolis fallbacks (batch_1c:240-242)
+        .withColumn("agglosid", F.coalesce("agglosid", F.lit("no_agglosid")))
+        .withColumn("agglosname", F.coalesce("agglosname", F.lit("Non-urban")))
+        .withColumn("metropole", F.coalesce("metropole", F.lit("No")))
     )
     base = base.localCheckpoint(eager=False)
 
@@ -277,8 +342,17 @@ def full_crosswalk(
             F.coalesce("conurbation_country_code", "country_code"),
         )
     )
-    # batch_1c:347-348; null-free variant — concat_ws drops the null
-    # urban_id of peri-urban blocks instead of nulling the whole code
+    # id fallbacks (batch_1c:226-227 — the reference fills these in
+    # its per-country stage, so the full surface never carries a null
+    # urban_id/conurbation_id). Applied AFTER the member-filtered
+    # aggregates above, which key off the raw nulls.
+    nonurban_id = F.concat(F.lit("nonurban_"), F.col("country_code"))
+    x = x.withColumn("urban_id", F.coalesce("urban_id", nonurban_id)).withColumn(
+        "conurbation_id", F.coalesce("conurbation_id", nonurban_id)
+    )
+    # batch_1c:347-348 with the ids already filled; null-free variant —
+    # a coercion-nulled conurbation_id re-fills to nonurban_<cc> here
+    # (the reference's dead-in-practice coercion would leave NaN)
     x = x.withColumn(
         "urban_layer_code",
         F.when(

@@ -2034,6 +2034,107 @@ FROM rk WHERE rnk <= 2
 """
 
 
+def geo_pip_oracle(spark, sf_dir):
+    """The engine's HOT JOIN (tiled point-in-polygon,
+    ops/spatial_join.py — the reference's STRtree sjoin,
+    batch_2_prepare_buildings.py:66-86) under a hard DuckDB oracle.
+
+    Exactness argument (the geo_knn recipe extended to PIP): every
+    coordinate is an integer scaled by 2^-20 (exact exponent shift),
+    so differences and products stay exact in float64. Rectangles
+    have axis-parallel edges (the ray-cast's xint reduces to x1 + 0/Δy
+    = x1); diamonds have |Δx| = |Δy| edges (xint = x1 ± (Y−y1),
+    division exact since the quotient is an integer). Points use odd
+    integers, polygon anchors even integers, diamond radii odd — so
+    no point ever lies on an edge (rect: odd≠even; diamond:
+    |dx|+|dy| even ≠ r odd) and the generic even-odd ray cast must
+    agree bit-for-bit with the oracle's closed forms (bbox
+    containment / L1 ball). The oracle side therefore needs NO
+    geometry at all — pure BIGINT arithmetic. Dedupe semantics
+    (one polygon per point, min poly_id — batch_2:216-231) map to
+    MIN(poly_id) GROUP BY pid."""
+    import numpy as np
+    import pandas as pd
+
+    from .geo.geom import pack_rings
+    from .geo.tiling import cell_of
+    from .ops.spatial_join import assign_points_to_polygons
+
+    S = 1048576.0  # 2^20
+    cell = 1024.0 / S  # 2^-10: exact cell boundaries
+    pid = np.arange(4000, dtype=np.int64)
+    px = (2 * ((pid * 2654435761) % 50000) + 1) / S
+    py = (2 * ((pid * 1610612741 + 12345) % 50000) + 1) / S
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"pid": pid, "lon": px, "lat": py, "cell": cell_of(px, py, cell)}
+        )
+    )
+    rows = []
+    for j in range(20):
+        xmin = 2 * ((j * 7919 + 11) % 40000)
+        ymin = 2 * ((j * 104729 + 97) % 40000)
+        w = 2 * ((j * 3571) % 4000 + 500)
+        h = 2 * ((j * 9973) % 4000 + 500)
+        ring = np.array(
+            [[xmin, ymin], [xmin + w, ymin], [xmin + w, ymin + h], [xmin, ymin + h]],
+            dtype=np.float64,
+        ) / S
+        sizes, coords = pack_rings(ring)
+        rows.append({"poly_id": j, "ring_sizes": sizes, "coords": coords})
+    for j in range(20):
+        cx = 2 * (((j * 6151 + 53) % 35000) + 2000)
+        cy = 2 * (((j * 12289 + 29) % 35000) + 2000)
+        r = 2 * ((j * 4099) % 1500 + 400) + 1
+        ring = np.array(
+            [[cx, cy - r], [cx + r, cy], [cx, cy + r], [cx - r, cy]],
+            dtype=np.float64,
+        ) / S
+        sizes, coords = pack_rings(ring)
+        rows.append({"poly_id": 100 + j, "ring_sizes": sizes, "coords": coords})
+    polys = spark.createDataFrame(rows)
+    hit = assign_points_to_polygons(
+        pts, polys, point_cols=["pid", "lon", "lat"],
+        poly_key="poly_id", cell_deg=cell,
+    )
+    return hit.groupBy("poly_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("pid").cast("bigint").alias("pid_sum"),
+    )
+
+
+GEO_PIP_SQL = """
+WITH pts AS (
+  SELECT pid,
+         2*((pid*2654435761) % 50000)+1 AS px,
+         2*((pid*1610612741+12345) % 50000)+1 AS py
+  FROM range(4000) t(pid)),
+rects AS (
+  SELECT j AS poly_id,
+         2*((j*7919+11) % 40000) AS xmin,
+         2*((j*104729+97) % 40000) AS ymin,
+         2*((j*7919+11) % 40000) + 2*((j*3571) % 4000 + 500) AS xmax,
+         2*((j*104729+97) % 40000) + 2*((j*9973) % 4000 + 500) AS ymax
+  FROM range(20) t(j)),
+diamonds AS (
+  SELECT 100+j AS poly_id,
+         2*(((j*6151+53) % 35000) + 2000) AS cx,
+         2*(((j*12289+29) % 35000) + 2000) AS cy,
+         2*((j*4099) % 1500 + 400)+1 AS r
+  FROM range(20) t(j)),
+hits AS (
+  SELECT p.pid, r.poly_id FROM pts p JOIN rects r
+    ON p.px > r.xmin AND p.px < r.xmax AND p.py > r.ymin AND p.py < r.ymax
+  UNION ALL
+  SELECT p.pid, d.poly_id FROM pts p JOIN diamonds d
+    ON abs(p.px - d.cx) + abs(p.py - d.cy) < d.r),
+assigned AS (
+  SELECT pid, MIN(poly_id) AS poly_id FROM hits GROUP BY pid)
+SELECT poly_id, COUNT(*)::BIGINT AS n_points, SUM(pid)::BIGINT AS pid_sum
+FROM assigned GROUP BY poly_id
+"""
+
+
 def e07_ivf_index_ann(spark, sf_dir):
     """ANN over a PERSISTED IVF index: save → load → probed query
     (ops/similarity.py save_ivf_index / ivf_topk_from_index). The
@@ -2232,12 +2333,11 @@ def s02_stream_dedup(spark, sf_dir):
     stream = spark.readStream.schema("doc_id long, text string, fp long").parquet(src)
     kept = stream_dedup_stateful(stream)
 
-    def sink(batch_df, batch_id):
-        batch_df.write.mode("append").parquet(out)
+    from .streaming.ingest import idempotent_parquet_sink
 
     q = (
         kept.writeStream.outputMode("update")
-        .foreachBatch(sink)
+        .foreachBatch(idempotent_parquet_sink(out))
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
@@ -2269,6 +2369,7 @@ FROM fps GROUP BY fp
 # q21's lag-based formulation uses > and is a different query.
 
 def s03_stream_session_windows(spark, sf_dir):
+    from .streaming.ingest import idempotent_parquet_sink
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts")
     base = _scratch("kblock_s03_")
@@ -2294,7 +2395,7 @@ def s03_stream_session_windows(spark, sf_dir):
     )
     q = (
         sess.writeStream.outputMode("append")
-        .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+        .foreachBatch(idempotent_parquet_sink(out))
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
@@ -2333,6 +2434,7 @@ FROM sess GROUP BY user_id, sid
 # any micro-batch/partition order.
 
 def s04_stream_tumbling_rollup(spark, sf_dir):
+    from .streaming.ingest import idempotent_parquet_sink
 
     e = _t(spark, sf_dir, "events").select("event_type", "ts", "user_id", "value")
     base = _scratch("kblock_s04_")
@@ -2369,7 +2471,7 @@ def s04_stream_tumbling_rollup(spark, sf_dir):
     )
     q = (
         roll.writeStream.outputMode("append")
-        .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+        .foreachBatch(idempotent_parquet_sink(out))
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
@@ -2404,6 +2506,7 @@ GROUP BY 1, 2
 # time regardless).
 
 def s05_stream_static_enrich(spark, sf_dir):
+    from .streaming.ingest import idempotent_parquet_sink
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     nat = _t(spark, sf_dir, "nation").select(
@@ -2440,7 +2543,7 @@ def s05_stream_static_enrich(spark, sf_dir):
     )
     q = (
         roll.writeStream.outputMode("append")
-        .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+        .foreachBatch(idempotent_parquet_sink(out))
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
@@ -2481,11 +2584,13 @@ def media_features(spark, sf_dir):
 # that has never (or rarely) had a driver row is inside — round 5
 # rotates in d16_decontamination and s05_stream_static_enrich (added
 # late in r4, previously at positions 51-52) in place of q02/q20,
-# which each carry four consecutive green driver records (r01-r04).
-# Positions 51+ are the remaining oracle-backed queries (q02, q20,
-# q03, q09, q12, q14, q15, q25 — all with 3-4 consecutive driver
-# greens); all of them still run in the sf0.001 parity suite and the
-# self-check every round. Rows-only queries close the list.
+# which each carry four consecutive green driver records (r01-r04);
+# the new geo_pip_oracle (hard-oracled HOT JOIN) replaces q17 (also
+# 4x green). Positions 51+ are the remaining oracle-backed queries
+# (q02, q17, q20, q03, q09, q12, q14, q15, q25 — all with 3-4
+# consecutive driver greens); all of them still run in the sf0.001
+# parity suite and the self-check every round. Rows-only queries
+# close the list.
 REGISTRY: dict = {
     # relational core
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -2498,7 +2603,6 @@ REGISTRY: dict = {
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q13_weighted_discount_by_brand": (q13_weighted_discount_by_brand, Q13_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
-    "q17_closest_price_part": (q17_closest_price_part, Q17_SQL),
     "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
     "q21_sessionization": (q21_sessionization, Q21_SQL),
@@ -2539,14 +2643,16 @@ REGISTRY: dict = {
     "s03_stream_session_windows": (s03_stream_session_windows, S03_SQL),
     "s04_stream_tumbling_rollup": (s04_stream_tumbling_rollup, S04_SQL),
     "s05_stream_static_enrich": (s05_stream_static_enrich, S05_SQL),
-    # geospatial with hard oracles (round 4): SQL-reproducible inputs
+    # geospatial with hard oracles (rounds 4-5): SQL-reproducible inputs
     "geo_knn": (geo_knn, GEO_KNN_SQL),
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
+    "geo_pip_oracle": (geo_pip_oracle, GEO_PIP_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
+    "q17_closest_price_part": (q17_closest_price_part, Q17_SQL),
     "q20_top_event_per_user": (q20_top_event_per_user, Q20_SQL),
     "q03_windowed_share": (q03_windowed_share, Q03_SQL),
     "q09_custkeys_per_status": (q09_custkeys_per_status, Q09_SQL),

@@ -1,4 +1,5 @@
 from .ingest import (  # noqa: F401
+    idempotent_parquet_sink,
     read_pages_stream,
     stream_tile_rollup,
     run_stream_to_parquet,

@@ -94,3 +94,31 @@ def run_stream_to_parquet(
         q.awaitTermination()
         return q
     return w.trigger(processingTime="10 seconds").start()
+
+
+def idempotent_parquet_sink(out_path: str):
+    """foreachBatch sink that is safe under micro-batch RETRY.
+
+    A plain ``mode("append")`` foreachBatch sink duplicates rows when
+    Spark re-runs a batch after a failure (foreachBatch is
+    at-least-once; the checkpoint only guarantees the batch ids
+    replay, not that side effects ran once). Writing each batch into
+    its own ``__batch_id=<n>`` partition with DYNAMIC partition
+    overwrite makes the retry overwrite exactly its own partition and
+    nothing else — per-batch idempotence, the streaming analogue of
+    io/manifest.py's per-key overwrite resume.
+
+    Readers: ``spark.read.parquet(out_path)`` (partition discovery
+    surfaces ``__batch_id``; drop or ignore it).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
+
+    return sink

@@ -134,8 +134,22 @@ def test_full_crosswalk_23_columns(spark):
     urb = [r for r in rows.values() if r["area_type"] == "Urban"]
     assert urb and all(r["urban_country_name"] == "Aaaland" for r in urb)
     assert all(r["urban_country_code"] == "AAA" for r in urb)
+    # ids are never null on the full surface (batch_1c:226-227 fills)
+    assert all(r["urban_id"] is not None for r in rows.values())
+    assert all(r["conurbation_id"] is not None for r in rows.values())
+    non = [r for r in rows.values() if r["area_type"] == "Non-urban"]
+    assert non and all(r["conurbation_id"] == "nonurban_AAA" for r in non)
+    # Africapolis fallbacks (batch_1c:240-242)
+    assert all(
+        r["agglosid"] == "ag1" or r["agglosid"] == "no_agglosid"
+        for r in rows.values()
+    )
+    noag = [r for r in rows.values() if r["agglosid"] == "no_agglosid"]
+    assert noag and all(
+        r["agglosname"] == "Non-urban" and r["metropole"] == "No" for r in noag
+    )
     # the name_short rule: first two '-'-separated segments
-    per = [r for r in rows.values() if r["conurbation_id"] is not None]
+    per = [r for r in rows.values() if r["conurbation_id"] == "c1"]
     assert per and all(
         r["conurbation_area_name_short"] == "Bigville-Smallton" for r in per
     )

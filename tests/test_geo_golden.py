@@ -32,8 +32,13 @@ GOLDEN = {
     # round 4 (SQL-reproducible inputs) and left the golden set
     "geo_dissolve": ("09159e0763dc6f43", 4),
     # round 4: full 23-col crosswalk -> 87-col combine surface
-    # (12-column stable projection)
-    "geo_combine_full": ("fe75e2ecdfb96b95", 28),
+    # (12-column stable projection); re-frozen in round 5 for the
+    # reference-fidelity fixes (ADVICE r4): urban_id/conurbation_id
+    # fill to nonurban_<cc> so peri-urban layer codes gained the
+    # _nonurban_<cc> suffix (batch_1c:226-227,347-348), agglos
+    # columns fill to no_agglosid/Non-urban/No, k_complexity
+    # zero-fill became fill-to-1
+    "geo_combine_full": ("f67762402e0cbb1b", 28),
     "media_features": ("1f9e2bd35fe6dccd", 300),
     "s01_stream_tile_rollup": ("a3824bff0cd6587c", 867),
     "e05_ivf_ann_topk": ("73afa9e353501e2d", 100),

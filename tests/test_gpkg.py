@@ -146,3 +146,26 @@ def test_gpkg_write_rejects_empty_geometry(tmp_path):
             str(tmp_path / "bad.gpkg"), "t",
             [("LineString", [0], [], {})],
         )
+
+
+def test_gpkg_write_rejects_inconsistent_sizes(tmp_path):
+    """Pre-validation must catch every sizes/coords mismatch BEFORE the
+    destination file is created (a mid-write raise would leave a
+    half-written .gpkg behind)."""
+    from kblock_spark.io.gpkg import write_gpkg
+
+    dest = tmp_path / "bad.gpkg"
+    cases = [
+        ("LineString", [], [0.0, 0.0, 1.0, 1.0], "non-empty"),
+        ("LineString", [3], [0.0, 0.0, 1.0, 1.0], "inconsistent"),
+        ("LineString", [1, 1], [0.0, 0.0, 1.0, 1.0], "one size entry"),
+        ("Polygon", [4], [0.0] * 6, "inconsistent"),
+        ("Polygon", [0, 2], [0.0, 0.0, 1.0, 1.0], "positive"),
+        ("Polygon", [2], [0.0, 0.0, 1.0], "odd flat-coord"),
+        ("Point", [1], [0.0, 0.0, 1.0, 1.0], "exactly 2"),
+        ("MultiPoint", [2], [0.0, 0.0, 1.0, 1.0], "size must be"),
+    ]
+    for gt, sizes, flat, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            write_gpkg(str(dest), "t", [(gt, sizes, flat, {})])
+        assert not dest.exists(), f"{gt}/{sizes}: file created despite raise"

@@ -75,3 +75,29 @@ def test_stateful_profiles_converge_and_resume(spark, tmp_path):
         got = latest2[uid]
         assert got["n_events"] == want["n"]  # old state + new rows
         assert got["value_total"] == pytest.approx(float(want["total"]))
+
+
+def test_idempotent_sink_survives_batch_retry(spark, tmp_path):
+    """foreachBatch is at-least-once: Spark re-runs a micro-batch
+    after a failure, and a plain append sink would duplicate its rows.
+    The idempotent sink must make a retried batch a no-op overwrite of
+    its own partition while leaving other batches untouched."""
+    from pyspark.sql import functions as F
+
+    from kblock_spark.streaming.ingest import idempotent_parquet_sink
+
+    out = str(tmp_path / "out")
+    sink = idempotent_parquet_sink(out)
+    b0 = spark.range(0, 5).select(F.col("id"), (F.col("id") * 10).alias("v"))
+    b1 = spark.range(5, 8).select(F.col("id"), (F.col("id") * 10).alias("v"))
+
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # retry of batch 0 (same data, same batch id)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 8, "retry duplicated rows"
+    assert sorted(r["id"] for r in got.collect()) == list(range(8))
+    # the retried batch replaced only its own partition
+    assert got.where(F.col("__batch_id") == 0).count() == 5
+    assert got.where(F.col("__batch_id") == 1).count() == 3
