@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "d14_pattern_scrub",
     "d15_stratified_rebalance",
     "d16_decontamination",
+    "d17_segment_dedup",
     "e01_ann_cosine_topk",
     "e02_embedding_dup_pairs",
     "e05_ivf_ann_topk",

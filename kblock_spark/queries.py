@@ -1488,6 +1488,88 @@ FROM tot t JOIN hit USING (doc_id)
 """
 
 
+# d17 — corpus-level exact segment (paragraph/line) deduplication: the
+# C4/RefinedWeb "remove repeated lines across documents" pass. The
+# corpus text carries no newlines, so the dedup unit is the
+# non-overlapping 3-token segment (d13's chunk recipe with W == S == 3);
+# the FIRST corpus occurrence of each segment (by (doc_id, seg_id)) is
+# kept, every later exact repeat is dropped, and each document is
+# re-assembled from its surviving segments.
+#
+# Scale shape (100 TB): dedup keys are 48-bit segment fingerprints, so
+# the first-occurrence aggregate groupBy(fp).min(struct(doc_id,seg_id))
+# gets a map-side partial combine that collapses every duplicate
+# segment per mapper BEFORE the shuffle — boilerplate mega-duplicates
+# cost one row per mapper, not a sorted 10^9-row window partition (a
+# row_number() over raw segment text would funnel each hot segment
+# into one reducer sort). The keep-decision join is a plain equi-join
+# on fp (AQE skew-split eligible). Reconstruction never shuffles text
+# by content: segments go back to their home doc_id partition.
+
+_SEG_S = 3
+
+
+def d17_segment_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_segs = F.greatest(
+        F.floor((F.size(toks) + F.lit(_SEG_S - 1)) / F.lit(_SEG_S)).cast("bigint"),
+        F.lit(1),
+    )
+    segs = d.select(
+        "doc_id",
+        toks.alias("w"),
+        F.explode(F.sequence(F.lit(0), (n_segs - 1).cast("int"))).alias("seg_id"),
+    ).select(
+        "doc_id",
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        F.array_join(F.slice(F.col("w"), F.col("seg_id") * _SEG_S + 1, _SEG_S), " ").alias("seg"),
+    ).withColumn("fp", _h12(F.col("seg")))
+    firsts = segs.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "seg_id")).alias("first")
+    )
+    marked = segs.join(firsts, "fp").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("seg_id") == F.col("first.seg_id")),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("seg_id", "seg"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        _h12(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )
+
+
+D17_SQL = f"""
+WITH segs AS (
+  SELECT doc_id, i AS seg_id,
+         array_to_string(w[(i*{_SEG_S})+1 : (i*{_SEG_S})+{_SEG_S}], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text,' ') w FROM documents),
+       UNNEST(range(0, greatest((len(w)+{_SEG_S - 1})//{_SEG_S}, 1))) t(i)),
+marked AS (
+  SELECT doc_id, seg_id, seg,
+         ROW_NUMBER() OVER (
+           PARTITION BY {_H12_SQL.format(x='seg')}
+           ORDER BY doc_id, seg_id) = 1 AS kept
+  FROM segs)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_segments,
+       SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       {_H12_SQL.format(x="COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_id), '')")} AS clean_fp
+FROM marked GROUP BY doc_id
+"""
+
+
+
 # d11 — repetition-based quality filters (the Gopher/C4 family:
 # duplicated-top-bigram fraction and max single-token dominance —
 # documents dominated by repeated fragments are low-quality training
@@ -2601,7 +2683,6 @@ REGISTRY: dict = {
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
     "q10_price_histogram": (q10_price_histogram, Q10_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
-    "q13_weighted_discount_by_brand": (q13_weighted_discount_by_brand, Q13_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
     "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
@@ -2638,6 +2719,7 @@ REGISTRY: dict = {
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
     "d16_decontamination": (d16_decontamination, D16_SQL),
+    "d17_segment_dedup": (d17_segment_dedup, D17_SQL),
     # streaming (oracle-backed)
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
     "s03_stream_session_windows": (s03_stream_session_windows, S03_SQL),
@@ -2652,6 +2734,7 @@ REGISTRY: dict = {
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
+    "q13_weighted_discount_by_brand": (q13_weighted_discount_by_brand, Q13_SQL),
     "q17_closest_price_part": (q17_closest_price_part, Q17_SQL),
     "q20_top_event_per_user": (q20_top_event_per_user, Q20_SQL),
     "q03_windowed_share": (q03_windowed_share, Q03_SQL),
