@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "d15_stratified_rebalance",
     "d16_decontamination",
     "d17_segment_dedup",
+    "d18_token_rarity",
     "e01_ann_cosine_topk",
     "e02_embedding_dup_pairs",
     "e05_ivf_ann_topk",

@@ -1570,6 +1570,68 @@ FROM marked GROUP BY doc_id
 
 
 
+# d18 — corpus-statistics quality scoring (the CCNet family: score
+# documents by how common their vocabulary is corpus-wide). Pass 1
+# builds the token document-frequency table (distinct (doc, token) →
+# groupBy(token).count(), map-side combine on both steps); pass 2
+# joins every token OCCURRENCE back to its df and aggregates per doc.
+# "Rare" is corpus-relative (df·5 < n_docs, i.e. the token appears in
+# under 20% of documents) so the operator stays meaningful at any
+# corpus size. All outputs integer-exact: the mean df is quantized by
+# integer division (sum_df·10⁶ DIV n_tokens), never a float mean.
+#
+# 100 TB shape: the df table is vocab-sized (can be billions of
+# n-grams web-scale) so the occurrence→df join is a plain shuffle
+# equi-join on token — Catalyst broadcasts it automatically only when
+# it is actually small; nothing assumes broadcastability.
+
+
+def d18_token_rarity(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # one-row scalar, driver-side by design
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    df_tbl = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    per_tok = toks.join(df_tbl, "tok")
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum((F.col("df") * 5 < F.lit(n_docs)).cast("int"))
+            .cast("bigint")
+            .alias("n_rare"),
+            F.sum("df").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            F.expr("CAST(sum_df * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "mean_df_e6"
+            ),
+        )
+    )
+
+
+D18_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+df_tbl AS (
+  SELECT tok, COUNT(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)
+SELECT t.doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(CASE WHEN d.df * 5 < n.n_docs THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+       ((SUM(d.df)::BIGINT * 1000000) // COUNT(*))::BIGINT AS mean_df_e6
+FROM toks t JOIN df_tbl d USING (tok) CROSS JOIN n
+GROUP BY t.doc_id
+"""
+
+
 # d11 — repetition-based quality filters (the Gopher/C4 family:
 # duplicated-top-bigram fraction and max single-token dominance —
 # documents dominated by repeated fragments are low-quality training
@@ -2684,7 +2746,6 @@ REGISTRY: dict = {
     "q10_price_histogram": (q10_price_histogram, Q10_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
-    "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
     "q21_sessionization": (q21_sessionization, Q21_SQL),
     "q22_weighted_buckets": (q22_weighted_buckets, Q22_SQL),
@@ -2720,6 +2781,7 @@ REGISTRY: dict = {
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
     "d16_decontamination": (d16_decontamination, D16_SQL),
     "d17_segment_dedup": (d17_segment_dedup, D17_SQL),
+    "d18_token_rarity": (d18_token_rarity, D18_SQL),
     # streaming (oracle-backed)
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
     "s03_stream_session_windows": (s03_stream_session_windows, S03_SQL),
@@ -2735,6 +2797,7 @@ REGISTRY: dict = {
     # suite and the self-check each round)
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
     "q13_weighted_discount_by_brand": (q13_weighted_discount_by_brand, Q13_SQL),
+    "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
     "q17_closest_price_part": (q17_closest_price_part, Q17_SQL),
     "q20_top_event_per_user": (q20_top_event_per_user, Q20_SQL),
     "q03_windowed_share": (q03_windowed_share, Q03_SQL),
