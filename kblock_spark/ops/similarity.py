@@ -606,3 +606,70 @@ def ivf_topk_from_index(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "qv",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (d16's semantic
+    sibling; the reference has no analogue — SURVEY training-data
+    additions): flag corpus vectors whose cosine against ANY
+    benchmark vector reaches ``threshold``.
+
+    Inputs carry integer-quantized vectors (``_quantize``) so the
+    dot products are integer-exact; cosines use the same
+    dot / (sqrt(aa)·sqrt(bb)) association as e01's oracle, making the
+    floats bit-identical across numpy / Catalyst / DuckDB.
+
+    Scale shape: the benchmark suite is the small side by definition
+    (10³–10⁶ vectors — an eval set, not a corpus), so it ships ONCE
+    per worker as a python broadcast matrix and the corpus maps
+    through one Arrow-batched GEMM pass: no shuffle, no join, corpus
+    vectors never leave their partitions. Returns only contaminated
+    rows: (vec_id, n_hits, top_benchmark_id, max_cosine).
+    """
+    spark = corpus.sparkSession
+    rows = benchmark.select("vec_id", vec_col).collect()  # benchmark-sized
+    rows.sort(key=lambda r: r["vec_id"])
+    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    B = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
+    b_norm = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((b_ids, B, b_norm))
+    thr = float(threshold)
+
+    def run(batches):
+        ids_, B_, bn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.int64)
+            dots = (X @ B_.T).astype(np.float64)  # int64-exact, < 2^53
+            xn = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (xn[:, None] * bn[None, :])
+            n_hits = (cos >= thr).sum(axis=1)
+            keep = n_hits > 0
+            if not keep.any():
+                continue
+            # argmax returns the FIRST max; rows of B are sorted by
+            # benchmark id, so ties break to the smallest id — the
+            # oracle's (cos DESC, bid ASC) row_number order
+            top_idx = np.argmax(cos[keep], axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "n_hits": n_hits[keep].astype(np.int64),
+                    "top_benchmark_id": ids_[top_idx],
+                    "max_cosine": cos[keep][
+                        np.arange(int(keep.sum())), top_idx
+                    ],
+                }
+            )
+
+    return corpus.select("vec_id", vec_col).mapInPandas(
+        run,
+        "vec_id long, n_hits long, top_benchmark_id long, max_cosine double",
+    )

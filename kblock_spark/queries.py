@@ -2038,6 +2038,52 @@ FROM q GROUP BY region_id
 
 # e03 — label-centroid similarity (integer-exact centroids)
 
+# e08 — semantic benchmark decontamination (d16's embedding sibling):
+# corpus vectors whose cosine vs ANY benchmark vector (vec_id < 100)
+# reaches 0.4 are flagged with hit count and the top contaminating
+# benchmark id. One broadcast GEMM pass over the corpus
+# (ops/similarity.semantic_decontaminate) — no shuffle, no join.
+
+_DECON_COS = 0.4
+_N_BENCH = 100
+
+
+def e08_semantic_decontamination(spark, sf_dir):
+    from .ops.similarity import semantic_decontaminate
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized().alias("qv")
+    )
+    return semantic_decontaminate(
+        e.where(F.col("vec_id") >= _N_BENCH),
+        e.where(F.col("vec_id") < _N_BENCH),
+        threshold=_DECON_COS,
+    )
+
+
+E08_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL.format(c='embedding')} AS v FROM embeddings),
+b AS (SELECT vec_id, v FROM q WHERE vec_id < {_N_BENCH}),
+c AS (SELECT vec_id, v FROM q WHERE vec_id >= {_N_BENCH}),
+pairs AS (
+  SELECT c.vec_id, b.vec_id AS bid,
+         list_dot_product(c.v, b.v)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM c CROSS JOIN b),
+hits AS (SELECT * FROM pairs WHERE cos >= {_DECON_COS}),
+rk AS (
+  SELECT vec_id, bid, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, bid ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY vec_id) AS n
+  FROM hits)
+SELECT vec_id, n::BIGINT AS n_hits, bid AS top_benchmark_id,
+       cos AS max_cosine
+FROM rk WHERE rn = 1
+"""
+
+
 def e03_label_centroid(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", _quantized().alias("q"))
     # exact integer per-dimension sums per label, and count
@@ -2743,7 +2789,6 @@ REGISTRY: dict = {
     "q06_active_customers_by_segment": (q06_active_customers_by_segment, Q06_SQL),
     "q07_nation_presence": (q07_nation_presence, Q07_SQL),
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
-    "q10_price_histogram": (q10_price_histogram, Q10_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
@@ -2779,6 +2824,7 @@ REGISTRY: dict = {
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
+    "e08_semantic_decontamination": (e08_semantic_decontamination, E08_SQL),
     "d16_decontamination": (d16_decontamination, D16_SQL),
     "d17_segment_dedup": (d17_segment_dedup, D17_SQL),
     "d18_token_rarity": (d18_token_rarity, D18_SQL),
@@ -2796,6 +2842,7 @@ REGISTRY: dict = {
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
+    "q10_price_histogram": (q10_price_histogram, Q10_SQL),
     "q13_weighted_discount_by_brand": (q13_weighted_discount_by_brand, Q13_SQL),
     "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
     "q17_closest_price_part": (q17_closest_price_part, Q17_SQL),

@@ -179,3 +179,15 @@ def test_e02_plan_has_no_join_at_all(spark):
 
     plan = _plan(e02_embedding_dup_pairs(spark, SF))
     assert "Join" not in plan, plan
+
+
+def test_e08_decontamination_is_shuffle_free(spark):
+    """The semantic-decontamination pass ships the benchmark side as a
+    python broadcast and maps the corpus once — the physical plan must
+    contain NO Exchange (corpus vectors never leave their partitions)."""
+    from kblock_spark.queries import e08_semantic_decontamination
+
+    df = e08_semantic_decontamination(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
