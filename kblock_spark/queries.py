@@ -1525,13 +1525,21 @@ def d17_segment_dedup(spark, sf_dir):
         F.col("seg_id").cast("bigint").alias("seg_id"),
         F.array_join(F.slice(F.col("w"), F.col("seg_id") * _SEG_S + 1, _SEG_S), " ").alias("seg"),
     ).withColumn("fp", _h12(F.col("seg")))
-    firsts = segs.groupBy("fp").agg(
-        F.min(F.struct("doc_id", "seg_id")).alias("first")
+    # (doc_id, seg_id) packed into ONE bigint: min(packed) is
+    # order-identical to min(struct(doc_id, seg_id)) while staying
+    # HashAggregate-eligible — min over a struct falls back to
+    # SortAggregate, which re-SORTS every partition of the segment
+    # stream by fingerprint (measured: two extra Sort nodes). Bound:
+    # seg_id < 2^22 ⇔ docs under ~12.5M tokens (50k-token docs are
+    # the guarded tail, d11).
+    packed = (F.col("doc_id") * F.lit(1 << 22) + F.col("seg_id")).alias("pk")
+    firsts = segs.select("fp", packed).groupBy("fp").agg(
+        F.min("pk").alias("first_pk")
     )
     marked = segs.join(firsts, "fp").withColumn(
         "kept",
-        (F.col("doc_id") == F.col("first.doc_id"))
-        & (F.col("seg_id") == F.col("first.seg_id")),
+        F.col("doc_id") * F.lit(1 << 22) + F.col("seg_id")
+        == F.col("first_pk"),
     )
     kept_struct = F.when(F.col("kept"), F.struct("seg_id", "seg"))
     return marked.groupBy("doc_id").agg(
