@@ -632,7 +632,14 @@ def semantic_decontaminate(
     rows: (vec_id, n_hits, top_benchmark_id, max_cosine).
     """
     spark = corpus.sparkSession
+    out_schema = (
+        "vec_id long, n_hits long, top_benchmark_id long, max_cosine double"
+    )
     rows = benchmark.select("vec_id", vec_col).collect()  # benchmark-sized
+    if not rows:
+        # empty benchmark: nothing can be contaminated (and np.array of
+        # zero vectors has the wrong ndim for the GEMM)
+        return spark.createDataFrame([], out_schema)
     rows.sort(key=lambda r: r["vec_id"])
     b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     B = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
@@ -669,7 +676,4 @@ def semantic_decontaminate(
                 }
             )
 
-    return corpus.select("vec_id", vec_col).mapInPandas(
-        run,
-        "vec_id long, n_hits long, top_benchmark_id long, max_cosine double",
-    )
+    return corpus.select("vec_id", vec_col).mapInPandas(run, out_schema)

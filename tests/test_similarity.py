@@ -223,3 +223,18 @@ def test_exact_dup_pairs_empty_input(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert exact_dup_pairs_blocked(empty, threshold=0.5).count() == 0
+
+
+def test_semantic_decontaminate_empty_benchmark(spark):
+    """An empty benchmark set flags nothing (and must not crash the
+    broadcast-GEMM path on a zero-row matrix)."""
+    from pyspark.sql import functions as F
+
+    from kblock_spark.ops.similarity import _quantize, semantic_decontaminate
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("qv")
+    )
+    out = semantic_decontaminate(e, e.where(F.lit(False)), threshold=0.4)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "n_hits", "top_benchmark_id", "max_cosine"]
