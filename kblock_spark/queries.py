@@ -2232,31 +2232,15 @@ FROM rk WHERE rnk <= 2
 """
 
 
-def geo_pip_oracle(spark, sf_dir):
-    """The engine's HOT JOIN (tiled point-in-polygon,
-    ops/spatial_join.py — the reference's STRtree sjoin,
-    batch_2_prepare_buildings.py:66-86) under a hard DuckDB oracle.
-
-    Exactness argument (the geo_knn recipe extended to PIP): every
-    coordinate is an integer scaled by 2^-20 (exact exponent shift),
-    so differences and products stay exact in float64. Rectangles
-    have axis-parallel edges (the ray-cast's xint reduces to x1 + 0/Δy
-    = x1); diamonds have |Δx| = |Δy| edges (xint = x1 ± (Y−y1),
-    division exact since the quotient is an integer). Points use odd
-    integers, polygon anchors even integers, diamond radii odd — so
-    no point ever lies on an edge (rect: odd≠even; diamond:
-    |dx|+|dy| even ≠ r odd) and the generic even-odd ray cast must
-    agree bit-for-bit with the oracle's closed forms (bbox
-    containment / L1 ball). The oracle side therefore needs NO
-    geometry at all — pure BIGINT arithmetic. Dedupe semantics
-    (one polygon per point, min poly_id — batch_2:216-231) map to
-    MIN(poly_id) GROUP BY pid."""
+def _geo_pip_fixture(spark):
+    """Shared SQL-reproducible PIP fixture: 4,000 odd-integer points
+    (scaled by 2^-20) + 20 even-anchored rectangles + 20 odd-radius
+    diamonds. See geo_pip_oracle for the exactness argument."""
     import numpy as np
     import pandas as pd
 
     from .geo.geom import pack_rings
     from .geo.tiling import cell_of
-    from .ops.spatial_join import assign_points_to_polygons
 
     S = 1048576.0  # 2^20
     cell = 1024.0 / S  # 2^-10: exact cell boundaries
@@ -2291,9 +2275,56 @@ def geo_pip_oracle(spark, sf_dir):
         sizes, coords = pack_rings(ring)
         rows.append({"poly_id": 100 + j, "ring_sizes": sizes, "coords": coords})
     polys = spark.createDataFrame(rows)
+    return pts, polys, cell
+
+
+def geo_pip_oracle(spark, sf_dir):
+    """The engine's HOT JOIN (tiled point-in-polygon,
+    ops/spatial_join.py — the reference's STRtree sjoin,
+    batch_2_prepare_buildings.py:66-86) under a hard DuckDB oracle.
+
+    Exactness argument (the geo_knn recipe extended to PIP): every
+    coordinate is an integer scaled by 2^-20 (exact exponent shift),
+    so differences and products stay exact in float64. Rectangles
+    have axis-parallel edges (the ray-cast's xint reduces to x1 + 0/Δy
+    = x1); diamonds have |Δx| = |Δy| edges (xint = x1 ± (Y−y1),
+    division exact since the quotient is an integer). Points use odd
+    integers, polygon anchors even integers, diamond radii odd — so
+    no point ever lies on an edge (rect: odd≠even; diamond:
+    |dx|+|dy| even ≠ r odd) and the generic even-odd ray cast must
+    agree bit-for-bit with the oracle's closed forms (bbox
+    containment / L1 ball). The oracle side therefore needs NO
+    geometry at all — pure BIGINT arithmetic. Dedupe semantics
+    (one polygon per point, min poly_id — batch_2:216-231) map to
+    MIN(poly_id) GROUP BY pid."""
+    from .ops.spatial_join import assign_points_to_polygons
+
+    pts, polys, cell = _geo_pip_fixture(spark)
     hit = assign_points_to_polygons(
         pts, polys, point_cols=["pid", "lon", "lat"],
         poly_key="poly_id", cell_deg=cell,
+    )
+    return hit.groupBy("poly_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("pid").cast("bigint").alias("pid_sum"),
+    )
+
+
+def geo_pip_oracle_shuffle(spark, sf_dir):
+    """The SAME fixture and oracle as geo_pip_oracle, forced down the
+    NON-broadcast path (shuffled cell equi-join + salted hotspot
+    sharding, the planetary-polygon-count configuration of
+    ops/spatial_join.py) — the driver record then covers BOTH
+    physical strategies of the hot join against one closed-form
+    oracle. Results must be bit-identical to the broadcast path by
+    construction; dedupe keeps min poly_id per point either way."""
+    from .ops.spatial_join import assign_points_to_polygons
+
+    pts, polys, cell = _geo_pip_fixture(spark)
+    hit = assign_points_to_polygons(
+        pts, polys, point_cols=["pid", "lon", "lat"],
+        poly_key="poly_id", cell_deg=cell,
+        broadcast_polys=False, salt_buckets=4,
     )
     return hit.groupBy("poly_id").agg(
         F.count("*").cast("bigint").alias("n_points"),
@@ -2783,17 +2814,18 @@ def media_features(spark, sf_dir):
 # rotates in d16_decontamination and s05_stream_static_enrich (added
 # late in r4, previously at positions 51-52) in place of q02/q20,
 # which each carry four consecutive green driver records (r01-r04);
-# the new geo_pip_oracle (hard-oracled HOT JOIN) replaces q17 (also
+# the round-5 operators geo_pip_oracle + geo_pip_oracle_shuffle
+# (the HOT JOIN's two physical strategies under one closed-form
+# oracle), d17, d18 and e08 replace q17/q13/q18/q10/q05 (each also
 # 4x green). Positions 51+ are the remaining oracle-backed queries
-# (q02, q17, q20, q03, q09, q12, q14, q15, q25 — all with 3-4
-# consecutive driver greens); all of them still run in the sf0.001
-# parity suite and the self-check every round. Rows-only queries
-# close the list.
+# (q05, q10, q13, q18, q02, q17, q20, q03, q09, q12, q14, q15, q25 —
+# all with 3-4 consecutive driver greens); all of them still run in
+# the sf0.001 parity suite and the self-check every round. Rows-only
+# queries close the list.
 REGISTRY: dict = {
     # relational core
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
-    "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
     "q06_active_customers_by_segment": (q06_active_customers_by_segment, Q06_SQL),
     "q07_nation_presence": (q07_nation_presence, Q07_SQL),
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
@@ -2845,11 +2877,13 @@ REGISTRY: dict = {
     "geo_knn": (geo_knn, GEO_KNN_SQL),
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
     "geo_pip_oracle": (geo_pip_oracle, GEO_PIP_SQL),
+    "geo_pip_oracle_shuffle": (geo_pip_oracle_shuffle, GEO_PIP_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
+    "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
     "q10_price_histogram": (q10_price_histogram, Q10_SQL),
     "q13_weighted_discount_by_brand": (q13_weighted_discount_by_brand, Q13_SQL),
     "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
