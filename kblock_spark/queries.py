@@ -2794,6 +2794,63 @@ GROUP BY 1, 2
 """
 
 
+# s06 — STREAMING benchmark decontamination (d16 under Structured
+# Streaming): corpus documents arrive as a stream; the benchmark
+# shingle set is STATIC (computed in batch from the eval split and
+# broadcast into every micro-batch). Streaming constraints shaped the
+# plan: per-doc shingle dedup is ROW-LOCAL (array_distinct over the
+# hashed shingle array BEFORE explode — a streaming .distinct() would
+# be a second aggregation, which Structured Streaming forbids), and
+# the hit tag comes from a stream-static LEFT OUTER broadcast join (a
+# semi join would drop the clean shingles and lose the totals). One
+# update-mode aggregation → idempotent per-batch sink. Oracle:
+# D16_SQL verbatim — the stream must equal the batch exactly.
+
+def s06_stream_decontamination(spark, sf_dir):
+    from .streaming.ingest import idempotent_parquet_sink
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch("kblock_s06_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    d.coalesce(1).write.mode("overwrite").parquet(src)
+    bench = (
+        _shingle_hashes(d.where(F.col("doc_id") % 97 == 0))
+        .select("h").distinct().withColumn("__b", F.lit(1))
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    hs = F.array_distinct(
+        F.transform(_trigram_shingles(F.split("text", " ")), _h12)
+    )
+    sh = stream.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(hs).alias("h")
+    )
+    tagged = sh.join(F.broadcast(bench), "h", "left_outer")
+    agg = tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).alias(
+            "n_contaminated"
+        ),
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(idempotent_parquet_sink(out))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r = spark.read.parquet(out)
+    return r.where(F.col("n_contaminated") > 0).select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        (
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination_frac"),
+    )
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -2826,7 +2883,6 @@ REGISTRY: dict = {
     # relational core
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
-    "q06_active_customers_by_segment": (q06_active_customers_by_segment, Q06_SQL),
     "q07_nation_presence": (q07_nation_presence, Q07_SQL),
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
@@ -2873,6 +2929,7 @@ REGISTRY: dict = {
     "s03_stream_session_windows": (s03_stream_session_windows, S03_SQL),
     "s04_stream_tumbling_rollup": (s04_stream_tumbling_rollup, S04_SQL),
     "s05_stream_static_enrich": (s05_stream_static_enrich, S05_SQL),
+    "s06_stream_decontamination": (s06_stream_decontamination, D16_SQL),
     # geospatial with hard oracles (rounds 4-5): SQL-reproducible inputs
     "geo_knn": (geo_knn, GEO_KNN_SQL),
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
@@ -2884,6 +2941,7 @@ REGISTRY: dict = {
     # suite and the self-check each round)
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
     "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
+    "q06_active_customers_by_segment": (q06_active_customers_by_segment, Q06_SQL),
     "q10_price_histogram": (q10_price_histogram, Q10_SQL),
     "q13_weighted_discount_by_brand": (q13_weighted_discount_by_brand, Q13_SQL),
     "q18_suppliers_per_nation": (q18_suppliers_per_nation, Q18_SQL),
