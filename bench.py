@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "d17_segment_dedup",
     "d18_token_rarity",
     "e08_semantic_decontamination",
+    "s06_stream_decontamination",
     "e01_ann_cosine_topk",
     "e02_embedding_dup_pairs",
     "e05_ivf_ann_topk",
