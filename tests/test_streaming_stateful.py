@@ -101,3 +101,80 @@ def test_idempotent_sink_survives_batch_retry(spark, tmp_path):
     # the retried batch replaced only its own partition
     assert got.where(F.col("__batch_id") == 0).count() == 5
     assert got.where(F.col("__batch_id") == 1).count() == 3
+
+
+def test_replayed_batch_does_not_duplicate_sink_rows(spark, tmp_path):
+    """True replay semantics: after a crash BETWEEN the sink write and
+    the checkpoint commit, Structured Streaming re-executes the last
+    micro-batch on restart. Simulated by deleting the newest commit
+    marker from the checkpoint; with the idempotent per-batch sink the
+    replay overwrites its own partition and the result is identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kblock_spark.streaming.ingest import idempotent_parquet_sink
+
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    pdf = _events_pdf(0, 400, 1)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    def drain(ck_path):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+        )
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias("v_e6"),
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ck_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(ck)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("user_id", "n", "v_e6").collect()
+    )
+    assert first  # non-vacuous
+
+    # crash window: sink wrote, commit marker lost -> batch replays.
+    # Spark refuses external edits to a checkpoint it has already
+    # used in this session, so the crashed state is a COPY of the
+    # checkpoint with the newest commit marker removed.
+    ck2 = str(tmp_path / "ck_crashed")
+    shutil.copytree(ck, ck2)
+    commits = sorted(
+        f for f in os.listdir(f"{ck2}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ck2}/commits/{commits[-1]}")
+    # the copied checkpoint keeps the original queryId; this session
+    # already ran that id against the ORIGINAL path, which trips the
+    # concurrent-use guard — a fresh metadata file (new queryId) makes
+    # the copy a legitimate restarted query. Stale Hadoop .crc
+    # sidecars of the removed files must go too or the atomic
+    # re-create trips the same guard.
+    os.remove(f"{ck2}/metadata")
+    for leftover in (
+        f"{ck2}/.metadata.crc",
+        f"{ck2}/commits/.{commits[-1]}.crc",
+    ):
+        if os.path.exists(leftover):
+            os.remove(leftover)
+    drain(ck2)
+
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("user_id", "n", "v_e6").collect()
+    )
+    assert second == first, "replayed batch changed the sink contents"
