@@ -103,3 +103,44 @@ def test_polygon_cover_contains_samples(seed):
     mask = G.points_in_ring(inner[:, 0], inner[:, 1], poly)
     pc = cell_of(inner[mask, 0], inner[mask, 1])
     assert np.isin(pc, cells).all()
+
+
+intcoord = st.integers(1, 99999)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.tuples(intcoord, intcoord), min_size=1, max_size=60),
+    st.tuples(
+        st.integers(0, 40000), st.integers(0, 40000),
+        st.integers(1, 5000), st.integers(1, 5000),
+    ),
+    st.tuples(
+        st.integers(5000, 45000), st.integers(5000, 45000),
+        st.integers(1, 2500),
+    ),
+)
+def test_ray_cast_matches_closed_forms(points, rect, diamond):
+    """The generic even-odd ray cast must agree with closed-form
+    membership for axis-aligned rectangles (bbox test) and 45-degree
+    diamonds (L1-ball test) on integer inputs — the geo_pip_oracle
+    exactness argument, fuzzed: odd points, even rectangle corners,
+    even diamond centers with odd radii rule out on-edge ties."""
+    px = np.array([2 * x + 1 for x, _ in points], dtype=np.float64)
+    py = np.array([2 * y + 1 for _, y in points], dtype=np.float64)
+
+    x0, y0, w, h = (2 * v for v in rect)
+    ring = np.array(
+        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]], float
+    )
+    got = G.points_in_ring(px, py, ring)
+    want = (px > x0) & (px < x0 + w) & (py > y0) & (py < y0 + h)
+    assert (got == want).all()
+
+    cx, cy, r = 2 * diamond[0], 2 * diamond[1], 2 * diamond[2] + 1
+    dia = np.array(
+        [[cx, cy - r], [cx + r, cy], [cx, cy + r], [cx - r, cy]], float
+    )
+    got = G.points_in_ring(px, py, dia)
+    want = np.abs(px - cx) + np.abs(py - cy) < r
+    assert (got == want).all()
