@@ -57,6 +57,27 @@ SECTIONS = [
         "by deterministic range ids.",
         lambda s: __import__("kblock_spark.queries", fromlist=["x"]).q22_weighted_buckets(s, SF),
     ),
+    (
+        "d17 — corpus-level exact segment dedup",
+        "First-occurrence keep is pure HashAggregate (the packed "
+        "BIGINT min) with map-side partial combine, then a broadcast/"
+        "shuffle equi-join on the 48-bit fingerprint — no Sort nodes, "
+        "no window over raw text.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d17_segment_dedup(s, SF),
+    ),
+    (
+        "d18 — corpus-statistics token rarity",
+        "Two map-side-combining aggregates build the df table; the "
+        "occurrence join broadcasts only because the vocab is actually "
+        "small here (plain equi-join at scale).",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d18_token_rarity(s, SF),
+    ),
+    (
+        "e08 — semantic benchmark decontamination",
+        "NO Exchange anywhere: the benchmark matrix ships as a python "
+        "broadcast and the corpus maps through one Arrow GEMM pass.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).e08_semantic_decontamination(s, SF),
+    ),
 ]
 
 
