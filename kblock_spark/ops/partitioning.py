@@ -68,10 +68,14 @@ def weighted_buckets(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn("__lcum", F.sum(w).over(wloc))
+    # partial sums come from the PRE-window frame: the per-range total
+    # doesn't depend on the cumsum, so this job is a plain map-side
+    # combining aggregate — no reliance on Catalyst pruning the unused
+    # window (and no per-range sort) in the offsets pass
     partials = (
         d.groupBy("__rid").agg(F.sum(w).alias("__psum")).collect()
     )
+    d = d.withColumn("__lcum", F.sum(w).over(wloc))
     psums = {r["__rid"]: r["__psum"] for r in partials}
     if not psums:
         return df.withColumn(bucket_col, F.lit(0))
