@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "s03_stream_session_windows",
     "s04_stream_tumbling_rollup",
     "s05_stream_static_enrich",
+    "geo_tile_rollup",
+    "geo_compact",
+    "geo_polyfill",
 ]
 
 GEO_NX = GEO_NY = 8

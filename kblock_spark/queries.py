@@ -2867,6 +2867,220 @@ def media_features(spark, sf_dir):
 # rows for the FIRST 50 registry entries (observed: r01-r04 each hold
 # exactly the 50-entry registry-order prefix). The window is packed
 # with the 50 whose hard driver record is most valuable: every query
+# ============================================== hierarchical tiling
+# The north rule's H3-style cell hierarchy as three hard-oracled
+# operators (ops/hierarchy.py): multi-resolution rollup
+# (latlng_to_cell + cell_to_parent), compaction (h3.compact_cells)
+# and polygon polyfill (h3.polygon_to_cells, center-containment
+# semantics). Inputs are SQL-reproducible: integer-derived dyadic
+# coordinates (k / 2^20) make every floor/shift exact in doubles,
+# Catalyst and DuckDB alike (the geo_knn/geo_pip recipe).
+
+_TILE_N = 30_000
+_TILE_MOD = 80_000  # ~78 occupied ix values at level 10 (cell = 1024 units)
+
+
+def _tile_points(spark):
+    """30k SQL-reproducible points over the unit square: kx/ky are
+    pure-int64 hashes < 80000 (so the occupied region spans ~78x78
+    level-10 cells at ~4.9 points/cell — dense enough that compaction
+    promotes most interior 2x2 groups, sparse enough that ~1% empty
+    cells and the ragged ix=78 edge strip keep the cover irregular).
+    lon = kx / 2^20 is a dyadic rational: floor(lon * 2^L) in doubles
+    equals kx >> (20-L) in pure integer arithmetic."""
+    return (
+        spark.range(_TILE_N)
+        .select(
+            ((F.col("id") * 2654435761 + 17) % _TILE_MOD).alias("kx"),
+            ((F.col("id") * 1610612741 + 59) % _TILE_MOD).alias("ky"),
+            ((F.col("id") * 31 + 7) % 1000).alias("w"),
+        )
+        .select(
+            (F.col("kx").cast("double") / F.lit(1048576.0)).alias("lon"),
+            (F.col("ky").cast("double") / F.lit(1048576.0)).alias("lat"),
+            "w",
+        )
+    )
+
+
+_TILE_PTS_SQL = f"""
+  SELECT (id*2654435761 + 17) % {_TILE_MOD} AS kx,
+         (id*1610612741 + 59) % {_TILE_MOD} AS ky,
+         (id*31 + 7) % 1000 AS w
+  FROM range({_TILE_N}) t(id)
+"""
+
+
+def geo_tile_rollup(spark, sf_dir):
+    """Multi-resolution tile rollup (ops/hierarchy.multires_rollup):
+    per-cell point counts + weight sums at levels 6/8/10 of the
+    quadtree hierarchy in one pass — aggregate once at the finest
+    level (the only shuffle that touches points; map-side combine),
+    then roll the compacted per-cell table up to the coarser levels.
+    The engine's analogue of an H3 res-9 tile table with res-7/res-5
+    planning rollups (north rule: 'H3 level-9 tile assignments');
+    reference parity: geohash-prefix chunking at
+    kblock/batch_2_prepare_buildings.py:216-220."""
+    from .ops.hierarchy import multires_rollup
+
+    return multires_rollup(_tile_points(spark), [6, 8, 10], weight_col="w")
+
+
+GEO_TILE_ROLLUP_SQL = f"""
+WITH p AS ({_TILE_PTS_SQL}),
+l10 AS (
+  SELECT kx >> 10 AS ix, ky >> 10 AS iy,
+         COUNT(*) AS n_points, SUM(w)::BIGINT AS sum_w
+  FROM p GROUP BY 1, 2)
+SELECT 10::INT AS level, ix, iy, n_points, sum_w FROM l10
+UNION ALL
+SELECT 8::INT, ix >> 2, iy >> 2,
+       SUM(n_points)::BIGINT, SUM(sum_w)::BIGINT
+FROM l10 GROUP BY 2, 3
+UNION ALL
+SELECT 6::INT, ix >> 4, iy >> 4,
+       SUM(n_points)::BIGINT, SUM(sum_w)::BIGINT
+FROM l10 GROUP BY 2, 3
+"""
+
+
+def geo_compact(spark, sf_dir):
+    """Hierarchical cell-set compaction (ops/hierarchy.compact_cells =
+    h3.compact_cells): the occupied level-10 cells of the tile fixture
+    compacted down to level 6 — every complete 2x2 sibling group is
+    replaced by its parent, recursively. Each level step is a tiny
+    hash aggregate + broadcast anti-join over the (already aggregated)
+    cell set, so the op adds no wide shuffle after the one that built
+    the cells. Oracle: the same promotion unrolled level-by-level in
+    SQL."""
+    from .ops.hierarchy import compact_cells, with_quad_cell
+
+    cells = (
+        with_quad_cell(_tile_points(spark), 10)
+        .select("ix", "iy")
+        .distinct()
+    )
+    return compact_cells(cells, level=10, min_level=6)
+
+
+GEO_COMPACT_SQL = f"""
+WITH p AS ({_TILE_PTS_SQL}),
+c10 AS (SELECT DISTINCT kx >> 10 AS ix, ky >> 10 AS iy FROM p),
+pr9 AS (SELECT ix >> 1 AS ix, iy >> 1 AS iy FROM c10
+        GROUP BY 1, 2 HAVING COUNT(*) = 4),
+k10 AS (SELECT c.ix, c.iy FROM c10 c LEFT JOIN pr9 q
+        ON c.ix >> 1 = q.ix AND c.iy >> 1 = q.iy WHERE q.ix IS NULL),
+pr8 AS (SELECT ix >> 1 AS ix, iy >> 1 AS iy FROM pr9
+        GROUP BY 1, 2 HAVING COUNT(*) = 4),
+k9 AS (SELECT c.ix, c.iy FROM pr9 c LEFT JOIN pr8 q
+       ON c.ix >> 1 = q.ix AND c.iy >> 1 = q.iy WHERE q.ix IS NULL),
+pr7 AS (SELECT ix >> 1 AS ix, iy >> 1 AS iy FROM pr8
+        GROUP BY 1, 2 HAVING COUNT(*) = 4),
+k8 AS (SELECT c.ix, c.iy FROM pr8 c LEFT JOIN pr7 q
+       ON c.ix >> 1 = q.ix AND c.iy >> 1 = q.iy WHERE q.ix IS NULL),
+pr6 AS (SELECT ix >> 1 AS ix, iy >> 1 AS iy FROM pr7
+        GROUP BY 1, 2 HAVING COUNT(*) = 4),
+k7 AS (SELECT c.ix, c.iy FROM pr7 c LEFT JOIN pr6 q
+       ON c.ix >> 1 = q.ix AND c.iy >> 1 = q.iy WHERE q.ix IS NULL)
+SELECT 10::INT AS level, ix, iy FROM k10
+UNION ALL SELECT 9::INT, ix, iy FROM k9
+UNION ALL SELECT 8::INT, ix, iy FROM k8
+UNION ALL SELECT 7::INT, ix, iy FROM k7
+UNION ALL SELECT 6::INT, ix, iy FROM pr6
+"""
+
+
+def _polyfill_fixture(spark):
+    """40 SQL-reproducible polygons for the polyfill oracle: 20
+    axis-parallel rectangles with ODD-integer edges and 20 L1
+    diamonds with odd centers and odd radii (units of 2^-20). Level-10
+    cell centers sit at 1024*i + 512 units (even), so no center ever
+    ties with a rectangle edge (odd) and the diamond test
+    |dx|+|dy| (even, odd-odd) never equals r (odd); slope-±1 diamond
+    edges keep the ray cast's xint division exact (the geo_pip_oracle
+    exactness argument, fuzz-verified in test_property_geom.py)."""
+    import numpy as np
+
+    from .geo.geom import pack_rings
+
+    S = 1048576.0
+    rows = []
+    for j in range(20):
+        xmin = 2 * ((j * 7919 + 23) % 30000) + 1
+        ymin = 2 * ((j * 104729 + 71) % 30000) + 1
+        w = 2 * ((j * 3571 + 5) % 3000 + 1000)
+        h = 2 * ((j * 9973 + 3) % 3000 + 1000)
+        ring = np.array(
+            [[xmin, ymin], [xmin + w, ymin], [xmin + w, ymin + h],
+             [xmin, ymin + h]],
+            dtype=np.float64,
+        ) / S
+        sizes, coords = pack_rings(ring)
+        rows.append({"poly_id": j, "ring_sizes": sizes, "coords": coords})
+    for j in range(20):
+        cx = 2 * ((j * 6151 + 101) % 28000 + 2000) + 1
+        cy = 2 * ((j * 12289 + 37) % 28000 + 2000) + 1
+        r = 2 * ((j * 4099 + 11) % 1200 + 800) + 1
+        ring = np.array(
+            [[cx, cy - r], [cx + r, cy], [cx, cy + r], [cx - r, cy]],
+            dtype=np.float64,
+        ) / S
+        sizes, coords = pack_rings(ring)
+        rows.append({"poly_id": 100 + j, "ring_sizes": sizes, "coords": coords})
+    return spark.createDataFrame(rows)
+
+
+def geo_polyfill(spark, sf_dir):
+    """Polygon→cells polyfill (ops/hierarchy.polyfill =
+    h3.polygon_to_cells): level-10 cells whose center lies inside each
+    polygon, via the generic even-odd ray cast over bbox-bounded
+    candidate stripes in Arrow-batched mapInPandas. Center-containment
+    makes the op a partition of space (each cell belongs to at most
+    one disjoint polygon) — the semantics a tile-routed spatial join
+    wants. Oracle: closed-form bbox / L1 membership in pure BIGINT
+    SQL over the same generated grid."""
+    from .ops.hierarchy import polyfill
+
+    return polyfill(_polyfill_fixture(spark), level=10)
+
+
+GEO_POLYFILL_SQL = """
+WITH r AS (
+  SELECT j AS poly_id,
+         2*((j*7919 + 23) % 30000) + 1 AS xmin,
+         2*((j*104729 + 71) % 30000) + 1 AS ymin,
+         2*((j*3571 + 5) % 3000 + 1000) AS w,
+         2*((j*9973 + 3) % 3000 + 1000) AS h
+  FROM range(20) t(j)),
+off AS (SELECT range AS o FROM range(0, 10)),
+rc AS (
+  -- this DuckDB build rejects lateral column args to range(), so the
+  -- candidate grid is bbox_floor + a constant 10x10 offset fan (max
+  -- polygon span is 9 cells/axis); membership filtering makes any
+  -- superset of the bbox cover equivalent
+  SELECT r.poly_id, (r.xmin // 1024) + ox.o AS ix, (r.ymin // 1024) + oy.o AS iy
+  FROM r, off ox, off oy
+  WHERE 1024*((r.xmin // 1024) + ox.o) + 512 > r.xmin
+    AND 1024*((r.xmin // 1024) + ox.o) + 512 < r.xmin + r.w
+    AND 1024*((r.ymin // 1024) + oy.o) + 512 > r.ymin
+    AND 1024*((r.ymin // 1024) + oy.o) + 512 < r.ymin + r.h),
+d AS (
+  SELECT 100 + j AS poly_id,
+         2*((j*6151 + 101) % 28000 + 2000) + 1 AS cx,
+         2*((j*12289 + 37) % 28000 + 2000) + 1 AS cy,
+         2*((j*4099 + 11) % 1200 + 800) + 1 AS r
+  FROM range(20) t(j)),
+dc AS (
+  SELECT d.poly_id, ((d.cx - d.r) // 1024) + ox.o AS ix,
+         ((d.cy - d.r) // 1024) + oy.o AS iy
+  FROM d, off ox, off oy
+  WHERE abs(1024*(((d.cx - d.r) // 1024) + ox.o) + 512 - d.cx)
+      + abs(1024*(((d.cy - d.r) // 1024) + oy.o) + 512 - d.cy) < d.r)
+SELECT poly_id, 10::INT AS level, ix, iy FROM rc
+UNION ALL SELECT poly_id, 10::INT AS level, ix, iy FROM dc
+"""
+
+
 # that has never (or rarely) had a driver row is inside — round 5
 # rotates in d16_decontamination and s05_stream_static_enrich (added
 # late in r4, previously at positions 51-52) in place of q02/q20,
@@ -2874,8 +3088,12 @@ def media_features(spark, sf_dir):
 # the round-5 operators geo_pip_oracle + geo_pip_oracle_shuffle
 # (the HOT JOIN's two physical strategies under one closed-form
 # oracle), d17, d18 and e08 replace q17/q13/q18/q10/q05 (each also
-# 4x green). Positions 51+ are the remaining oracle-backed queries
-# (q05, q10, q13, q18, q02, q17, q20, q03, q09, q12, q14, q15, q25 —
+# 4x green); late round 5 adds the hierarchical-tiling triple
+# (geo_tile_rollup / geo_compact / geo_polyfill) in place of
+# q07/q08 (4x green) and q11 (3x consecutive green r2-r4).
+# Positions 51+ are the remaining oracle-backed queries
+# (q05, q07, q08, q10, q11, q13, q18, q02, q17, q20, q03, q09,
+# q12, q14, q15, q25 —
 # all with 3-4 consecutive driver greens); all of them still run in
 # the sf0.001 parity suite and the self-check every round. Rows-only
 # queries close the list.
@@ -2883,9 +3101,6 @@ REGISTRY: dict = {
     # relational core
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
-    "q07_nation_presence": (q07_nation_presence, Q07_SQL),
-    "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
-    "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
     "q21_sessionization": (q21_sessionization, Q21_SQL),
@@ -2935,11 +3150,20 @@ REGISTRY: dict = {
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
     "geo_pip_oracle": (geo_pip_oracle, GEO_PIP_SQL),
     "geo_pip_oracle_shuffle": (geo_pip_oracle_shuffle, GEO_PIP_SQL),
+    # hierarchical tiling (round 5 continuation): the H3 feature
+    # triple — multires rollup, compaction, polyfill — rotated in
+    # for q07/q08 (4x green drivers each) and q11 (3x consecutive)
+    "geo_tile_rollup": (geo_tile_rollup, GEO_TILE_ROLLUP_SQL),
+    "geo_compact": (geo_compact, GEO_COMPACT_SQL),
+    "geo_polyfill": (geo_polyfill, GEO_POLYFILL_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
+    "q07_nation_presence": (q07_nation_presence, Q07_SQL),
+    "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
+    "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
     "q06_active_customers_by_segment": (q06_active_customers_by_segment, Q06_SQL),
     "q10_price_histogram": (q10_price_histogram, Q10_SQL),

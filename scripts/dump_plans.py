@@ -78,6 +78,22 @@ SECTIONS = [
         "broadcast and the corpus maps through one Arrow GEMM pass.",
         lambda s: __import__("kblock_spark.queries", fromlist=["x"]).e08_semantic_decontamination(s, SF),
     ),
+    (
+        "geo_tile_rollup — multi-resolution tile rollup",
+        "Exactly two Exchanges: points are aggregated once at the "
+        "finest level (map-side partial combine), then Generate "
+        "(explode) fans the aggregated cells out to the coarser "
+        "levels — a union of per-level re-selects would re-scan and "
+        "re-shuffle the point set once per level.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).geo_tile_rollup(s, SF),
+    ),
+    (
+        "geo_compact — hierarchical cell compaction",
+        "Each of the four level steps is a small HashAggregate plus a "
+        "BroadcastHashJoin LeftAnti — no wide shuffle ever touches "
+        "more than the current cell set.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).geo_compact(s, SF),
+    ),
 ]
 
 
