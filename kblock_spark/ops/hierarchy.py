@@ -38,7 +38,10 @@ __all__ = [
     "with_quad_cell",
     "multires_rollup",
     "compact_cells",
+    "uncompact_cells",
     "polyfill",
+    "salt_plan",
+    "salted_by_plan",
 ]
 
 
@@ -148,7 +151,13 @@ def compact_cells(cells: DataFrame, level: int, min_level: int) -> DataFrame:
     """
     if min_level > level:
         raise ValueError("min_level must be <= level")
-    cur = cells.select("ix", "iy")
+    # each level's cell set feeds THREE consumers (the sibling count,
+    # the anti-join probe, and — transitively — every deeper union
+    # branch); without lineage truncation Catalyst re-derives the
+    # whole upstream chain per union branch, re-running the expensive
+    # point-level aggregation once per level. A deferred
+    # localCheckpoint materializes each (tiny) cell set once.
+    cur = cells.select("ix", "iy").localCheckpoint(eager=False)
     parts: list[DataFrame] = []
     for lv in range(level, min_level, -1):
         parent = [
@@ -160,6 +169,7 @@ def compact_cells(cells: DataFrame, level: int, min_level: int) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") == 4)
             .select("px", "py")
+            .localCheckpoint(eager=False)
         )
         kept = cur.join(
             F.broadcast(done),
@@ -177,6 +187,92 @@ def compact_cells(cells: DataFrame, level: int, min_level: int) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def uncompact_cells(cells: DataFrame, target_level: int) -> DataFrame:
+    """h3.uncompact_cells: expand a mixed-level cell cover (columns
+    level, ix, iy) back to uniform ``target_level`` →
+    DataFrame(level, ix, iy). Inverse of :func:`compact_cells`:
+    ``uncompact(compact(S), L) == S`` for any level-L cell set S.
+
+    Pure Catalyst — two ``explode(sequence(...))`` fans per row (one
+    per axis), no shuffle at all. Fan-out is 4^(target-level) rows per
+    input cell, which is the op's *semantics* (data expansion), so the
+    level gap is guarded to keep a single input row from generating
+    an unbounded task.
+    """
+    levels = [r[0] for r in cells.select("level").distinct().collect()]
+    if any(lv > target_level for lv in levels):
+        raise ValueError("target_level must be >= every input level")
+    if any(target_level - lv > 12 for lv in levels):
+        raise ValueError(
+            "refusing a >12-level uncompact (4^13+ rows per input cell); "
+            "uncompact in stages instead"
+        )
+    f = F.expr(f"shiftleft(1L, {target_level} - level)")
+    return (
+        cells.select("level", "ix", "iy", f.alias("f"))
+        .select(
+            F.lit(target_level).cast("int").alias("level"),
+            F.explode(
+                F.expr("sequence(ix * f, ix * f + f - 1)")
+            ).alias("ix"),
+            "iy",
+            "f",
+        )
+        .select(
+            "level",
+            "ix",
+            F.explode(
+                F.expr("sequence(iy * f, iy * f + f - 1)")
+            ).alias("iy"),
+        )
+    )
+
+
+def salt_plan(
+    rollup: DataFrame, target_per_salt: int, max_salt: int = 64
+) -> DataFrame:
+    """Measured-load salt factors per cell → DataFrame(ix, iy, salt).
+
+    ``rollup`` is one level of :func:`multires_rollup` (ix, iy,
+    n_points). A cell that measured ``n`` points gets
+    ``ceil(n / target_per_salt)`` salt buckets (capped): the hot-cell
+    mitigation the north rule asks for ('salted-key skew mitigation
+    handles dense urban cells'), derived from data instead of a global
+    constant — a uniform salt of k multiplies EVERY build-side row k
+    times, while a per-cell plan only replicates where the probe side
+    is actually dense. Integer arithmetic only (ceil-div via
+    (n + t - 1) DIV t), so the plan is exactly reproducible in SQL.
+    """
+    t = int(target_per_salt)
+    return rollup.select(
+        "ix",
+        "iy",
+        F.least(
+            F.lit(int(max_salt)),
+            F.expr(f"(n_points + {t - 1}) DIV {t}"),
+        )
+        .cast("int")
+        .alias("salt"),
+    )
+
+
+def salted_by_plan(
+    points: DataFrame,
+    plan: DataFrame,
+    row_hash: F.Column,
+) -> DataFrame:
+    """Attach a plan-driven salt bucket to each point: join the (tiny,
+    broadcast) salt plan on the cell and bucket rows by
+    ``row_hash % salt``. Downstream joins/aggregations key on
+    (ix, iy, salt_bucket) so a hot cell's rows spread over ``salt``
+    reducers; cells absent from the plan default to one bucket.
+    """
+    return points.join(F.broadcast(plan), ["ix", "iy"], "left").withColumn(
+        "salt_bucket",
+        F.pmod(row_hash, F.coalesce(F.col("salt"), F.lit(1))).cast("int"),
+    )
 
 
 def polyfill(

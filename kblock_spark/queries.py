@@ -3081,6 +3081,32 @@ UNION ALL SELECT poly_id, 10::INT AS level, ix, iy FROM dc
 """
 
 
+def geo_salt_plan(spark, sf_dir):
+    """Measured-load skew planning (ops/hierarchy.salt_plan): the
+    level-10 tile rollup drives per-cell salt factors —
+    ceil(n_points / 8) buckets capped at 4 — instead of a global salt
+    constant that would replicate the build side everywhere (north
+    rule: 'salted-key skew mitigation handles dense urban cells').
+    Integer ceil-division only, so the plan is bit-reproducible in
+    SQL; ops/hierarchy.salted_by_plan applies it (bucket spread
+    asserted in tests/test_hierarchy.py)."""
+    from .ops.hierarchy import multires_rollup, salt_plan
+
+    r10 = multires_rollup(_tile_points(spark), [10]).select(
+        "ix", "iy", "n_points"
+    )
+    return salt_plan(r10, target_per_salt=8, max_salt=4)
+
+
+GEO_SALT_PLAN_SQL = f"""
+WITH p AS ({_TILE_PTS_SQL}),
+l10 AS (
+  SELECT kx >> 10 AS ix, ky >> 10 AS iy, COUNT(*) AS n
+  FROM p GROUP BY 1, 2)
+SELECT ix, iy, CAST(LEAST(4, (n + 7) // 8) AS INT) AS salt FROM l10
+"""
+
+
 # that has never (or rarely) had a driver row is inside — round 5
 # rotates in d16_decontamination and s05_stream_static_enrich (added
 # late in r4, previously at positions 51-52) in place of q02/q20,
@@ -3088,12 +3114,13 @@ UNION ALL SELECT poly_id, 10::INT AS level, ix, iy FROM dc
 # the round-5 operators geo_pip_oracle + geo_pip_oracle_shuffle
 # (the HOT JOIN's two physical strategies under one closed-form
 # oracle), d17, d18 and e08 replace q17/q13/q18/q10/q05 (each also
-# 4x green); late round 5 adds the hierarchical-tiling triple
-# (geo_tile_rollup / geo_compact / geo_polyfill) in place of
-# q07/q08 (4x green) and q11 (3x consecutive green r2-r4).
+# 4x green); late round 5 adds the hierarchical-tiling quartet
+# (geo_tile_rollup / geo_compact / geo_polyfill / geo_salt_plan)
+# in place of q07/q08 (4x green) and q11/q19 (3x consecutive
+# green r2-r4).
 # Positions 51+ are the remaining oracle-backed queries
-# (q05, q07, q08, q10, q11, q13, q18, q02, q17, q20, q03, q09,
-# q12, q14, q15, q25 —
+# (q05, q07, q08, q10, q11, q13, q18, q19, q02, q17, q20, q03,
+# q09, q12, q14, q15, q25 —
 # all with 3-4 consecutive driver greens); all of them still run in
 # the sf0.001 parity suite and the self-check every round. Rows-only
 # queries close the list.
@@ -3102,7 +3129,6 @@ REGISTRY: dict = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
-    "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
     "q21_sessionization": (q21_sessionization, Q21_SQL),
     "q22_weighted_buckets": (q22_weighted_buckets, Q22_SQL),
     "q23_right_join_order_rollup": (q23_right_join_order_rollup, Q23_SQL),
@@ -3156,6 +3182,7 @@ REGISTRY: dict = {
     "geo_tile_rollup": (geo_tile_rollup, GEO_TILE_ROLLUP_SQL),
     "geo_compact": (geo_compact, GEO_COMPACT_SQL),
     "geo_polyfill": (geo_polyfill, GEO_POLYFILL_SQL),
+    "geo_salt_plan": (geo_salt_plan, GEO_SALT_PLAN_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
@@ -3164,6 +3191,7 @@ REGISTRY: dict = {
     "q07_nation_presence": (q07_nation_presence, Q07_SQL),
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
+    "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
     "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
     "q06_active_customers_by_segment": (q06_active_customers_by_segment, Q06_SQL),
     "q10_price_histogram": (q10_price_histogram, Q10_SQL),

@@ -186,3 +186,45 @@ def test_polyfill_striping_invariant(spark):
         )
     )
     assert full == striped
+
+
+def test_uncompact_inverts_compact(spark):
+    from kblock_spark.ops.hierarchy import uncompact_cells
+
+    cells_df = (
+        with_quad_cell(_points(spark, n=20000), 10)
+        .select("ix", "iy")
+        .distinct()
+    )
+    compacted = compact_cells(cells_df, 10, 6)
+    back = sorted(
+        (r["ix"], r["iy"])
+        for r in uncompact_cells(compacted, 10).collect()
+    )
+    kx, ky, _ = _np_points(n=20000)
+    assert back == sorted(set(zip((kx >> 10).tolist(), (ky >> 10).tolist())))
+
+
+def test_salt_plan_and_salted_buckets(spark):
+    from kblock_spark.ops.hierarchy import salt_plan, salted_by_plan
+
+    pts = with_quad_cell(_points(spark, n=20000), 4)  # coarse → hot cells
+    rollup = multires_rollup(_points(spark, n=20000), [4]).where("level = 4")
+    plan = salt_plan(rollup.select("ix", "iy", "n_points"), 100, max_salt=8)
+    pp = plan.toPandas()
+    rr = rollup.toPandas()
+    merged = rr.merge(pp, on=["ix", "iy"])
+    assert (
+        merged.salt == np.minimum(8, (merged.n_points + 99) // 100)
+    ).all()
+    salted = salted_by_plan(pts, plan, F.hash("lon", "lat")).toPandas()
+    assert ((salted.salt_bucket >= 0) & (salted.salt_bucket < salted.salt)).all()
+    # a hot cell's rows actually spread: the largest (cell, bucket)
+    # group is far below the cell's row count
+    hot = salted.groupby(["ix", "iy"]).size().idxmax()
+    sub = salted.set_index(["ix", "iy"]).loc[[hot]]
+    k = int(sub["salt"].iloc[0])
+    assert k > 1
+    per_bucket = sub.groupby("salt_bucket").size()
+    assert len(per_bucket) == k
+    assert per_bucket.max() < 0.75 * len(sub)
