@@ -1,0 +1,299 @@
+"""Snapshot table format: Iceberg-style metadata over plain parquet.
+
+The north rule's input is an "Iceberg table of Common-Crawl-style web
+pages"; no Iceberg runtime jar ships in this container, so this module
+implements the table-format *contract* the engine needs from it, using
+only public Iceberg concepts (spec at iceberg.apache.org/spec):
+
+- a table is a directory with immutable ``data/`` files plus
+  ``metadata/snap-<n>.json`` snapshot manifests listing exactly the
+  files that make up that snapshot (with per-file row counts and
+  column min/max stats);
+- ``metadata/current`` names the live snapshot; commits are
+  last-writer-wins-free: a commit writes its manifest, then atomically
+  swaps ``current`` IFF the parent it read is still live (optimistic
+  concurrency — losers raise ``CommitConflict`` and retry);
+- readers plan scans from the manifest, never by listing directories:
+  time travel = read an older manifest, incremental read = the file
+  diff between two snapshots, and predicate pruning = skip files whose
+  [min, max] range can't match.
+
+Crash safety: a writer that dies after writing data files or its
+manifest but before the ``current`` swap leaves orphans, never a
+corrupt table — readers only follow ``current``. ``expire_snapshots``
+garbage-collects unreferenced files.
+
+Scale: manifests are metadata-only (a few hundred bytes per file);
+only file PATHS ever touch the driver, the same cost model as
+Iceberg's manifest lists. At 10^12 rows the data-file count is
+bounded by write partitioning, not row count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since this snapshot's parent was read."""
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _snap_path(path: str, sid: int) -> str:
+    return os.path.join(_meta_dir(path), f"snap-{sid:05d}.json")
+
+
+def current_snapshot_id(path: str) -> int | None:
+    """Live snapshot id, or None for an empty/new table."""
+    try:
+        with open(os.path.join(_meta_dir(path), "current")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def read_manifest(path: str, snapshot_id: int | None = None) -> dict:
+    sid = current_snapshot_id(path) if snapshot_id is None else snapshot_id
+    if sid is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    with open(_snap_path(path, sid)) as f:
+        return json.load(f)
+
+
+def _file_stats(fpath: str, stat_cols: list[str]) -> dict:
+    """Per-file row count + column min/max from the parquet footer —
+    metadata-only reads (no data pages), the source of the same stats
+    Iceberg stores in its manifests."""
+    md = pq.ParquetFile(fpath).metadata
+    stats: dict = {"rows": md.num_rows}
+    if stat_cols:
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in stat_cols:
+            idx = name_to_idx.get(c)
+            if idx is None:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                stats[f"min_{c}"] = lo
+                stats[f"max_{c}"] = hi
+    return stats
+
+
+def _commit(path: str, manifest: dict, expected_parent: int | None) -> int:
+    """Write the manifest, then atomically swap ``current`` iff the
+    parent this writer based its snapshot on is still live."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    if current_snapshot_id(path) != expected_parent:
+        raise CommitConflict(
+            f"table {path} advanced past snapshot {expected_parent}"
+        )
+    sid = (expected_parent or 0) + 1
+    manifest = {
+        **manifest,
+        "snapshot_id": sid,
+        "parent_id": expected_parent,
+        "ts": time.time(),
+    }
+    with open(_snap_path(path, sid), "w") as f:
+        json.dump(manifest, f, indent=1)
+    # the swap is the commit point: os.replace is atomic on POSIX
+    tmp = os.path.join(_meta_dir(path), f".current.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(sid))
+    if current_snapshot_id(path) != expected_parent:
+        os.remove(tmp)
+        raise CommitConflict(
+            f"table {path} advanced past snapshot {expected_parent}"
+        )
+    os.replace(tmp, os.path.join(_meta_dir(path), "current"))
+    return sid
+
+
+def _write_data_files(
+    df: DataFrame, path: str, stat_cols: list[str]
+) -> list[dict]:
+    """Write ``df`` into a unique staging subdir of data/ and return
+    manifest entries for the files produced. Files are immutable once
+    written; uncommitted stagings are invisible orphans."""
+    sub = os.path.join(path, "data", uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(sub)
+    entries = []
+    for name in sorted(os.listdir(sub)):
+        if not name.endswith(".parquet"):
+            continue
+        fpath = os.path.join(sub, name)
+        rel = os.path.relpath(fpath, path)
+        entries.append({"path": rel, **_file_stats(fpath, stat_cols)})
+    return entries
+
+
+def append_snapshot(
+    df: DataFrame, path: str, stat_cols: list[str] | None = None
+) -> int:
+    """Commit ``df`` as an APPEND snapshot → new snapshot id.
+
+    The new manifest carries the parent's file list plus the files
+    just written. ``stat_cols`` adds per-file min/max for those
+    columns (enables :func:`plan_files` pruning)."""
+    parent = current_snapshot_id(path)
+    base: list[dict] = []
+    schema = df.schema.simpleString()
+    if parent is not None:
+        m = read_manifest(path, parent)
+        base = m["files"]
+        stat_cols = stat_cols if stat_cols is not None else m.get("stat_cols")
+    stat_cols = stat_cols or []
+    new = _write_data_files(df, path, stat_cols)
+    return _commit(
+        path,
+        {
+            "operation": "append",
+            "schema": schema,
+            "stat_cols": stat_cols,
+            "files": base + new,
+            "added": [e["path"] for e in new],
+        },
+        parent,
+    )
+
+
+def overwrite_snapshot(
+    df: DataFrame, path: str, stat_cols: list[str] | None = None
+) -> int:
+    """Commit ``df`` as a full-table OVERWRITE snapshot. Old files
+    stay on disk for time travel until :func:`expire_snapshots`."""
+    parent = current_snapshot_id(path)
+    if stat_cols is None and parent is not None:
+        stat_cols = read_manifest(path, parent).get("stat_cols")
+    stat_cols = stat_cols or []
+    new = _write_data_files(df, path, stat_cols)
+    return _commit(
+        path,
+        {
+            "operation": "overwrite",
+            "schema": df.schema.simpleString(),
+            "stat_cols": stat_cols,
+            "files": new,
+            "added": [e["path"] for e in new],
+        },
+        parent,
+    )
+
+
+def plan_files(
+    path: str,
+    snapshot_id: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> list[str]:
+    """Scan planning: absolute data-file paths for a snapshot,
+    optionally pruned by ``(col, lo, hi)`` — a file is kept iff its
+    [min_col, max_col] interval intersects [lo, hi] (files lacking
+    stats are conservatively kept). This is manifest-driven: no
+    directory listing, no parquet footer reads at plan time."""
+    m = read_manifest(path, snapshot_id)
+    out = []
+    for e in m["files"]:
+        if prune is not None:
+            c, lo, hi = prune
+            fmin, fmax = e.get(f"min_{c}"), e.get(f"max_{c}")
+            if fmin is not None and fmax is not None:
+                if fmax < lo or fmin > hi:
+                    continue
+        out.append(os.path.join(path, e["path"]))
+    return out
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Read a snapshot (time travel via ``snapshot_id``), optionally
+    file-pruned. An empty post-prune plan still returns the right
+    schema (read of the full plan's schema, filtered to nothing)."""
+    files = plan_files(path, snapshot_id, prune)
+    if not files:
+        all_files = plan_files(path, snapshot_id)
+        df = spark.read.parquet(*all_files)
+        return df.where("1 = 0")
+    return spark.read.parquet(*files)
+
+
+def incremental_read(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Rows added by snapshots in (from_snapshot, to_snapshot] — the
+    change feed an incremental pipeline consumes instead of
+    re-scanning the table. Walks the snapshot chain via parent ids;
+    raises on an overwrite in the range (a replace is not expressible
+    as an append-only delta)."""
+    to_sid = current_snapshot_id(path) if to_snapshot is None else to_snapshot
+    if to_sid is None or to_sid < from_snapshot:
+        raise ValueError("empty or inverted snapshot range")
+    added: list[str] = []
+    sid = to_sid
+    while sid is not None and sid > from_snapshot:
+        m = read_manifest(path, sid)
+        if m.get("operation") != "append":
+            raise ValueError(
+                f"snapshot {sid} is {m.get('operation')!r}; incremental "
+                "reads only traverse append snapshots"
+            )
+        added.extend(os.path.join(path, p) for p in m.get("added", []))
+        sid = m.get("parent_id")
+    if not added:
+        return read_snapshot(spark, path, to_sid).where("1 = 0")
+    return spark.read.parquet(*added)
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Drop all but the last ``keep_last`` snapshots and delete data
+    files no kept snapshot references → list of deleted files.
+    Metadata-only planning; deletion is the only mutation and happens
+    strictly after the kept set is computed."""
+    cur = current_snapshot_id(path)
+    if cur is None:
+        return []
+    keep_ids = []
+    sid: int | None = cur
+    while sid is not None and len(keep_ids) < keep_last:
+        keep_ids.append(sid)
+        sid = read_manifest(path, sid).get("parent_id")
+    referenced = set()
+    for k in keep_ids:
+        referenced.update(e["path"] for e in read_manifest(path, k)["files"])
+    deleted = []
+    data_root = os.path.join(path, "data")
+    for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        subdir = os.path.join(data_root, sub)
+        for name in sorted(os.listdir(subdir)):
+            rel = os.path.relpath(os.path.join(subdir, name), path)
+            if name.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(subdir, name))
+                deleted.append(rel)
+    for name in sorted(os.listdir(_meta_dir(path))):
+        if name.startswith("snap-"):
+            sid2 = int(name[5:-5])
+            if sid2 not in keep_ids:
+                os.remove(os.path.join(_meta_dir(path), name))
+    return deleted

@@ -4,7 +4,6 @@ vs a brute-force reference, and polyfill vs closed-form membership.
 """
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import functions as F
 
 from kblock_spark.geo.geom import pack_rings

@@ -1,0 +1,144 @@
+"""Snapshot table format (io/tableformat.py): append/overwrite
+commits, time travel, incremental change feeds, stats-based file
+pruning, optimistic-concurrency conflicts, crash safety, expiry."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kblock_spark.io.tableformat import (
+    CommitConflict,
+    append_snapshot,
+    current_snapshot_id,
+    expire_snapshots,
+    incremental_read,
+    overwrite_snapshot,
+    plan_files,
+    read_manifest,
+    read_snapshot,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 100).alias("v")
+    )
+
+
+def test_append_time_travel_and_incremental(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = append_snapshot(_df(spark, 0, 100), t, stat_cols=["doc_id"])
+    s2 = append_snapshot(_df(spark, 100, 250), t)
+    assert (s1, s2) == (1, 2)
+    assert current_snapshot_id(t) == 2
+    assert read_snapshot(spark, t).count() == 250
+    # time travel
+    assert read_snapshot(spark, t, snapshot_id=1).count() == 100
+    # change feed (1, 2]: exactly the second append
+    inc = incremental_read(spark, t, from_snapshot=1)
+    assert sorted(r["doc_id"] for r in inc.collect()) == list(range(100, 250))
+    # empty range
+    assert incremental_read(spark, t, from_snapshot=2).count() == 0
+
+
+def test_overwrite_replaces_and_blocks_incremental(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 50), t)
+    overwrite_snapshot(_df(spark, 1000, 1010), t)
+    assert read_snapshot(spark, t).count() == 10
+    # old snapshot still readable until expiry
+    assert read_snapshot(spark, t, snapshot_id=1).count() == 50
+    with pytest.raises(ValueError, match="overwrite"):
+        incremental_read(spark, t, from_snapshot=1)
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # range-partitioned writes give files with disjoint doc_id ranges
+    df = _df(spark, 0, 10000).repartitionByRange(8, "doc_id")
+    append_snapshot(df, t, stat_cols=["doc_id"])
+    full = plan_files(t)
+    pruned = plan_files(t, prune=("doc_id", 100, 200))
+    assert len(pruned) < len(full)
+    got = read_snapshot(spark, t, prune=("doc_id", 100, 200)).where(
+        "doc_id BETWEEN 100 AND 200"
+    )
+    assert got.count() == 101
+    # pruning never loses rows vs the unpruned read
+    ref = read_snapshot(spark, t).where("doc_id BETWEEN 100 AND 200")
+    assert got.count() == ref.count()
+    # empty plan keeps the schema
+    empty = read_snapshot(spark, t, prune=("doc_id", 10**9, 10**9 + 1))
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "v"]
+
+
+def test_commit_conflict_on_concurrent_writer(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+    # writer A plans against snapshot 1; writer B commits first
+    from kblock_spark.io import tableformat as tf
+
+    new = tf._write_data_files(_df(spark, 10, 20), t, [])
+    append_snapshot(_df(spark, 100, 120), t)  # B wins
+    with pytest.raises(CommitConflict):
+        tf._commit(
+            t,
+            {"operation": "append", "schema": "", "stat_cols": [],
+             "files": new, "added": [e["path"] for e in new]},
+            expected_parent=1,
+        )
+    # table is B's state, untouched by the failed commit
+    assert read_snapshot(spark, t).count() == 30
+
+
+def test_crash_before_current_swap_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+    # simulate a writer that wrote data + manifest but died before the
+    # swap: manifest file exists, current still points at snapshot 1
+    from kblock_spark.io import tableformat as tf
+
+    new = tf._write_data_files(_df(spark, 10, 20), t, [])
+    m = {"operation": "append", "schema": "", "stat_cols": [],
+         "files": new, "added": [e["path"] for e in new],
+         "snapshot_id": 2, "parent_id": 1, "ts": 0}
+    with open(tf._snap_path(t, 2), "w") as f:
+        json.dump(m, f)
+    assert current_snapshot_id(t) == 1
+    assert read_snapshot(spark, t).count() == 10
+    # the next real commit supersedes the orphan manifest
+    os.remove(tf._snap_path(t, 2))
+    append_snapshot(_df(spark, 50, 55), t)
+    assert read_snapshot(spark, t).count() == 15
+
+
+def test_expire_deletes_unreferenced_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 50), t)
+    overwrite_snapshot(_df(spark, 100, 110), t)
+    before = read_snapshot(spark, t).count()
+    deleted = expire_snapshots(t, keep_last=1)
+    assert deleted  # snapshot 1's files are gone
+    assert read_snapshot(spark, t).count() == before
+    with pytest.raises(FileNotFoundError):
+        read_manifest(t, 1)
+
+
+def test_pages_table_north_rule_shape(spark, tmp_path):
+    # the north rule's input table: Common-Crawl-style web pages in a
+    # snapshot table, appended in crawls, consumed incrementally
+    from kblock_spark.io.synth import synth_pages_spark
+
+    t = str(tmp_path / "pages")
+    append_snapshot(synth_pages_spark(spark, 200, 4), t, stat_cols=["url"])
+    s2 = append_snapshot(synth_pages_spark(spark, 300, 4), t)
+    tbl = read_snapshot(spark, t)
+    assert [f.name for f in tbl.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"
+    ]
+    assert tbl.count() == 500
+    inc = incremental_read(spark, t, from_snapshot=1, to_snapshot=s2)
+    assert inc.count() == 300
