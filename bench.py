@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "geo_tile_rollup",
     "geo_compact",
     "geo_polyfill",
+    "geo_salt_plan",
+    "tbl_incremental_scan",
 ]
 
 GEO_NX = GEO_NY = 8

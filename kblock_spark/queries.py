@@ -3107,6 +3107,34 @@ SELECT ix, iy, CAST(LEAST(4, (n + 7) // 8) AS INT) AS salt FROM l10
 """
 
 
+def tbl_incremental_scan(spark, sf_dir):
+    """Snapshot-table change feed under a hard oracle
+    (io/tableformat.py — the north rule's Iceberg-table contract):
+    documents are committed as two append snapshots (even doc_ids,
+    then odd); the query plans ONLY the second commit's files from the
+    manifest diff (incremental_read — no directory listing, no
+    re-scan of snapshot 1) and aggregates the new rows per lang.
+    Equality with the oracle's `WHERE doc_id % 2 = 1` aggregate proves
+    the change feed is exactly the second commit, no more, no less."""
+    from .io.tableformat import append_snapshot, incremental_read
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _scratch("tbl_inc_")
+    append_snapshot(docs.where("doc_id % 2 = 0"), path)
+    s2 = append_snapshot(docs.where("doc_id % 2 = 1"), path)
+    inc = incremental_read(spark, path, from_snapshot=1, to_snapshot=s2)
+    return inc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+TBL_INC_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+"""
+
+
 # that has never (or rarely) had a driver row is inside — round 5
 # rotates in d16_decontamination and s05_stream_static_enrich (added
 # late in r4, previously at positions 51-52) in place of q02/q20,
@@ -3116,11 +3144,12 @@ SELECT ix, iy, CAST(LEAST(4, (n + 7) // 8) AS INT) AS salt FROM l10
 # oracle), d17, d18 and e08 replace q17/q13/q18/q10/q05 (each also
 # 4x green); late round 5 adds the hierarchical-tiling quartet
 # (geo_tile_rollup / geo_compact / geo_polyfill / geo_salt_plan)
-# in place of q07/q08 (4x green) and q11/q19 (3x consecutive
+# plus the snapshot-table change-feed scan (tbl_incremental_scan)
+# in place of q07/q08 (4x green) and q11/q19/q24 (3x consecutive
 # green r2-r4).
 # Positions 51+ are the remaining oracle-backed queries
-# (q05, q07, q08, q10, q11, q13, q18, q19, q02, q17, q20, q03,
-# q09, q12, q14, q15, q25 —
+# (q05, q07, q08, q10, q11, q13, q18, q19, q24, q02, q17, q20,
+# q03, q09, q12, q14, q15, q25 —
 # all with 3-4 consecutive driver greens); all of them still run in
 # the sf0.001 parity suite and the self-check every round. Rows-only
 # queries close the list.
@@ -3132,7 +3161,6 @@ REGISTRY: dict = {
     "q21_sessionization": (q21_sessionization, Q21_SQL),
     "q22_weighted_buckets": (q22_weighted_buckets, Q22_SQL),
     "q23_right_join_order_rollup": (q23_right_join_order_rollup, Q23_SQL),
-    "q24_group_id_assignment": (q24_group_id_assignment, Q24_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
@@ -3183,6 +3211,8 @@ REGISTRY: dict = {
     "geo_compact": (geo_compact, GEO_COMPACT_SQL),
     "geo_polyfill": (geo_polyfill, GEO_POLYFILL_SQL),
     "geo_salt_plan": (geo_salt_plan, GEO_SALT_PLAN_SQL),
+    # snapshot table format (rotated in for q24, 3x consecutive green)
+    "tbl_incremental_scan": (tbl_incremental_scan, TBL_INC_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
@@ -3192,6 +3222,7 @@ REGISTRY: dict = {
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
+    "q24_group_id_assignment": (q24_group_id_assignment, Q24_SQL),
     "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
     "q06_active_customers_by_segment": (q06_active_customers_by_segment, Q06_SQL),
     "q10_price_histogram": (q10_price_histogram, Q10_SQL),
