@@ -144,13 +144,18 @@ def _write_data_files(
 
 
 def append_snapshot(
-    df: DataFrame, path: str, stat_cols: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str] | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Commit ``df`` as an APPEND snapshot → new snapshot id.
 
     The new manifest carries the parent's file list plus the files
     just written. ``stat_cols`` adds per-file min/max for those
-    columns (enables :func:`plan_files` pruning)."""
+    columns (enables :func:`plan_files` pruning). ``batch_id`` tags
+    the snapshot with a streaming micro-batch id (see
+    :func:`streaming_table_sink`)."""
     parent = current_snapshot_id(path)
     base: list[dict] = []
     schema = df.schema.simpleString()
@@ -160,17 +165,53 @@ def append_snapshot(
         stat_cols = stat_cols if stat_cols is not None else m.get("stat_cols")
     stat_cols = stat_cols or []
     new = _write_data_files(df, path, stat_cols)
-    return _commit(
-        path,
-        {
-            "operation": "append",
-            "schema": schema,
-            "stat_cols": stat_cols,
-            "files": base + new,
-            "added": [e["path"] for e in new],
-        },
-        parent,
-    )
+    manifest = {
+        "operation": "append",
+        "schema": schema,
+        "stat_cols": stat_cols,
+        "files": base + new,
+        "added": [e["path"] for e in new],
+    }
+    if batch_id is not None:
+        manifest["batch_id"] = int(batch_id)
+    return _commit(path, manifest, parent)
+
+
+def last_committed_batch(path: str) -> int | None:
+    """Most recent streaming batch id committed to the table, or None.
+    Walks the snapshot chain newest-first; micro-batch ids are
+    monotonically increasing, so the first tagged snapshot found is
+    the latest batch."""
+    sid = current_snapshot_id(path)
+    while sid is not None:
+        m = read_manifest(path, sid)
+        if "batch_id" in m:
+            return int(m["batch_id"])
+        sid = m.get("parent_id")
+    return None
+
+
+def streaming_table_sink(path: str, stat_cols: list[str] | None = None):
+    """foreachBatch sink committing each micro-batch as an append
+    snapshot EXACTLY ONCE.
+
+    foreachBatch itself is at-least-once: after a failure the engine
+    replays the last batch from the checkpoint. Recording the batch id
+    inside the snapshot manifest and skipping any batch whose id is
+    <= the last committed one turns the at-least-once replay into an
+    exactly-once table commit — the same batch-id dedupe Iceberg's
+    Structured Streaming sink performs via snapshot summaries. The
+    table is the source of truth for what committed (not the
+    checkpoint), so the skip is correct even if the failure happened
+    between the commit and the checkpoint write."""
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        last = last_committed_batch(path)
+        if last is not None and batch_id <= last:
+            return
+        append_snapshot(batch_df, path, stat_cols=stat_cols, batch_id=batch_id)
+
+    return sink
 
 
 def overwrite_snapshot(

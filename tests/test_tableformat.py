@@ -142,3 +142,57 @@ def test_pages_table_north_rule_shape(spark, tmp_path):
     assert tbl.count() == 500
     inc = incremental_read(spark, t, from_snapshot=1, to_snapshot=s2)
     assert inc.count() == 300
+
+
+def test_streaming_sink_exactly_once_on_replay(spark, tmp_path):
+    from kblock_spark.io.tableformat import (
+        last_committed_batch,
+        streaming_table_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = streaming_table_sink(t)
+    sink(_df(spark, 0, 40), 0)
+    sink(_df(spark, 40, 70), 1)
+    # at-least-once replay of batch 1 after a simulated failure: the
+    # manifest's batch-id dedupe must make it a no-op
+    sink(_df(spark, 40, 70), 1)
+    assert read_snapshot(spark, t).count() == 70
+    assert current_snapshot_id(t) == 2
+    assert last_committed_batch(t) == 1
+    # a genuinely new batch still commits
+    sink(_df(spark, 70, 75), 2)
+    assert read_snapshot(spark, t).count() == 75
+
+
+def test_streaming_sink_end_to_end(spark, tmp_path):
+    from kblock_spark.io.tableformat import streaming_table_sink
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _df(spark, 0, 60).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, v long").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(streaming_table_sink(t))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert read_snapshot(spark, t).count() == 60
+    # second trigger with new source data appends exactly the delta
+    _df(spark, 60, 90).write.mode("append").parquet(src)
+    before = current_snapshot_id(t)
+    q2 = (
+        spark.readStream.schema("doc_id long, v long")
+        .parquet(src)
+        .writeStream.foreachBatch(streaming_table_sink(t))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert read_snapshot(spark, t).count() == 90
+    inc = incremental_read(spark, t, from_snapshot=before)
+    assert sorted(r["doc_id"] for r in inc.collect()) == list(range(60, 90))
