@@ -82,13 +82,20 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
     )
     cap = max(16, 4 * m + 16)
     tris = np.empty((cap, 3), dtype=np.int64)
-    cc = np.empty((cap, 2))
+    # separate 1-D center arrays: 1-D fancy gathers are measurably
+    # cheaper than 2-D column gathers in the per-insertion hot loop
+    ccx = np.empty(cap)
+    ccy = np.empty(cap)
     r2 = np.empty(cap)
+    r2e = np.empty(cap)  # r2 * (1 + eps), precomputed at creation
     reach = np.empty(cap)  # cc_x + r (scan-retirement key)
     alive = np.zeros(cap, dtype=bool)
     tris[0] = (m, m + 1, m + 2)
-    cc[0:1], r2[0:1] = _circumcircles(allp, tris[0:1])
-    reach[0] = cc[0, 0] + (np.sqrt(r2[0]) if np.isfinite(r2[0]) else np.inf)
+    cc0, r20 = _circumcircles(allp, tris[0:1])
+    ccx[0], ccy[0] = cc0[0, 0], cc0[0, 1]
+    r2[0] = r20[0]
+    r2e[0] = r20[0] * (1.0 + _EPS)
+    reach[0] = cc0[0, 0] + (np.sqrt(r20[0]) if np.isfinite(r20[0]) else np.inf)
     alive[0] = True
     ntri = 1
     active = np.array([0], dtype=np.int64)
@@ -100,16 +107,18 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
     margin = max(abs(cmin).max(), abs(cmax).max(), span) * 1e-9 + _EPS
     for ip in order:
         p = allp[ip]
-        live = active[alive[active]]
+        # `active` holds only alive triangles: cavity members are
+        # pruned from it immediately on removal (below), so no
+        # alive[active] re-filter gather is needed per insertion
+        live = active
         since_compact += 1
         if since_compact >= _COMPACT_EVERY:
             live = live[reach[live] >= p[0] - margin]
             since_compact = 0
-        active = live
-        dx = cc[live, 0] - p[0]
-        dy = cc[live, 1] - p[1]
+        dx = ccx[live] - p[0]
+        dy = ccy[live] - p[1]
         d2 = dx * dx + dy * dy
-        inside = d2 <= r2[live] * (1.0 + _EPS)
+        inside = d2 <= r2e[live]
         if not inside.any():
             inside = np.zeros(len(live), dtype=bool)
             inside[int(np.argmin(d2 - r2[live]))] = True
@@ -143,35 +152,42 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
             once = order_k[first & last]
             boundary = np.stack([lo[once], hi[once]], axis=1)
         alive[bad] = False
+        survivors = live[~inside]
         nb = len(boundary)
         if ntri + nb > cap:
             keep = np.flatnonzero(alive[:ntri])
             newcap = max(cap * 2, ntri + nb + 16)
             tris2 = np.empty((newcap, 3), dtype=np.int64)
-            cc2 = np.empty((newcap, 2))
+            ccx2 = np.empty(newcap)
+            ccy2 = np.empty(newcap)
             r22 = np.empty(newcap)
+            r2e2 = np.empty(newcap)
             reach2 = np.empty(newcap)
             alive2 = np.zeros(newcap, dtype=bool)
             k = len(keep)
             tris2[:k] = tris[keep]
-            cc2[:k] = cc[keep]
+            ccx2[:k] = ccx[keep]
+            ccy2[:k] = ccy[keep]
             r22[:k] = r2[keep]
+            r2e2[:k] = r2e[keep]
             reach2[:k] = reach[keep]
             alive2[:k] = True
-            tris, cc, r2, reach, alive, cap, ntri = (
-                tris2, cc2, r22, reach2, alive2, newcap, k,
+            tris, ccx, ccy, r2, r2e, reach, alive, cap, ntri = (
+                tris2, ccx2, ccy2, r22, r2e2, reach2, alive2, newcap, k,
             )
             # indices remapped → rebuild scan set from scratch
             allidx = np.arange(k, dtype=np.int64)
-            active = allidx[reach[allidx] >= p[0] - margin]
+            survivors = allidx[reach[allidx] >= p[0] - margin]
         newt = np.empty((nb, 3), dtype=np.int64)
         newt[:, 0] = boundary[:, 0]
         newt[:, 1] = boundary[:, 1]
         newt[:, 2] = ip
         tris[ntri : ntri + nb] = newt
         new_cc, new_r2 = _circumcircles(allp, newt)
-        cc[ntri : ntri + nb] = new_cc
+        ccx[ntri : ntri + nb] = new_cc[:, 0]
+        ccy[ntri : ntri + nb] = new_cc[:, 1]
         r2[ntri : ntri + nb] = new_r2
+        r2e[ntri : ntri + nb] = new_r2 * (1.0 + _EPS)
         fin = np.isfinite(new_r2)
         reach[ntri : ntri + nb] = new_cc[:, 0] + np.sqrt(
             np.where(fin, new_r2, 0.0)
@@ -180,7 +196,7 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
             reach[ntri : ntri + nb][~fin] = np.inf
         alive[ntri : ntri + nb] = True
         active = np.concatenate(
-            [active, np.arange(ntri, ntri + nb, dtype=np.int64)]
+            [survivors, np.arange(ntri, ntri + nb, dtype=np.int64)]
         )
         ntri += nb
 
