@@ -16,6 +16,8 @@ inside a single applyInPandas group, no Python-loop-over-triangles.
 
 from __future__ import annotations
 
+from math import sqrt as _sqrt
+
 import numpy as np
 
 _EPS = 1e-12
@@ -62,6 +64,63 @@ def _circumcircles(pts: np.ndarray, tris: np.ndarray):
     return cc, r2
 
 
+def _circum_small_into(
+    px, py, pairs, ip, ntri, ccx, ccy, r2, r2e, reach
+) -> None:
+    """Scalar circumcircle fill for small cavities (triangles
+    (u, v, ip) for boundary pairs), writing straight into the
+    preallocated arrays. Typical cavities are 3-6 triangles, where
+    ~25 numpy dispatches per _circumcircles call cost more than the
+    flops; native-float IEEE arithmetic in the same operand order is
+    bit-identical to the vectorized path on finite inputs (the
+    engine's Mercator-meter coordinates can never reach the 1e150+
+    magnitudes where the two paths' degenerate-row bookkeeping could
+    diverge; verified bit-identical on the geo goldens and an
+    old-vs-new fixture A/B)."""
+    inf = float("inf")
+    eps1 = 1.0 + _EPS
+    cx3 = px[ip]
+    cy3 = py[ip]
+    for i, (ia, ib) in enumerate(pairs):
+        t = ntri + i
+        ax = px[ia]
+        ay = py[ia]
+        abx = px[ib] - ax
+        aby = py[ib] - ay
+        acx = cx3 - ax
+        acy = cy3 - ay
+        d = 2.0 * (abx * acy - aby * acx)
+        if abs(d) < 1e-300:
+            ccx[t] = 0.0
+            ccy[t] = 0.0
+            r2[t] = inf
+            r2e[t] = inf
+            reach[t] = inf
+            continue
+        ab2 = abx * abx + aby * aby
+        ac2 = acx * acx + acy * acy
+        ux = (acy * ab2 - aby * ac2) / d
+        uy = (abx * ac2 - acx * ab2) / d
+        rv = ux * ux + uy * uy
+        if rv != rv or rv == inf:  # NaN or overflow → degenerate
+            ccx[t] = 0.0
+            ccy[t] = 0.0
+            r2[t] = inf
+            r2e[t] = inf
+            reach[t] = inf
+            continue
+        cx = ax + ux
+        ccx[t] = cx
+        ccy[t] = ay + uy
+        r2[t] = rv
+        r2e[t] = rv * eps1
+        # math.sqrt is correctly-rounded IEEE sqrt, identical to
+        # np.sqrt on doubles (x**0.5 would route through pow, which
+        # is not guaranteed correctly rounded)
+        reach[t] = cx + _sqrt(rv)
+    return None
+
+
 def _triangulate(uniq: np.ndarray) -> np.ndarray:
     """Bowyer–Watson over unique points; returns (T,3) index array of
     final triangles (super-triangle faces removed).
@@ -80,6 +139,11 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
     allp = np.vstack(
         [uniq, [[c[0] - d, c[1] - d], [c[0] + d, c[1] - d], [c[0], c[1] + d]]]
     )
+    # native-float coordinate lists for the scalar small-cavity path
+    # (list indexing hands back unboxed floats, ~3x cheaper than
+    # np.float64 element access in the per-triangle loop)
+    px = allp[:, 0].tolist()
+    py = allp[:, 1].tolist()
     cap = max(16, 4 * m + 16)
     tris = np.empty((cap, 3), dtype=np.int64)
     # separate 1-D center arrays: 1-D fancy gathers are measurably
@@ -183,17 +247,23 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
         newt[:, 1] = boundary[:, 1]
         newt[:, 2] = ip
         tris[ntri : ntri + nb] = newt
-        new_cc, new_r2 = _circumcircles(allp, newt)
-        ccx[ntri : ntri + nb] = new_cc[:, 0]
-        ccy[ntri : ntri + nb] = new_cc[:, 1]
-        r2[ntri : ntri + nb] = new_r2
-        r2e[ntri : ntri + nb] = new_r2 * (1.0 + _EPS)
-        fin = np.isfinite(new_r2)
-        reach[ntri : ntri + nb] = new_cc[:, 0] + np.sqrt(
-            np.where(fin, new_r2, 0.0)
-        )
-        if not fin.all():
-            reach[ntri : ntri + nb][~fin] = np.inf
+        if nb <= 12:
+            _circum_small_into(
+                px, py, boundary.tolist(), int(ip), ntri,
+                ccx, ccy, r2, r2e, reach,
+            )
+        else:
+            new_cc, new_r2 = _circumcircles(allp, newt)
+            ccx[ntri : ntri + nb] = new_cc[:, 0]
+            ccy[ntri : ntri + nb] = new_cc[:, 1]
+            r2[ntri : ntri + nb] = new_r2
+            r2e[ntri : ntri + nb] = new_r2 * (1.0 + _EPS)
+            fin = np.isfinite(new_r2)
+            reach[ntri : ntri + nb] = new_cc[:, 0] + np.sqrt(
+                np.where(fin, new_r2, 0.0)
+            )
+            if not fin.all():
+                reach[ntri : ntri + nb][~fin] = np.inf
         alive[ntri : ntri + nb] = True
         active = np.concatenate(
             [survivors, np.arange(ntri, ntri + nb, dtype=np.int64)]
