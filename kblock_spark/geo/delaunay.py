@@ -247,7 +247,7 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
         newt[:, 1] = boundary[:, 1]
         newt[:, 2] = ip
         tris[ntri : ntri + nb] = newt
-        if nb <= 12:
+        if nb <= 24:
             _circum_small_into(
                 px, py, boundary.tolist(), int(ip), ntri,
                 ccx, ccy, r2, r2e, reach,
