@@ -28,6 +28,13 @@ def main(argv=None):
     ap.add_argument("--master", default=None)
     ap.add_argument("--out", default=None, help="parquet output dir")
     ap.add_argument("--manifest", default=None, help="checkpoint manifest dir")
+    ap.add_argument(
+        "--table",
+        default=None,
+        help="snapshot-table dir: commit the k output as an Iceberg-style "
+        "append snapshot (io/tableformat.py) instead of a plain write — "
+        "downstream consumers read it incrementally by snapshot id",
+    )
     args = ap.parse_args(argv)
 
     from kblock_spark.session import get_spark
@@ -52,6 +59,22 @@ def main(argv=None):
             spark, kk, "part_key", lambda df: df, args.out, man
         )
         print(json.dumps({"partitions_processed": n, "sec": time.time() - t0}))
+    elif args.table:
+        from kblock_spark.io.tableformat import append_snapshot
+
+        sid = append_snapshot(k, args.table, stat_cols=["block_id"])
+        n_blocks = k.count()
+        dt = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "blocks": n_blocks,
+                    "snapshot_id": sid,
+                    "sec": round(dt, 2),
+                    "blocks_per_sec": round(n_blocks / dt, 2),
+                }
+            )
+        )
     else:
         n_blocks = k.count()
         dt = time.time() - t0

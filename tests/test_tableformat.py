@@ -196,3 +196,27 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
     assert read_snapshot(spark, t).count() == 90
     inc = incremental_read(spark, t, from_snapshot=before)
     assert sorted(r["doc_id"] for r in inc.collect()) == list(range(60, 90))
+
+
+def test_spark_submit_commits_snapshot(spark, tmp_path):
+    # the north rule's deployment path end-to-end: the spark-submit
+    # entry point committing its output as a snapshot-table append
+    import json as _json
+    import subprocess
+    import sys
+
+    t = str(tmp_path / "ktbl")
+    out = subprocess.run(
+        [
+            sys.executable, "spark_submit_job.py",
+            "--pages", "2000", "--nx", "2", "--ny", "2", "--grid", "3",
+            "--master", "local[4]", "--table", t,
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = _json.loads(line)
+    assert res["snapshot_id"] == 1 and res["blocks"] > 0, out.stderr[-500:]
+    tbl = read_snapshot(spark, t)
+    assert tbl.count() == res["blocks"]
+    assert "k_complexity" in tbl.columns
