@@ -191,3 +191,28 @@ def test_e08_decontamination_is_shuffle_free(spark):
     plan = _plan(df)
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_tile_rollup_single_point_shuffle(spark):
+    """multires_rollup must aggregate the point set ONCE: exactly two
+    Exchanges (finest-level agg, then the re-agg of the exploded cell
+    rows). A union of per-level re-selects would re-scan and
+    re-shuffle the points once per level (Catalyst does not reuse
+    repeated subplans) — the 100 TB regression this guards."""
+    from kblock_spark.queries import geo_tile_rollup
+
+    plan = _plan(geo_tile_rollup(spark, SF))
+    assert plan.count("Exchange") == 2, plan
+    assert "Generate" in plan  # the explode fan-out
+
+
+def test_compact_uses_broadcast_anti_joins(spark):
+    """Every level step of compact_cells is a broadcast anti-join on
+    the (tiny) promoted-parent set — a SortMergeJoin here would mean
+    the cell set shuffles at every level."""
+    from kblock_spark.queries import geo_compact
+
+    plan = _plan(geo_compact(spark, SF))
+    assert plan.count("LeftAnti") == 4, plan
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan, plan
