@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "geo_polyfill",
     "geo_salt_plan",
     "tbl_incremental_scan",
+    "geo_zonal_oracle",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -68,12 +68,27 @@ def allocate_population(
     blocks: DataFrame,
     cell_deg: float = DEFAULT_CELL_DEG,
     pop_col: str = "population",
+    quantize_e6: bool = False,
 ) -> DataFrame:
     """→ (block_id, gadm_code, allocated_population).
 
     buildings: (block_id, gadm_code, lon, lat, building_area).
     blocks: (block_id, gadm_code, ring_sizes, coords).
+
+    ``quantize_e6=True`` rounds every per-row contribution to BIGINT
+    micro-person units before the sums (allocated_population becomes
+    e6-scaled BIGINT): double sums are association-order sensitive, so
+    the default float output can wobble in the last ulps as the
+    partitioning changes, while the quantized mode is bit-stable under
+    ANY plan — the property the hard DuckDB oracle (geo_zonal_oracle)
+    and any cross-run diffing need, at a bounded 1e-6/contribution
+    rounding cost (same recipe as the d13/s04 oracle queries).
     """
+
+    def _q(col):
+        return (
+            F.round(col * F.lit(1e6)).cast("bigint") if quantize_e6 else col
+        )
     box_cells = make_box_cells_udf(cell_deg)
     # a raster carrying a per-pixel admin assignment drives the
     # per-admin stage-3 residual; rename it so it never collides with
@@ -96,9 +111,11 @@ def allocate_population(
     w_pix = Window.partitionBy("pixel_id")
     s1 = pb.withColumn(
         "bldg_pop",
-        F.col(pop_col)
-        * F.col("building_area")
-        / F.sum("building_area").over(w_pix),
+        _q(
+            F.col(pop_col)
+            * F.col("building_area")
+            / F.sum("building_area").over(w_pix)
+        ),
     )
     alloc1 = s1.groupBy("block_id", "gadm_code").agg(
         F.sum("bldg_pop").alias("pop_s1")
@@ -127,7 +144,8 @@ def allocate_population(
     ).where(F.col("ov_area") > 0)
     w_pix2 = Window.partitionBy("pixel_id")
     s2 = cand.withColumn(
-        "blk_pop", F.col(pop_col) * F.col("ov_area") / F.sum("ov_area").over(w_pix2)
+        "blk_pop",
+        _q(F.col(pop_col) * F.col("ov_area") / F.sum("ov_area").over(w_pix2)),
     )
     alloc2 = s2.groupBy("block_id", F.col("b_gadm").alias("gadm_code")).agg(
         F.sum("blk_pop").alias("pop_s2")
@@ -168,7 +186,11 @@ def allocate_population(
             ba.join(absorb, "gadm_code")
             .withColumn(
                 "pop_s3",
-                F.col("__resid_pop_admin") * F.col("ba") / F.col("__ba_admin"),
+                _q(
+                    F.col("__resid_pop_admin")
+                    * F.col("ba")
+                    / F.col("__ba_admin")
+                ),
             )
             .select("block_id", "gadm_code", "pop_s3")
         )
@@ -196,7 +218,8 @@ def allocate_population(
         ba.crossJoin(F.broadcast(ba_tot))
         .crossJoin(F.broadcast(total3))
         .withColumn(
-            "pop_s3", F.col("__resid_pop") * F.col("ba") / F.col("__ba_total")
+            "pop_s3",
+            _q(F.col("__resid_pop") * F.col("ba") / F.col("__ba_total")),
         )
         .select("block_id", "gadm_code", "pop_s3")
     )
@@ -216,13 +239,17 @@ def allocate_population(
             "block_id",
             "gadm_code",
             (
-                F.coalesce("pop_s1", F.lit(0.0))
-                + F.coalesce("pop_s2", F.lit(0.0))
-                + F.coalesce("pop_s3", F.lit(0.0))
+                F.coalesce(F.col("pop_s1"), _zero(quantize_e6))
+                + F.coalesce(F.col("pop_s2"), _zero(quantize_e6))
+                + F.coalesce(F.col("pop_s3"), _zero(quantize_e6))
             ).alias("allocated_population"),
         )
     )
     return out
+
+
+def _zero(quantized: bool) -> F.Column:
+    return F.lit(0).cast("bigint") if quantized else F.lit(0.0)
 
 
 def rescale_to_target(

@@ -3135,6 +3135,128 @@ FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
 """
 
 
+# geo_zonal_oracle — the dasymetric pixel→building waterfall (J4) under
+# a hard oracle: 16x16 integer-aligned pixels, 3,000 odd-coordinate
+# buildings, stage-1 shares + the global stage-3 residual pool, all in
+# quantized micro-person units (ops/population.allocate_population
+# quantize_e6 — double sums are order-sensitive, integer sums aren't).
+
+_ZN_PIX = 2048  # pixel edge in 2^-20 units; 16x16 raster over [0, 32768)^2
+_ZN_NPX = 16
+_ZN_NB = 3000
+
+
+def geo_zonal_oracle(spark, sf_dir):
+    """Raster→vector zonal population allocation
+    (ops/population.allocate_population — the reference's dasymetric
+    waterfall, batch_3_model_population.py) under a hard DuckDB
+    oracle. Pixels are integer-aligned boxes (multiples of 2048
+    units), building coordinates odd integers (no point ever ties a
+    pixel edge), so stage 1's point-in-box join is exact integer
+    comparison in both engines; per-pixel shares divide identical
+    exact operands (bit-identical IEEE doubles) and are quantized to
+    micro-person BIGINT per row before summing (quantize_e6), making
+    the totals partition-invariant. Pixels containing no building
+    fall through to the stage-3 global residual pool — closed-form in
+    SQL. Conservation: SUM(pop_e6) equals the raster total to within
+    one rounding unit per contribution."""
+    from .ops.population import allocate_population
+
+    S = 1048576.0
+    px = (
+        spark.range(_ZN_NPX * _ZN_NPX)
+        .select(
+            F.col("id").alias("pixel_id"),
+            ((F.col("id") % _ZN_NPX) * _ZN_PIX).alias("xu"),
+            (F.expr(f"id DIV {_ZN_NPX}") * _ZN_PIX).alias("yu"),
+            ((F.col("id") * 37 + 11) % 500 + 50).alias("population"),
+        )
+        .select(
+            "pixel_id",
+            "population",
+            (F.col("xu").cast("double") / S).alias("xmin"),
+            (F.col("yu").cast("double") / S).alias("ymin"),
+            ((F.col("xu") + _ZN_PIX).cast("double") / S).alias("xmax"),
+            ((F.col("yu") + _ZN_PIX).cast("double") / S).alias("ymax"),
+        )
+    )
+    b = (
+        spark.range(_ZN_NB)
+        .select(
+            (2 * ((F.col("id") * 2654435761 + 13) % 16384) + 1).alias("kx"),
+            (2 * ((F.col("id") * 1610612741 + 71) % 16384) + 1).alias("ky"),
+            ((F.col("id") * 13 + 7) % 90 + 10).alias("building_area"),
+        )
+        .select(
+            F.concat(F.lit("B"), F.expr("kx DIV 4096")).alias("block_id"),
+            F.concat(F.lit("G"), F.expr("ky DIV 8192")).alias("gadm_code"),
+            (F.col("kx").cast("double") / S).alias("lon"),
+            (F.col("ky").cast("double") / S).alias("lat"),
+            "building_area",
+        )
+    )
+    dummy = [0.9, 0.9, 0.9001, 0.9, 0.9001, 0.9001, 0.9, 0.9001]
+    blocks = (
+        b.select("block_id", "gadm_code")
+        .distinct()
+        .withColumn("ring_sizes", F.array(F.lit(4)))
+        .withColumn("coords", F.array(*[F.lit(v) for v in dummy]))
+    )
+    out = allocate_population(
+        px, b, blocks, cell_deg=_ZN_PIX / S, quantize_e6=True
+    )
+    return out.select(
+        "block_id",
+        "gadm_code",
+        F.col("allocated_population").cast("bigint").alias("pop_e6"),
+    )
+
+
+GEO_ZONAL_SQL = f"""
+WITH px AS (
+  SELECT id AS pixel_id,
+         (id % {_ZN_NPX}) * {_ZN_PIX} AS xmin,
+         (id // {_ZN_NPX}) * {_ZN_PIX} AS ymin,
+         (id % {_ZN_NPX}) * {_ZN_PIX} + {_ZN_PIX} AS xmax,
+         (id // {_ZN_NPX}) * {_ZN_PIX} + {_ZN_PIX} AS ymax,
+         (id*37 + 11) % 500 + 50 AS pop
+  FROM range({_ZN_NPX * _ZN_NPX}) t(id)),
+bb AS (
+  SELECT 'B' || (kx // 4096) AS block_id,
+         'G' || (ky // 8192) AS gadm_code, kx, ky, area
+  FROM (
+    SELECT 2*((id*2654435761 + 13) % 16384) + 1 AS kx,
+           2*((id*1610612741 + 71) % 16384) + 1 AS ky,
+           (id*13 + 7) % 90 + 10 AS area
+    FROM range({_ZN_NB}) t(id))),
+pairs AS (
+  SELECT p.pixel_id, p.pop, bb.block_id, bb.gadm_code, bb.area,
+         SUM(bb.area) OVER (PARTITION BY p.pixel_id) AS s
+  FROM px p JOIN bb ON bb.kx >= p.xmin AND bb.kx < p.xmax
+                   AND bb.ky >= p.ymin AND bb.ky < p.ymax),
+s1 AS (
+  SELECT block_id, gadm_code,
+         SUM(round((pop * area)::DOUBLE / s::DOUBLE * 1000000.0)::BIGINT)::BIGINT
+           AS pop1
+  FROM pairs GROUP BY 1, 2),
+resid AS (
+  SELECT COALESCE(SUM(pop), 0)::DOUBLE AS rp
+  FROM px p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bb WHERE bb.kx >= p.xmin AND bb.kx < p.xmax
+                       AND bb.ky >= p.ymin AND bb.ky < p.ymax)),
+ba AS (SELECT block_id, gadm_code, SUM(area)::BIGINT AS ba
+       FROM bb GROUP BY 1, 2),
+bt AS (SELECT SUM(ba)::BIGINT AS total FROM ba)
+SELECT ba.block_id, ba.gadm_code,
+       (COALESCE(s1.pop1, 0)
+        + round(resid.rp * ba.ba::DOUBLE / bt.total::DOUBLE * 1000000.0)::BIGINT
+       )::BIGINT AS pop_e6
+FROM ba CROSS JOIN resid CROSS JOIN bt
+LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
+"""
+
+
 # that has never (or rarely) had a driver row is inside — round 5
 # rotates in d16_decontamination and s05_stream_static_enrich (added
 # late in r4, previously at positions 51-52) in place of q02/q20,
@@ -3145,11 +3267,12 @@ FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
 # 4x green); late round 5 adds the hierarchical-tiling quartet
 # (geo_tile_rollup / geo_compact / geo_polyfill / geo_salt_plan)
 # plus the snapshot-table change-feed scan (tbl_incremental_scan)
-# in place of q07/q08 (4x green) and q11/q19/q24 (3x consecutive
-# green r2-r4).
+# and the dasymetric-waterfall zonal oracle (geo_zonal_oracle)
+# in place of q07/q08 (4x green) and q11/q19/q23/q24 (3x
+# consecutive green r2-r4).
 # Positions 51+ are the remaining oracle-backed queries
-# (q05, q07, q08, q10, q11, q13, q18, q19, q24, q02, q17, q20,
-# q03, q09, q12, q14, q15, q25 —
+# (q05, q07, q08, q10, q11, q13, q18, q19, q23, q24, q02, q17,
+# q20, q03, q09, q12, q14, q15, q25 —
 # all with 3-4 consecutive driver greens); all of them still run in
 # the sf0.001 parity suite and the self-check every round. Rows-only
 # queries close the list.
@@ -3160,7 +3283,6 @@ REGISTRY: dict = {
     "q16_union_keys": (q16_union_keys, Q16_SQL),
     "q21_sessionization": (q21_sessionization, Q21_SQL),
     "q22_weighted_buckets": (q22_weighted_buckets, Q22_SQL),
-    "q23_right_join_order_rollup": (q23_right_join_order_rollup, Q23_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
@@ -3213,6 +3335,8 @@ REGISTRY: dict = {
     "geo_salt_plan": (geo_salt_plan, GEO_SALT_PLAN_SQL),
     # snapshot table format (rotated in for q24, 3x consecutive green)
     "tbl_incremental_scan": (tbl_incremental_scan, TBL_INC_SQL),
+    # dasymetric waterfall under a hard oracle (rotated in for q23)
+    "geo_zonal_oracle": (geo_zonal_oracle, GEO_ZONAL_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
@@ -3222,6 +3346,7 @@ REGISTRY: dict = {
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
+    "q23_right_join_order_rollup": (q23_right_join_order_rollup, Q23_SQL),
     "q24_group_id_assignment": (q24_group_id_assignment, Q24_SQL),
     "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
     "q06_active_customers_by_segment": (q06_active_customers_by_segment, Q06_SQL),

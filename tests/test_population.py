@@ -121,3 +121,14 @@ def test_stage3_orphan_admin_pool_falls_back_globally(spark, popdata):
     total_pix = px.agg(F.sum("population")).collect()[0][0]
     total_alloc = alloc.agg(F.sum("allocated_population")).collect()[0][0]
     assert total_alloc == pytest.approx(total_pix, rel=1e-9)
+
+
+def test_zonal_oracle_conserves_population(spark):
+    # the hard-oracled waterfall fixture: quantized totals equal the
+    # raster total to within one rounding unit per contribution
+    from kblock_spark.queries import _ZN_NPX, geo_zonal_oracle
+
+    out = geo_zonal_oracle(spark, "/root/testdata/sf0.001").toPandas()
+    total = sum((i * 37 + 11) % 500 + 50 for i in range(_ZN_NPX * _ZN_NPX))
+    assert abs(out.pop_e6.sum() / 1e6 - total) < 1.0
+    assert len(out) == 32  # every (block, gadm) combo materialized
