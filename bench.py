@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "geo_salt_plan",
     "tbl_incremental_scan",
     "geo_zonal_oracle",
+    "geo_blocks_oracle",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -3135,6 +3135,81 @@ FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
 """
 
 
+# geo_blocks_oracle — the block POLYGONIZER (K3, the flagship block
+# maker) under a hard oracle on a structured fixture with closed-form
+# faces.
+
+
+def geo_blocks_oracle(spark, sf_dir):
+    """Street-network polygonization (kernels/blocks.delineate_blocks
+    — the reference's batch_1b block generation) under a hard DuckDB
+    oracle. Fixture: an 11x11 street grid (lines every 0.004 deg over
+    [0, 0.04]^2) inside a slightly larger admin rectangle — the
+    arrangement's faces are exactly the 100 grid cells plus one
+    annulus face between the admin boundary and the outer street ring
+    (shell + hole). The query emits per-face degree-space bboxes and
+    ring counts quantized to 1e-6 deg; the oracle generates the same
+    101 rows in closed form. Robustness: the kernel's 1e-9 endpoint
+    snap and any last-ulp float drift are ~1e-10 deg, nine orders
+    below the quantization step, so the rounded integers are stable
+    on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    from .geo.geom import pack_rings
+    from .kernels.blocks import delineate_blocks
+
+    G = 0.004
+    N = 10  # N x N cells; N+1 grid lines per axis
+    lo, hi = -0.002, N * G + 0.002
+    shell = np.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi]])
+    sizes, coords = pack_rings(shell)
+    admin = spark.createDataFrame(
+        pd.DataFrame(
+            [{
+                "gadm_code": "ZZZ.1.1_1", "country_code": "ZZZ",
+                "ring_sizes": sizes, "coords": coords,
+            }]
+        )
+    )
+    rows = []
+    for i in range(N + 1):
+        x = i * G
+        rows.append({"street_id": i, "highway": "residential",
+                     "coords": [x, 0.0, x, N * G]})
+        rows.append({"street_id": 100 + i, "highway": "residential",
+                     "coords": [0.0, x, N * G, x]})
+    streets = spark.createDataFrame(pd.DataFrame(rows))
+    blocks = delineate_blocks(admin, streets)
+    xs = F.filter(
+        F.transform(F.col("coords"), lambda v, i2: F.when(i2 % 2 == 0, v)),
+        lambda v: v.isNotNull(),
+    )
+    ys = F.filter(
+        F.transform(F.col("coords"), lambda v, i2: F.when(i2 % 2 == 1, v)),
+        lambda v: v.isNotNull(),
+    )
+    return blocks.select(
+        F.round(F.array_min(xs) * 1e6).cast("bigint").alias("bxmin_e6"),
+        F.round(F.array_min(ys) * 1e6).cast("bigint").alias("bymin_e6"),
+        F.round(F.array_max(xs) * 1e6).cast("bigint").alias("bxmax_e6"),
+        F.round(F.array_max(ys) * 1e6).cast("bigint").alias("bymax_e6"),
+        F.size("ring_sizes").alias("n_rings"),
+    )
+
+
+GEO_BLOCKS_SQL = """
+WITH cells AS (
+  SELECT (i % 10) * 4000 AS bxmin_e6, (i // 10) * 4000 AS bymin_e6,
+         (i % 10) * 4000 + 4000 AS bxmax_e6, (i // 10) * 4000 + 4000 AS bymax_e6,
+         1 AS n_rings
+  FROM range(100) t(i))
+SELECT bxmin_e6, bymin_e6, bxmax_e6, bymax_e6, n_rings FROM cells
+UNION ALL
+SELECT -2000, -2000, 42000, 42000, 2
+"""
+
+
 # geo_zonal_oracle — the dasymetric pixel→building waterfall (J4) under
 # a hard oracle: 16x16 integer-aligned pixels, 3,000 odd-coordinate
 # buildings, stage-1 shares + the global stage-3 residual pool, all in
@@ -3267,12 +3342,13 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # 4x green); late round 5 adds the hierarchical-tiling quartet
 # (geo_tile_rollup / geo_compact / geo_polyfill / geo_salt_plan)
 # plus the snapshot-table change-feed scan (tbl_incremental_scan)
-# and the dasymetric-waterfall zonal oracle (geo_zonal_oracle)
-# in place of q07/q08 (4x green) and q11/q19/q23/q24 (3x
+# the dasymetric-waterfall zonal oracle (geo_zonal_oracle) and the
+# polygonizer oracle (geo_blocks_oracle)
+# in place of q07/q08 (4x green) and q11/q19/q21/q23/q24 (3x
 # consecutive green r2-r4).
 # Positions 51+ are the remaining oracle-backed queries
-# (q05, q07, q08, q10, q11, q13, q18, q19, q23, q24, q02, q17,
-# q20, q03, q09, q12, q14, q15, q25 —
+# (q05, q07, q08, q10, q11, q13, q18, q19, q21, q23, q24, q02,
+# q17, q20, q03, q09, q12, q14, q15, q25 —
 # all with 3-4 consecutive driver greens); all of them still run in
 # the sf0.001 parity suite and the self-check every round. Rows-only
 # queries close the list.
@@ -3281,7 +3357,6 @@ REGISTRY: dict = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
-    "q21_sessionization": (q21_sessionization, Q21_SQL),
     "q22_weighted_buckets": (q22_weighted_buckets, Q22_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
@@ -3337,6 +3412,8 @@ REGISTRY: dict = {
     "tbl_incremental_scan": (tbl_incremental_scan, TBL_INC_SQL),
     # dasymetric waterfall under a hard oracle (rotated in for q23)
     "geo_zonal_oracle": (geo_zonal_oracle, GEO_ZONAL_SQL),
+    # the block polygonizer under a hard oracle (rotated in for q21)
+    "geo_blocks_oracle": (geo_blocks_oracle, GEO_BLOCKS_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
@@ -3346,6 +3423,7 @@ REGISTRY: dict = {
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
+    "q21_sessionization": (q21_sessionization, Q21_SQL),
     "q23_right_join_order_rollup": (q23_right_join_order_rollup, Q23_SQL),
     "q24_group_id_assignment": (q24_group_id_assignment, Q24_SQL),
     "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
