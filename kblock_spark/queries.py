@@ -3210,6 +3210,98 @@ SELECT -2000, -2000, 42000, 42000, 2
 """
 
 
+def geo_overlay_oracle(spark, sf_dir):
+    """Arrangement-based overlay intersection (ops/overlay_ops
+    .intersection_join, J6 — the reference's gpd.overlay at
+    batch_1c/batch_3) under a hard DuckDB oracle. Two sets of
+    axis-parallel rectangles with integer coordinates (units of
+    2^-20): the engine runs the tile prefilter + generic arrangement
+    overlay and shoelace area; the oracle computes interval-overlap
+    areas in closed form. Areas are quantized at 1e-12 deg^2 —
+    arrangement vertices are exact-to-an-ulp for perpendicular
+    segment crossings, nine orders below the step, so the integers
+    match exactly; edge-touching pairs have zero interior overlap and
+    are excluded identically by both engines (strict > 0)."""
+    import numpy as np
+    import pandas as pd
+
+    from .geo.geom import pack_rings
+    from .ops.overlay_ops import intersection_join
+
+    S = 1048576.0
+
+    def mk(n, c1, c2, c3, c4, off):
+        rows = []
+        for i in range(n):
+            xmin = (i * c1 + off) % 40000
+            ymin = (i * c2 + 3 * off) % 40000
+            w = (i * c3) % 6000 + 3000
+            h = (i * c4) % 6000 + 3000
+            ring = np.array(
+                [[xmin, ymin], [xmin + w, ymin], [xmin + w, ymin + h],
+                 [xmin, ymin + h]], dtype=np.float64,
+            ) / S
+            sizes, coords = pack_rings(ring)
+            rows.append({"key": str(i), "ring_sizes": sizes, "coords": coords})
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    a = mk(24, 7919, 104729, 3571, 9973, 31)
+    b = mk(24, 6151, 12289, 4099, 7541, 97)
+    out = intersection_join(
+        a.withColumnRenamed("key", "key_a"),
+        b.withColumnRenamed("key", "key_b"),
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        F.round(F.col("overlap_area") * F.lit(1e12)).cast("bigint")
+        .alias("area_e12"),
+    )
+
+
+# The arrangement snaps every segment endpoint to the 1e-9 grid
+# (geo/polygonize._SNAP), so the oracle models the snap with the SAME
+# float ops (x / 1e-9, round, * 1e-9 — verified no coordinate lands
+# on an exact .5 tie, where Python's banker's rounding and SQL round
+# would diverge). The engine's shoelace over the snapped corners and
+# the closed-form dx*dy differ only at ~1e-18, six orders below the
+# 1e-12 quantization step.
+GEO_OVERLAY_SQL = """
+WITH a0 AS (
+  SELECT i::VARCHAR AS key_a,
+         (i*7919 + 31) % 40000 AS xmin, (i*104729 + 93) % 40000 AS ymin,
+         (i*3571) % 6000 + 3000 AS w, (i*9973) % 6000 + 3000 AS h
+  FROM range(24) t(i)),
+b0 AS (
+  SELECT i::VARCHAR AS key_b,
+         (i*6151 + 97) % 40000 AS xmin, (i*12289 + 291) % 40000 AS ymin,
+         (i*4099) % 6000 + 3000 AS w, (i*7541) % 6000 + 3000 AS h
+  FROM range(24) t(i)),
+a AS (
+  SELECT key_a,
+    round((xmin::DOUBLE / 1048576.0) / 0.000000001) * 0.000000001 AS x1,
+    round(((xmin + w)::DOUBLE / 1048576.0) / 0.000000001) * 0.000000001 AS x2,
+    round((ymin::DOUBLE / 1048576.0) / 0.000000001) * 0.000000001 AS y1,
+    round(((ymin + h)::DOUBLE / 1048576.0) / 0.000000001) * 0.000000001 AS y2
+  FROM a0),
+b AS (
+  SELECT key_b,
+    round((xmin::DOUBLE / 1048576.0) / 0.000000001) * 0.000000001 AS x1,
+    round(((xmin + w)::DOUBLE / 1048576.0) / 0.000000001) * 0.000000001 AS x2,
+    round((ymin::DOUBLE / 1048576.0) / 0.000000001) * 0.000000001 AS y1,
+    round(((ymin + h)::DOUBLE / 1048576.0) / 0.000000001) * 0.000000001 AS y2
+  FROM b0),
+ov AS (
+  SELECT a.key_a, b.key_b,
+         LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1) AS dx,
+         LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1) AS dy
+  FROM a CROSS JOIN b)
+SELECT key_a, key_b,
+       round(dx * dy * 1000000000000.0)::BIGINT AS area_e12
+FROM ov WHERE dx > 0 AND dy > 0
+"""
+
+
 # geo_zonal_oracle — the dasymetric pixel→building waterfall (J4) under
 # a hard oracle: 16x16 integer-aligned pixels, 3,000 odd-coordinate
 # buildings, stage-1 shares + the global stage-3 residual pool, all in
@@ -3357,7 +3449,6 @@ REGISTRY: dict = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
-    "q22_weighted_buckets": (q22_weighted_buckets, Q22_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
@@ -3414,6 +3505,8 @@ REGISTRY: dict = {
     "geo_zonal_oracle": (geo_zonal_oracle, GEO_ZONAL_SQL),
     # the block polygonizer under a hard oracle (rotated in for q21)
     "geo_blocks_oracle": (geo_blocks_oracle, GEO_BLOCKS_SQL),
+    # overlay intersection under a hard oracle (rotated in for q22)
+    "geo_overlay_oracle": (geo_overlay_oracle, GEO_OVERLAY_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
@@ -3424,6 +3517,7 @@ REGISTRY: dict = {
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
     "q19_hourly_event_rollup": (q19_hourly_event_rollup, Q19_SQL),
     "q21_sessionization": (q21_sessionization, Q21_SQL),
+    "q22_weighted_buckets": (q22_weighted_buckets, Q22_SQL),
     "q23_right_join_order_rollup": (q23_right_join_order_rollup, Q23_SQL),
     "q24_group_id_assignment": (q24_group_id_assignment, Q24_SQL),
     "q05_customers_without_orders": (q05_customers_without_orders, Q05_SQL),
