@@ -96,6 +96,7 @@ _CARTESIAN_OK = {
     # embeds allocate_population → same ONE-ROW broadcast scalar
     # attach as geo_population
     "geo_combine_full",
+    "geo_zonal_oracle",
     "d15_stratified_rebalance",
 }
     # queries that trigger driver-side work/iterations when the plan is
