@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "tbl_incremental_scan",
     "geo_zonal_oracle",
     "geo_blocks_oracle",
+    "geo_overlay_oracle",
 ]
 
 GEO_NX = GEO_NY = 8
