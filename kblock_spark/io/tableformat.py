@@ -159,16 +159,22 @@ def append_snapshot(
     parent = current_snapshot_id(path)
     base: list[dict] = []
     schema = df.schema.simpleString()
+    evolved = False
     if parent is not None:
         m = read_manifest(path, parent)
         base = m["files"]
         stat_cols = stat_cols if stat_cols is not None else m.get("stat_cols")
+        # a schema change (e.g. added column) marks the chain evolved:
+        # readers then merge footers so old files surface the new
+        # columns as NULL (Iceberg add-column semantics)
+        evolved = bool(m.get("schema_evolved")) or m.get("schema") != schema
     stat_cols = stat_cols or []
     new = _write_data_files(df, path, stat_cols)
     manifest = {
         "operation": "append",
         "schema": schema,
         "stat_cols": stat_cols,
+        "schema_evolved": evolved,
         "files": base + new,
         "added": [e["path"] for e in new],
     }
@@ -268,13 +274,23 @@ def read_snapshot(
 ) -> DataFrame:
     """Read a snapshot (time travel via ``snapshot_id``), optionally
     file-pruned. An empty post-prune plan still returns the right
-    schema (read of the full plan's schema, filtered to nothing)."""
+    schema (read of the full plan's schema, filtered to nothing).
+
+    Schema evolution: when the snapshot chain carries appends with
+    widened schemas (columns added over time), the read merges parquet
+    footers so old files surface the new columns as NULL — Iceberg's
+    add-column semantics. The merge option is only paid when the
+    manifest records a schema change (``schema_evolved``)."""
+    m = read_manifest(path, snapshot_id)
+    reader = spark.read
+    if m.get("schema_evolved"):
+        reader = reader.option("mergeSchema", "true")
     files = plan_files(path, snapshot_id, prune)
     if not files:
         all_files = plan_files(path, snapshot_id)
-        df = spark.read.parquet(*all_files)
+        df = reader.parquet(*all_files)
         return df.where("1 = 0")
-    return spark.read.parquet(*files)
+    return reader.parquet(*files)
 
 
 def incremental_read(

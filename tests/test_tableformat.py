@@ -220,3 +220,19 @@ def test_spark_submit_commits_snapshot(spark, tmp_path):
     tbl = read_snapshot(spark, t)
     assert tbl.count() == res["blocks"]
     assert "k_complexity" in tbl.columns
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 30), t)
+    evolved = _df(spark, 30, 50).withColumn(
+        "quality", (F.col("doc_id") % 5).cast("double")
+    )
+    append_snapshot(evolved, t)
+    tbl = read_snapshot(spark, t)
+    assert set(tbl.columns) == {"doc_id", "v", "quality"}
+    got = {r["doc_id"]: r["quality"] for r in tbl.collect()}
+    assert got[10] is None  # old files surface the new column as NULL
+    assert got[40] == 40 % 5
+    # time travel to the pre-evolution snapshot keeps the old schema
+    assert set(read_snapshot(spark, t, snapshot_id=1).columns) == {"doc_id", "v"}
