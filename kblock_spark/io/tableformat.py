@@ -323,6 +323,44 @@ def incremental_read(
     return spark.read.parquet(*added)
 
 
+def compact_data_files(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Iceberg's ``rewrite_data_files`` maintenance action: rewrite
+    the current snapshot's (possibly many small) data files into
+    ``target_files`` coalesced files and commit the rewrite as a
+    REPLACE snapshot → new snapshot id.
+
+    The logical table content is unchanged (same rows, same schema);
+    only the physical layout differs — readers of the new snapshot
+    scan fewer, larger files. Like an overwrite, a replace breaks the
+    append-only change feed across it (incremental_read refuses to
+    traverse it), and the superseded files stay readable for time
+    travel until :func:`expire_snapshots`. Streaming-commit batch ids
+    survive: :func:`last_committed_batch` keeps walking past replace
+    snapshots, so a compaction between micro-batches cannot make a
+    replayed batch commit twice."""
+    cur = current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    m = read_manifest(path, cur)
+    df = read_snapshot(spark, path, cur).coalesce(int(target_files))
+    stat_cols = m.get("stat_cols") or []
+    new = _write_data_files(df, path, stat_cols)
+    batch = last_committed_batch(path)
+    manifest = {
+        "operation": "replace",
+        "schema": m.get("schema"),
+        "stat_cols": stat_cols,
+        "schema_evolved": False,
+        "files": new,
+        "added": [e["path"] for e in new],
+    }
+    if batch is not None:
+        manifest["batch_id"] = batch
+    return _commit(path, manifest, cur)
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Drop all but the last ``keep_last`` snapshots and delete data
     files no kept snapshot references → list of deleted files.

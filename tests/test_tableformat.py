@@ -236,3 +236,36 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert got[40] == 40 % 5
     # time travel to the pre-evolution snapshot keeps the old schema
     assert set(read_snapshot(spark, t, snapshot_id=1).columns) == {"doc_id", "v"}
+
+
+def test_compact_data_files_rewrites_layout_only(spark, tmp_path):
+    from kblock_spark.io.tableformat import (
+        compact_data_files,
+        last_committed_batch,
+        plan_files,
+        streaming_table_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = streaming_table_sink(t)
+    sink(_df(spark, 0, 60).repartition(6), 0)
+    sink(_df(spark, 60, 100).repartition(6), 1)
+    before_files = plan_files(t)
+    assert len(before_files) >= 8
+    pre = current_snapshot_id(t)
+    sid = compact_data_files(spark, t, target_files=1)
+    assert len(plan_files(t)) == 1
+    tbl = read_snapshot(spark, t)
+    assert tbl.count() == 100
+    assert sorted(r["doc_id"] for r in tbl.collect()) == list(range(100))
+    # time travel to the pre-compaction layout still works
+    assert read_snapshot(spark, t, snapshot_id=pre).count() == 100
+    # the change feed refuses to traverse a replace
+    with pytest.raises(ValueError, match="replace"):
+        incremental_read(spark, t, from_snapshot=1)
+    # streaming batch-id dedupe survives compaction: replaying batch 1
+    # after the rewrite is still a no-op
+    assert last_committed_batch(t) == 1
+    sink(_df(spark, 60, 100), 1)
+    assert current_snapshot_id(t) == sid
+    assert read_snapshot(spark, t).count() == 100
