@@ -108,7 +108,16 @@ def _pack_blocks(
     ]
     if with_urls:
         agg.append(F.collect_list("url").alias("b_urls"))
-    b_packed = buildings.groupBy("block_id").agg(*agg)
+    # the packing aggregate is materialized once (deferred
+    # localCheckpoint): the cost map derives building counts from the
+    # SAME aggregated table (size of the packed array == count(*)),
+    # and the final join reuses it — one pass over the building set
+    # instead of two (the count-only subtree this replaces re-scanned
+    # all buildings because balanced_tokens eagerly checkpoints its
+    # cost input)
+    b_packed = (
+        buildings.groupBy("block_id").agg(*agg).localCheckpoint(eager=False)
+    )
     s_packed = (
         streets_near_blocks(streets, blocks, cell_deg)
         .groupBy("b_code")
@@ -121,12 +130,11 @@ def _pack_blocks(
         .join(s_packed, "block_id", "left")
     )
     # kernel cost ≈ linear in building count (vectorized kernel) with
-    # a fixed floor; computed from a CHEAP count-only subtree so the
-    # token map never re-executes the packing aggregates
+    # a fixed floor
     sizes = (
         blocks.select("block_id")
         .join(
-            buildings.groupBy("block_id").agg(F.count("*").alias("__n")),
+            b_packed.select("block_id", F.size("b_lons").alias("__n")),
             "block_id",
             "left",
         )
