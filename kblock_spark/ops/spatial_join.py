@@ -56,21 +56,31 @@ def _pip_refine_factory(poly_key: str, geom_bc=None):
 
     def refine(batches):
         geo = geom_bc.value if geom_bc is not None else None
+        # per-partition memo of unpacked rings: a polygon's candidates
+        # arrive across many Arrow batches, and the list→ndarray
+        # conversion inside unpack_rings was being paid once per
+        # (polygon, batch) — a measurable share of the refine wall at
+        # ~11 candidates per polygon per batch
+        ring_cache: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
+            lons = pdf["lon"].to_numpy()
+            lats = pdf["lat"].to_numpy()
             # vectorize per candidate polygon within the Arrow batch
             for key, idx in pdf.groupby(poly_key, sort=False).indices.items():
-                if geo is not None:
-                    sizes, coords = geo[key]
-                else:
-                    sizes = pdf["__ring_sizes"].iloc[idx[0]]
-                    coords = pdf["__coords"].iloc[idx[0]]
-                shell, holes = unpack_rings(sizes, coords)
-                px = pdf["lon"].to_numpy()[idx]
-                py = pdf["lat"].to_numpy()[idx]
-                keep[idx] = points_in_polygon(px, py, shell, holes)
+                hit = ring_cache.get(key)
+                if hit is None:
+                    if geo is not None:
+                        sizes, coords = geo[key]
+                    else:
+                        sizes = pdf["__ring_sizes"].iloc[idx[0]]
+                        coords = pdf["__coords"].iloc[idx[0]]
+                    hit = unpack_rings(sizes, coords)
+                    ring_cache[key] = hit
+                shell, holes = hit
+                keep[idx] = points_in_polygon(lons[idx], lats[idx], shell, holes)
             out = pdf.loc[keep]
             if geo is None:
                 out = out.drop(columns=["__ring_sizes", "__coords"])
@@ -167,8 +177,16 @@ def assign_points_to_polygons(
         # candidate rows never carry ring arrays through Arrow.
         spark = points.sparkSession
         geom_rows = polys.select(poly_key, "ring_sizes", "coords").collect()
+        # ship ndarrays, not lists: the refine kernel converts to
+        # numpy anyway, and a list would be re-converted on every use
         geom_bc = spark.sparkContext.broadcast(
-            {r[poly_key]: (list(r["ring_sizes"]), list(r["coords"])) for r in geom_rows}
+            {
+                r[poly_key]: (
+                    np.asarray(r["ring_sizes"], dtype=np.int64),
+                    np.asarray(r["coords"], dtype=np.float64),
+                )
+                for r in geom_rows
+            }
         )
         pc = polygons_with_cells(
             polys.select(poly_key, *poly_cols, "ring_sizes", "coords"), cell_deg
