@@ -121,6 +121,134 @@ def _circum_small_into(
     return None
 
 
+# below this many unique points the pure-scalar insertion loop beats
+# the numpy one: scan sets are ~20-60 triangles, where one python
+# float op (~60 ns) times the set size undercuts ~10 numpy dispatches
+# (~2 us each). Crossover measured by interleaved A/B.
+_SMALL_N = 700
+
+
+def _triangulate_small(uniq: np.ndarray) -> np.ndarray:
+    """Pure-scalar Bowyer–Watson for small inputs — the same
+    algorithm, operand order and tie-breaking as :func:`_triangulate`
+    (verified bit-identical across fixture families), with python
+    lists instead of numpy arrays so the per-insertion cost is flops,
+    not dispatch. Median urban blocks are a few hundred buildings, so
+    this path carries most of the k-stage's total CPU."""
+    m = len(uniq)
+    cmin = uniq.min(axis=0)
+    cmax = uniq.max(axis=0)
+    c0 = (float(cmin[0]) + float(cmax[0])) / 2.0
+    c1 = (float(cmin[1]) + float(cmax[1])) / 2.0
+    span = max(cmax[0] - cmin[0], cmax[1] - cmin[1], 1e-12)
+    d = span * 64.0
+    px = uniq[:, 0].tolist() + [c0 - d, c0 + d, c0]
+    py = uniq[:, 1].tolist() + [c1 - d, c1 - d, c1 + d]
+    inf = float("inf")
+    eps1 = 1.0 + _EPS
+
+    def circum(ia, ib, ic):
+        ax = px[ia]
+        ay = py[ia]
+        abx = px[ib] - ax
+        aby = py[ib] - ay
+        acx = px[ic] - ax
+        acy = py[ic] - ay
+        dd = 2.0 * (abx * acy - aby * acx)
+        if abs(dd) < 1e-300:
+            return 0.0, 0.0, inf, inf, inf
+        ab2 = abx * abx + aby * aby
+        ac2 = acx * acx + acy * acy
+        ux = (acy * ab2 - aby * ac2) / dd
+        uy = (abx * ac2 - acx * ab2) / dd
+        rv = ux * ux + uy * uy
+        if rv != rv or rv == inf:
+            return 0.0, 0.0, inf, inf, inf
+        cx = ax + ux
+        return cx, ay + uy, rv, rv * eps1, cx + _sqrt(rv)
+
+    tris: list[tuple[int, int, int]] = [(m, m + 1, m + 2)]
+    x0, y0, rv0, re0, rc0 = circum(m, m + 1, m + 2)
+    ccx = [x0]
+    ccy = [y0]
+    r2 = [rv0]
+    r2e = [re0]
+    reach = [rc0]
+    alive = [True]
+    active = [0]
+
+    order = np.lexsort((uniq[:, 1], uniq[:, 0])).tolist()
+    since_compact = 0
+    margin = max(abs(cmin).max(), abs(cmax).max(), span) * 1e-9 + _EPS
+    margin = float(margin)
+    for ip in order:
+        p0 = px[ip]
+        p1 = py[ip]
+        live = active
+        since_compact += 1
+        if since_compact >= _COMPACT_EVERY:
+            lim = p0 - margin
+            live = [t for t in live if reach[t] >= lim]
+            since_compact = 0
+        bad: list[int] = []
+        surv: list[int] = []
+        for t in live:
+            dx = ccx[t] - p0
+            dy = ccy[t] - p1
+            if dx * dx + dy * dy <= r2e[t]:
+                bad.append(t)
+            else:
+                surv.append(t)
+        if not bad:
+            # same fallback and first-minimum tie-break as np.argmin
+            best = None
+            bv = inf
+            for t in live:
+                dx = ccx[t] - p0
+                dy = ccy[t] - p1
+                v = dx * dx + dy * dy - r2[t]
+                if v < bv:
+                    bv = v
+                    best = t
+            bad = [best]
+            surv = [t for t in live if t is not best and t != best]
+        # cavity boundary: edges used exactly once (same dict count
+        # as the numpy path's small-cavity branch)
+        counts: dict[tuple[int, int], int] = {}
+        for t in bad:
+            ta, tb, tc = tris[t]
+            for u, v in ((ta, tb), (tb, tc), (tc, ta)):
+                k2 = (u, v) if u < v else (v, u)
+                counts[k2] = counts.get(k2, 0) + 1
+            alive[t] = False
+        onces = [k2 for k2, n2 in counts.items() if n2 == 1]
+        if len(bad) > 16:
+            # the numpy path's large-cavity branch emits boundary
+            # edges in sorted-key order, not dict-insertion order —
+            # replicate it so triangle indices (hence any later
+            # tie-break) stay identical
+            onces.sort(key=lambda k2: k2[0] * (m + 3) + k2[1])
+        new_idx = []
+        for u, v in onces:
+            t = len(tris)
+            tris.append((u, v, ip))
+            cx, cy, rv, re_, rc = circum(u, v, ip)
+            ccx.append(cx)
+            ccy.append(cy)
+            r2.append(rv)
+            r2e.append(re_)
+            reach.append(rc)
+            alive.append(True)
+            new_idx.append(t)
+        active = surv + new_idx
+    out = [
+        tris[t]
+        for t in range(len(tris))
+        if alive[t] and tris[t][0] < m and tris[t][1] < m and tris[t][2] < m
+    ]
+    return np.array(out, dtype=np.int64).reshape(-1, 3)
+
+
 def _triangulate(uniq: np.ndarray) -> np.ndarray:
     """Bowyer–Watson over unique points; returns (T,3) index array of
     final triangles (super-triangle faces removed).
@@ -130,6 +258,8 @@ def _triangulate(uniq: np.ndarray) -> np.ndarray:
     later point, so it is retired from the per-insertion scan set
     (classic sweep finalization → near-linear scans on uniform data).
     """
+    if len(uniq) <= _SMALL_N:
+        return _triangulate_small(uniq)
     m = len(uniq)
     cmin = uniq.min(axis=0)
     cmax = uniq.max(axis=0)
