@@ -56,3 +56,29 @@ def test_large_block_performance():
     assert dt < 30, f"8k-point triangulation took {dt:.1f}s"
     assert len(edges) > 8000  # roughly 3n edges expected
     assert len(edges) <= 3 * 8000 - 6
+
+
+def test_small_path_matches_numpy_path():
+    # the scalar small-input path must stay bit-identical to the
+    # vectorized path on both sides of the dispatch threshold
+    import numpy as np
+
+    import kblock_spark.geo.delaunay as dl
+
+    rng = np.random.default_rng(99)
+    for pts in (
+        rng.uniform(0, 1, (233, 2)),
+        rng.uniform(-1e7, 1e7, (500, 2)),
+        np.stack(np.meshgrid(np.arange(15), np.arange(15)), -1)
+        .reshape(-1, 2)
+        .astype(float),  # exact cocircular grid
+    ):
+        u = np.unique(pts.round(9), axis=0)
+        a = dl._triangulate_small(u)
+        old = dl._SMALL_N
+        try:
+            dl._SMALL_N = -1
+            b = dl._triangulate(u)
+        finally:
+            dl._SMALL_N = old
+        assert np.array_equal(a, b)
