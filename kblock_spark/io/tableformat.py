@@ -89,7 +89,10 @@ def _file_stats(fpath: str, stat_cols: list[str]) -> dict:
                     break
                 lo = s.min if lo is None else min(lo, s.min)
                 hi = s.max if hi is None else max(hi, s.max)
-            if lo is not None:
+            # manifests are JSON: record only JSON-native stat types
+            # (timestamp/binary min/max would crash the manifest
+            # write — those columns simply aren't pruned on)
+            if lo is not None and isinstance(lo, (str, int, float, bool)):
                 stats[f"min_{c}"] = lo
                 stats[f"max_{c}"] = hi
     return stats
