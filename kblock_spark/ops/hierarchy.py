@@ -90,6 +90,11 @@ def multires_rollup(
     """Per-cell counts (and optional weight sums) at several levels in
     one pass → DataFrame(level, ix, iy, n_points[, sum_w]).
 
+    ``weight_col`` must be integral — sums are carried as BIGINT so
+    the rollup is bit-stable under any partitioning (a float weight
+    would be truncated; pre-quantize fractional weights to integer
+    units first, the same discipline as the oracle queries).
+
     Strategy: aggregate once at ``max(levels)`` (the only shuffle that
     touches the point set; map-side combine reduces it to the occupied
     cell count), then derive every coarser level by integer-dividing
@@ -325,25 +330,33 @@ def polyfill(
                 iy1 = min(ndiv - 1, int(np.floor((y1 - oy) / ey * ndiv)))
                 if ix1 < ix0 or iy1 < iy0:
                     continue
-                nx = ix1 - ix0 + 1
-                step = max(1, stripe_cells // nx)
-                ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
-                cx = ox + (ixs.astype(np.float64) + 0.5) * cw
-                for ys in range(iy0, iy1 + 1, step):
-                    ye = min(ys + step - 1, iy1)
-                    iys = np.arange(ys, ye + 1, dtype=np.int64)
-                    cy = oy + (iys.astype(np.float64) + 0.5) * ch
-                    gx, gy = np.meshgrid(ixs, iys)
-                    px, py = np.meshgrid(cx, cy)
-                    mask = points_in_polygon(
-                        px.reshape(-1), py.reshape(-1), shell, holes
-                    )
-                    if mask.any():
-                        out_pid.append(
-                            np.full(int(mask.sum()), int(pid), dtype=np.int64)
+                # chunk BOTH axes so one meshgrid never exceeds
+                # ~stripe_cells cells even when a single x-row of the
+                # bbox is wider than the budget (continent-sized
+                # polygon at a fine level)
+                xstep = min(ix1 - ix0 + 1, max(1, stripe_cells))
+                for xs in range(ix0, ix1 + 1, xstep):
+                    xe = min(xs + xstep - 1, ix1)
+                    ixs = np.arange(xs, xe + 1, dtype=np.int64)
+                    cx = ox + (ixs.astype(np.float64) + 0.5) * cw
+                    ystep = max(1, stripe_cells // len(ixs))
+                    for ys in range(iy0, iy1 + 1, ystep):
+                        ye = min(ys + ystep - 1, iy1)
+                        iys = np.arange(ys, ye + 1, dtype=np.int64)
+                        cy = oy + (iys.astype(np.float64) + 0.5) * ch
+                        gx, gy = np.meshgrid(ixs, iys)
+                        px, py = np.meshgrid(cx, cy)
+                        mask = points_in_polygon(
+                            px.reshape(-1), py.reshape(-1), shell, holes
                         )
-                        out_ix.append(gx.reshape(-1)[mask])
-                        out_iy.append(gy.reshape(-1)[mask])
+                        if mask.any():
+                            out_pid.append(
+                                np.full(
+                                    int(mask.sum()), int(pid), dtype=np.int64
+                                )
+                            )
+                            out_ix.append(gx.reshape(-1)[mask])
+                            out_iy.append(gy.reshape(-1)[mask])
             if out_pid:
                 yield pd.DataFrame(
                     {
