@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "geo_zonal_oracle",
     "geo_blocks_oracle",
     "geo_overlay_oracle",
+    "geo_dissolve_oracle",
 ]
 
 GEO_NX = GEO_NY = 8

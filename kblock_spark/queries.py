@@ -3210,6 +3210,90 @@ SELECT -2000, -2000, 42000, 42000, 2
 """
 
 
+def geo_dissolve_oracle(spark, sf_dir):
+    """Coverage dissolve (ops/dissolve — the reference's
+    gpd.dissolve, A6) under a hard DuckDB oracle. Fixture: 20 groups
+    of grid-aligned squares (cell = 2^14 units of 2^-20, so bbox
+    corners quantize to exact integers k*15625 at 1e-6 deg) occupied
+    by an integer hash; the engine's shared-edge cancellation +
+    re-polygonization merges exactly the 4-adjacent components
+    (corner-touching squares stay separate parts and enclosed empty
+    cells become holes — probed empirically), so the oracle is a
+    recursive-CTE connected-components over the same occupied set
+    with per-component bboxes. Output: one row per dissolved part."""
+    import numpy as np
+    import pandas as pd
+
+    from .geo.geom import pack_rings
+    from .ops.dissolve import dissolve
+
+    S = 1048576.0
+    C = 16384
+    rows = []
+    for g in range(20):
+        for ix in range(6):
+            for iy in range(6):
+                if ((g * 37 + ix * 7 + iy * 13 + ix * iy * 3) % 5) < 2:
+                    ring = np.array(
+                        [[ix * C, iy * C], [(ix + 1) * C, iy * C],
+                         [(ix + 1) * C, (iy + 1) * C], [ix * C, (iy + 1) * C]],
+                        dtype=np.float64,
+                    ) / S
+                    sizes, coords = pack_rings(ring)
+                    rows.append(
+                        {"g": str(g), "ring_sizes": sizes,
+                         "coords": coords}
+                    )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    parts = dissolve(df, "g")
+    xs = F.filter(
+        F.transform(F.col("coords"), lambda v, i2: F.when(i2 % 2 == 0, v)),
+        lambda v: v.isNotNull(),
+    )
+    ys = F.filter(
+        F.transform(F.col("coords"), lambda v, i2: F.when(i2 % 2 == 1, v)),
+        lambda v: v.isNotNull(),
+    )
+    return parts.select(
+        F.col("key"),
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.round(F.array_min(xs) * 1e6).cast("bigint").alias("bxmin_e6"),
+        F.round(F.array_min(ys) * 1e6).cast("bigint").alias("bymin_e6"),
+        F.round(F.array_max(xs) * 1e6).cast("bigint").alias("bxmax_e6"),
+        F.round(F.array_max(ys) * 1e6).cast("bigint").alias("bymax_e6"),
+    )
+
+
+GEO_DISSOLVE_SQL = """
+WITH RECURSIVE cells AS (
+  SELECT gg.range AS g, xx.range AS ix, yy.range AS iy,
+         xx.range*6 + yy.range AS id
+  FROM range(20) gg, range(6) xx, range(6) yy
+  WHERE ((gg.range*37 + xx.range*7 + yy.range*13
+          + xx.range*yy.range*3) % 5) < 2),
+e AS (
+  SELECT a.g, a.id AS ea, b.id AS eb FROM cells a JOIN cells b
+  ON a.g = b.g AND ((abs(a.ix - b.ix) = 1 AND a.iy = b.iy)
+                 OR (a.ix = b.ix AND abs(a.iy - b.iy) = 1))),
+reach AS (
+  SELECT g, id, id AS r FROM cells
+  UNION
+  SELECT e.g, e.ea AS id, reach.r FROM e
+  JOIN reach ON reach.g = e.g AND reach.id = e.eb),
+comp AS (SELECT g, id, MIN(r) AS root FROM reach GROUP BY g, id),
+parts AS (
+  SELECT c.g, comp.root,
+         MIN(c.ix)*15625 AS bxmin_e6, MIN(c.iy)*15625 AS bymin_e6,
+         (MAX(c.ix)+1)*15625 AS bxmax_e6, (MAX(c.iy)+1)*15625 AS bymax_e6
+  FROM cells c JOIN comp ON comp.g = c.g AND comp.id = c.id
+  GROUP BY c.g, comp.root),
+np_ AS (SELECT g, COUNT(*)::BIGINT AS n_parts FROM parts GROUP BY g)
+SELECT parts.g::VARCHAR AS key, np_.n_parts,
+       bxmin_e6, bymin_e6, bxmax_e6, bymax_e6
+FROM parts JOIN np_ ON np_.g = parts.g
+"""
+
+
 def geo_overlay_oracle(spark, sf_dir):
     """Arrangement-based overlay intersection (ops/overlay_ops
     .intersection_join, J6 — the reference's gpd.overlay at
@@ -3434,10 +3518,11 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # 4x green); late round 5 adds the hierarchical-tiling quartet
 # (geo_tile_rollup / geo_compact / geo_polyfill / geo_salt_plan)
 # plus the snapshot-table change-feed scan (tbl_incremental_scan)
-# the dasymetric-waterfall zonal oracle (geo_zonal_oracle) and the
-# polygonizer oracle (geo_blocks_oracle)
-# in place of q07/q08 (4x green) and q11/q19/q21/q23/q24 (3x
-# consecutive green r2-r4).
+# the dasymetric-waterfall zonal oracle (geo_zonal_oracle), the
+# polygonizer oracle (geo_blocks_oracle), the overlay oracle
+# (geo_overlay_oracle) and the dissolve oracle (geo_dissolve_oracle)
+# in place of q07/q08 (4x green) and q04/q11/q19/q21/q22/q23/q24
+# (3x consecutive green r2-r4).
 # Positions 51+ are the remaining oracle-backed queries
 # (q05, q07, q08, q10, q11, q13, q18, q19, q21, q23, q24, q02,
 # q17, q20, q03, q09, q12, q14, q15, q25 —
@@ -3447,7 +3532,6 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 REGISTRY: dict = {
     # relational core
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
@@ -3507,11 +3591,14 @@ REGISTRY: dict = {
     "geo_blocks_oracle": (geo_blocks_oracle, GEO_BLOCKS_SQL),
     # overlay intersection under a hard oracle (rotated in for q22)
     "geo_overlay_oracle": (geo_overlay_oracle, GEO_OVERLAY_SQL),
+    # coverage dissolve under a hard oracle (rotated in for q04)
+    "geo_dissolve_oracle": (geo_dissolve_oracle, GEO_DISSOLVE_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
+    "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
     "q07_nation_presence": (q07_nation_presence, Q07_SQL),
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
     "q11_conditional_pivot": (q11_conditional_pivot, Q11_SQL),
