@@ -269,3 +269,18 @@ def test_compact_data_files_rewrites_layout_only(spark, tmp_path):
     sink(_df(spark, 60, 100), 1)
     assert current_snapshot_id(t) == sid
     assert read_snapshot(spark, t).count() == 100
+
+
+def test_expire_keeps_requested_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 20), t)
+    append_snapshot(_df(spark, 20, 40), t)
+    append_snapshot(_df(spark, 40, 50), t)
+    deleted = expire_snapshots(t, keep_last=2)
+    # append-only chain: every file is still referenced by the kept
+    # snapshots, so nothing is deleted — but snapshot 1's manifest is
+    assert deleted == []
+    assert read_snapshot(spark, t, snapshot_id=2).count() == 40
+    with pytest.raises(FileNotFoundError):
+        read_manifest(t, 1)
+    assert read_snapshot(spark, t).count() == 50
