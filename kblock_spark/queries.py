@@ -2851,6 +2851,84 @@ def s06_stream_decontamination(spark, sf_dir):
     )
 
 
+# s07 — watermarked stream-stream interval join: the last major
+# Structured Streaming operator class (two UNBOUNDED sides joined on a
+# key plus an event-time range, Spark buffering both sides in the
+# state store and evicting via watermark + interval bound — the
+# reference's batch joins, SURVEY §2.3, have no streaming analogue).
+# Purchases and clicks are two independent streams over the same
+# events source; the join pairs each purchase with the SAME user's
+# clicks in the 2 hours after it. Unlike the watermark-FINALIZED
+# aggregations (s03/s04 need sentinel rows to flush windows), an inner
+# interval join emits a match in the micro-batch where both sides are
+# present — the watermark's only role is bounding state, exactly its
+# job on an unbounded cluster run. Oracle: the identical batch
+# interval join in DuckDB.
+
+def s07_stream_stream_join(spark, sf_dir):
+    from .streaming.ingest import idempotent_parquet_sink
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "user_id", "value")
+    base = _scratch("kblock_s07_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = "event_type string, ts timestamp, user_id long, value double"
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("p_value_e6"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "p_value_e6",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(out))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "user_id", "purchase_ts", "click_ts", "p_value_e6"
+    )
+
+
+S07_SQL = """
+SELECT p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       round(p.value * 1000000.0)::BIGINT AS p_value_e6
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 2 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -3532,7 +3610,6 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 REGISTRY: dict = {
     # relational core
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q16_union_keys": (q16_union_keys, Q16_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
@@ -3571,6 +3648,7 @@ REGISTRY: dict = {
     "s04_stream_tumbling_rollup": (s04_stream_tumbling_rollup, S04_SQL),
     "s05_stream_static_enrich": (s05_stream_static_enrich, S05_SQL),
     "s06_stream_decontamination": (s06_stream_decontamination, D16_SQL),
+    "s07_stream_stream_join": (s07_stream_stream_join, S07_SQL),
     # geospatial with hard oracles (rounds 4-5): SQL-reproducible inputs
     "geo_knn": (geo_knn, GEO_KNN_SQL),
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
@@ -3598,6 +3676,7 @@ REGISTRY: dict = {
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
+    "q16_union_keys": (q16_union_keys, Q16_SQL),
     "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),
     "q07_nation_presence": (q07_nation_presence, Q07_SQL),
     "q08_distinct_flags": (q08_distinct_flags, Q08_SQL),
