@@ -364,6 +364,205 @@ def compact_data_files(
     return _commit(path, manifest, cur)
 
 
+def _strip_file_uri(u: str) -> str:
+    """``input_file_name()`` yields a ``file:///...`` URI; reduce it
+    to the plain absolute path the manifest uses."""
+    if u.startswith("file:"):
+        u = u[5:]
+    while u.startswith("//"):
+        u = u[1:]
+    return u
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+) -> dict:
+    """MERGE INTO (upsert by key) as a copy-on-write commit — the
+    Iceberg ``MERGE`` the reference's full-table rewrites lack: rows
+    of ``updates`` replace same-key rows of the table, new keys are
+    inserted, and only the data files that actually CONTAIN a matched
+    key are rewritten.
+
+    File selection is two-stage, both metadata-cheap:
+
+    1. manifest min/max pruning on ``key_col`` — files whose
+       [min, max] range can't intersect the updates' key range are
+       kept verbatim (their manifest entries are copied, their bytes
+       never read);
+    2. an exact match scan over the surviving candidates — a
+       broadcast semi-join of the candidate files against the update
+       keys, grouped by ``input_file_name()``; only file PATHS reach
+       the driver. Candidates with overlapping stats but no actual
+       matched key are also kept verbatim (this is what bounds write
+       amplification when key ranges overlap loosely).
+
+    The rewritten set = (candidate rows minus matched keys) ∪ updates,
+    committed together with the kept entries as a ``merge`` snapshot.
+    Like compaction, a merge is not an append: :func:`incremental_read`
+    refuses to traverse it. Streaming batch ids are carried forward so
+    a replayed micro-batch after a merge still commits exactly once.
+    Old files stay readable for time travel until
+    :func:`expire_snapshots`.
+
+    At 10^12 rows the driver-side state is one (lo, hi) pair plus the
+    rewritten file-path list; the anti-join broadcasts only the update
+    KEYS, never the table side.
+
+    Returns ``{"snapshot_id", "files_total", "files_candidates",
+    "files_rewritten"}``.
+    """
+    from pyspark.sql import functions as F
+
+    cur = current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    m = read_manifest(path, cur)
+    stat_cols = m.get("stat_cols") or []
+    keys = updates.select(key_col).distinct()
+    lo, hi = updates.agg(F.min(key_col), F.max(key_col)).first()
+    all_entries = m["files"]
+    candidates = (
+        set(plan_files(path, cur, prune=(key_col, lo, hi)))
+        if lo is not None
+        else set()
+    )
+    reader = spark.read
+    if m.get("schema_evolved"):
+        reader = reader.option("mergeSchema", "true")
+    matched: set = set()
+    if candidates:
+        cand_rows = reader.parquet(*sorted(candidates))
+        hit = (
+            cand_rows.select(key_col, F.input_file_name().alias("__f"))
+            .join(F.broadcast(keys), key_col, "inner")
+            .select("__f")
+            .distinct()
+        )
+        # file paths only — bounded by the candidate file count
+        matched = {_strip_file_uri(r["__f"]) for r in hit.collect()}
+    kept = [
+        e
+        for e in all_entries
+        if os.path.join(path, e["path"]) not in matched
+    ]
+    if matched:
+        base_rows = reader.parquet(*sorted(matched))
+        keep_rows = base_rows.join(F.broadcast(keys), key_col, "left_anti")
+        new_rows = keep_rows.unionByName(updates, allowMissingColumns=True)
+    else:
+        new_rows = updates
+    schema = new_rows.schema.simpleString()
+    evolved = bool(m.get("schema_evolved")) or m.get("schema") != schema
+    new = _write_data_files(new_rows, path, stat_cols)
+    batch = last_committed_batch(path)
+    manifest = {
+        "operation": "merge",
+        "schema": m.get("schema"),
+        "stat_cols": stat_cols,
+        "schema_evolved": evolved,
+        "files": kept + new,
+        "added": [e["path"] for e in new],
+    }
+    if batch is not None:
+        manifest["batch_id"] = batch
+    sid = _commit(path, manifest, cur)
+    return {
+        "snapshot_id": sid,
+        "files_total": len(all_entries),
+        "files_candidates": len(candidates),
+        "files_rewritten": len(matched),
+    }
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    prune: tuple[str, object, object] | None = None,
+) -> dict:
+    """Row-level ``DELETE FROM t WHERE predicate`` as a copy-on-write
+    commit, the same two-stage file selection as :func:`merge_into`:
+
+    1. optional manifest min/max pruning (``prune=(col, lo, hi)``) —
+       files whose stats can't hold a matching row are kept verbatim
+       without reading a byte;
+    2. an exact scan of the survivors grouped by
+       ``input_file_name()`` — only files that actually CONTAIN a row
+       where the predicate is TRUE are rewritten (with those rows
+       removed); candidates whose stats overlap but hold no matching
+       row keep their manifest entries untouched.
+
+    SQL DELETE semantics on NULLs: a row is deleted iff the predicate
+    is TRUE — rows where it evaluates FALSE **or NULL** are kept
+    (the rewrite filters on ``(predicate) IS NOT TRUE``).
+
+    Commits a ``delete`` snapshot; like merge/replace it breaks the
+    append-only change feed, carries the streaming batch id forward,
+    and leaves old files readable for time travel. Returns
+    ``{"snapshot_id", "files_total", "files_candidates",
+    "files_rewritten", "rows_deleted"}``.
+    """
+    from pyspark.sql import functions as F
+
+    cur = current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    m = read_manifest(path, cur)
+    stat_cols = m.get("stat_cols") or []
+    all_entries = m["files"]
+    candidates = set(plan_files(path, cur, prune=prune))
+    matched: set = set()
+    rows_deleted = 0
+    if candidates:
+        reader = spark.read
+        if m.get("schema_evolved"):
+            reader = reader.option("mergeSchema", "true")
+        cand_rows = reader.parquet(*sorted(candidates))
+        per_file = (
+            cand_rows.where(f"({predicate}) = TRUE")
+            .groupBy(F.input_file_name().alias("__f"))
+            .count()
+            .collect()
+        )
+        matched = {_strip_file_uri(r["__f"]) for r in per_file}
+        rows_deleted = sum(r["count"] for r in per_file)
+    kept = [
+        e
+        for e in all_entries
+        if os.path.join(path, e["path"]) not in matched
+    ]
+    new: list[dict] = []
+    if matched:
+        reader = spark.read
+        if m.get("schema_evolved"):
+            reader = reader.option("mergeSchema", "true")
+        base_rows = reader.parquet(*sorted(matched))
+        keep_rows = base_rows.where(f"({predicate}) IS NOT TRUE")
+        new = _write_data_files(keep_rows, path, stat_cols)
+    batch = last_committed_batch(path)
+    manifest = {
+        "operation": "delete",
+        "schema": m.get("schema"),
+        "stat_cols": stat_cols,
+        "schema_evolved": bool(m.get("schema_evolved")),
+        "files": kept + new,
+        "added": [e["path"] for e in new],
+    }
+    if batch is not None:
+        manifest["batch_id"] = batch
+    sid = _commit(path, manifest, cur)
+    return {
+        "snapshot_id": sid,
+        "files_total": len(all_entries),
+        "files_candidates": len(candidates),
+        "files_rewritten": len(matched),
+        "rows_deleted": rows_deleted,
+    }
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Drop all but the last ``keep_last`` snapshots and delete data
     files no kept snapshot references → list of deleted files.

@@ -1640,6 +1640,54 @@ GROUP BY t.doc_id
 """
 
 
+# d19 — mergeable HyperLogLog distinct-count sketch (ops/sketch.py):
+# per-lang approximate token cardinality. At 10^12 documents an exact
+# COUNT(DISTINCT token) shuffles every token occurrence; the sketch
+# reduces each partition map-side to ≤ 64 integer registers per group
+# (MAX-mergeable), so the exchange is O(groups × 64) regardless of
+# corpus size. The whole pipeline is integer-exact (md5-prefix hash,
+# length(bin(w)) leading-zero rank, BIGINT-scaled harmonic sum) with
+# ONE double division at the end — hard-oracled bit-for-bit against
+# DuckDB running the identical register math. n_exact (the true
+# distinct count) rides along so the driver record shows the
+# estimator's accuracy, not just its determinism.
+
+
+def d19_hll_distinct(spark, sf_dir):
+    from .ops.sketch import hll_estimate, hll_registers
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    regs = hll_registers(toks, ["lang"], "token", p=6)
+    est = hll_estimate(regs, ["lang"], p=6)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "lang").select(
+        "lang", "n_buckets", "z_scaled", "est_e6", "n_exact"
+    )
+
+
+def _d19_sql() -> str:
+    from .ops.sketch import hll_estimate_sql
+
+    src = "SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents"
+    est = hll_estimate_sql("token", "lang", src, p=6)
+    return f"""
+WITH exact AS (
+  SELECT lang, COUNT(DISTINCT token)::BIGINT AS n_exact
+  FROM ({src}) GROUP BY lang
+)
+SELECT e.lang, e.n_buckets, e.z_scaled, e.est_e6, x.n_exact
+FROM ({est}) e JOIN exact x USING (lang)
+"""
+
+
+D19_SQL = _d19_sql()
+
+
 # d11 — repetition-based quality filters (the Gopher/C4 family:
 # duplicated-top-bigram fraction and max single-token dominance —
 # documents dominated by repeated fragments are low-quality training
@@ -3213,6 +3261,70 @@ FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
 """
 
 
+def tbl_merge_scan(spark, sf_dir):
+    """MERGE INTO (copy-on-write upsert, io/tableformat.merge_into)
+    under a hard oracle. The documents table is committed as four
+    range-disjoint data files with doc_id min/max stats; a
+    deterministic update set (doc_id % 7 = 0 AND doc_id < 200 rows
+    re-scored to lang 'xx' / n_chars + 1000) plus pure inserts
+    (doc_id % 13 = 0, re-keyed + 1000000) is merged in. Manifest
+    min/max pruning keeps the files whose ranges can't hold a matched
+    key; an exact broadcast match scan keeps overlapping-but-unmatched
+    candidates too — only files actually containing a matched key are
+    rewritten. Equality with the oracle's updates-∪-antijoin
+    reconstruction proves the upsert semantics end to end (updated
+    rows replaced, inserts present, every untouched row byte-equal)."""
+    from .io.tableformat import merge_into, overwrite_snapshot, read_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _scratch("tbl_merge_")
+    overwrite_snapshot(
+        docs.repartitionByRange(4, "doc_id"), path, stat_cols=["doc_id"]
+    )
+    upd = (
+        docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 200))
+        .select(
+            "doc_id",
+            F.lit("xx").alias("lang"),
+            "source",
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    merge_into(spark, path, upd, "doc_id")
+    return read_snapshot(spark, path).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+TBL_MERGE_SQL = """
+WITH upd AS (
+  SELECT doc_id, 'xx' AS lang, source, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars FROM upd
+UNION ALL
+SELECT d.doc_id, d.lang, d.source, d.n_chars::BIGINT AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+"""
+
+
 # geo_blocks_oracle — the block POLYGONIZER (K3, the flagship block
 # maker) under a hard oracle on a structured fixture with closed-form
 # faces.
@@ -3600,7 +3712,8 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # polygonizer oracle (geo_blocks_oracle), the overlay oracle
 # (geo_overlay_oracle) and the dissolve oracle (geo_dissolve_oracle)
 # in place of q07/q08 (4x green) and q04/q11/q19/q21/q22/q23/q24
-# (3x consecutive green r2-r4).
+# (3x consecutive green r2-r4); the MERGE INTO scan (tbl_merge_scan)
+# replaces q01 (4x green r1-r4).
 # Positions 51+ are the remaining oracle-backed queries
 # (q05, q07, q08, q10, q11, q13, q18, q19, q21, q23, q24, q02,
 # q17, q20, q03, q09, q12, q14, q15, q25 —
@@ -3609,7 +3722,6 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # queries close the list.
 REGISTRY: dict = {
     # relational core
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
@@ -3663,6 +3775,8 @@ REGISTRY: dict = {
     "geo_salt_plan": (geo_salt_plan, GEO_SALT_PLAN_SQL),
     # snapshot table format (rotated in for q24, 3x consecutive green)
     "tbl_incremental_scan": (tbl_incremental_scan, TBL_INC_SQL),
+    # MERGE INTO / copy-on-write upsert (rotated in for q01, 4x green)
+    "tbl_merge_scan": (tbl_merge_scan, TBL_MERGE_SQL),
     # dasymetric waterfall under a hard oracle (rotated in for q23)
     "geo_zonal_oracle": (geo_zonal_oracle, GEO_ZONAL_SQL),
     # the block polygonizer under a hard oracle (rotated in for q21)
@@ -3675,6 +3789,10 @@ REGISTRY: dict = {
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
+    # new in round 5 (awaiting a window slot next round): mergeable
+    # HLL distinct sketch
+    "d19_hll_distinct": (d19_hll_distinct, D19_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
     "q04_revenue_by_nation": (q04_revenue_by_nation, Q04_SQL),

@@ -284,3 +284,177 @@ def test_expire_keeps_requested_history(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_manifest(t, 1)
     assert read_snapshot(spark, t).count() == 50
+
+
+def _range_table(spark, t, n=200, files=4):
+    """Base table written as `files` range-disjoint data files with
+    doc_id min/max stats — the layout MERGE's pruning exploits."""
+    df = _df(spark, 0, n).repartitionByRange(files, "doc_id")
+    overwrite_snapshot(df, t, stat_cols=["doc_id"])
+
+
+def test_merge_upserts_and_rewrites_only_matched_files(spark, tmp_path):
+    from kblock_spark.io.tableformat import merge_into
+
+    t = str(tmp_path / "tbl")
+    _range_table(spark, t)
+    pre = current_snapshot_id(t)
+    n_files = len(plan_files(t))
+    # updates touch only the low key range, plus pure inserts far
+    # beyond every file's max
+    upd = spark.range(0, 30, 3).select(
+        F.col("id").alias("doc_id"), F.lit(-1).cast("long").alias("v")
+    ).unionByName(
+        spark.range(10_000, 10_005).select(
+            F.col("id").alias("doc_id"), F.lit(-2).cast("long").alias("v")
+        )
+    )
+    stats = merge_into(spark, t, upd, "doc_id")
+    # copy-on-write wrote back only files actually holding matched keys
+    assert stats["files_total"] == n_files
+    assert 1 <= stats["files_rewritten"] < n_files
+    assert stats["files_candidates"] <= n_files
+    got = read_snapshot(spark, t)
+    assert got.count() == 200 + 5
+    rows = {r["doc_id"]: r["v"] for r in got.collect()}
+    for k in range(0, 30, 3):
+        assert rows[k] == -1          # updated in place
+    for k in range(10_000, 10_005):
+        assert rows[k] == -2          # inserted
+    assert rows[1] == 7 % 100         # untouched key keeps its value
+    # time travel: pre-merge snapshot still reads the original rows
+    old = {r["doc_id"]: r["v"] for r in read_snapshot(spark, t, pre).collect()}
+    assert old[0] == 0 and 10_000 not in old
+    # a merge is not an append: the change feed refuses to cross it
+    with pytest.raises(ValueError):
+        incremental_read(spark, t, from_snapshot=pre)
+
+
+def test_merge_no_matches_is_insert_only(spark, tmp_path):
+    from kblock_spark.io.tableformat import merge_into
+
+    t = str(tmp_path / "tbl")
+    _range_table(spark, t, n=100, files=2)
+    upd = spark.range(500, 510).select(
+        F.col("id").alias("doc_id"), F.lit(9).cast("long").alias("v")
+    )
+    stats = merge_into(spark, t, upd, "doc_id")
+    assert stats["files_rewritten"] == 0
+    assert read_snapshot(spark, t).count() == 110
+
+
+def test_merge_overlapping_stats_but_no_matched_key(spark, tmp_path):
+    """Candidate files (stats overlap) with no ACTUAL matched key are
+    kept verbatim — the exact match scan bounds write amplification."""
+    from kblock_spark.io.tableformat import merge_into
+
+    t = str(tmp_path / "tbl")
+    # one file holds even ids only, stats [0, 98]
+    df = spark.range(0, 100, 2).select(
+        F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("v")
+    ).coalesce(1)
+    overwrite_snapshot(df, t, stat_cols=["doc_id"])
+    paths_before = plan_files(t)
+    upd = spark.createDataFrame(
+        [(51, 1)], "doc_id long, v long"
+    )  # odd key: inside [0, 98] but absent
+    stats = merge_into(spark, t, upd, "doc_id")
+    assert stats["files_candidates"] == 1 and stats["files_rewritten"] == 0
+    # the original file survives in the new manifest untouched
+    assert set(paths_before) <= set(plan_files(t))
+    assert read_snapshot(spark, t).count() == 51
+
+
+def test_merge_preserves_streaming_batch_id(spark, tmp_path):
+    from kblock_spark.io.tableformat import (
+        last_committed_batch,
+        merge_into,
+        streaming_table_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = streaming_table_sink(t, stat_cols=["doc_id"])
+    sink(_df(spark, 0, 50), 0)
+    sink(_df(spark, 50, 80), 1)
+    upd = spark.range(0, 5).select(
+        F.col("id").alias("doc_id"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_into(spark, t, upd, "doc_id")
+    assert last_committed_batch(t) == 1
+    # a replayed micro-batch after the merge is still a no-op
+    sid = current_snapshot_id(t)
+    sink(_df(spark, 50, 80), 1)
+    assert current_snapshot_id(t) == sid
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    from kblock_spark.io.tableformat import delete_where
+
+    t = str(tmp_path / "tbl")
+    _range_table(spark, t)          # 200 rows, 4 range-disjoint files
+    pre = current_snapshot_id(t)
+    n_files = len(plan_files(t))
+    stats = delete_where(
+        spark, t, "doc_id < 40", prune=("doc_id", 0, 39)
+    )
+    assert stats["rows_deleted"] == 40
+    assert stats["files_total"] == n_files
+    # pruning kept the files whose [min,max] sits entirely above 39
+    assert stats["files_candidates"] < n_files
+    assert 1 <= stats["files_rewritten"] <= stats["files_candidates"]
+    got = read_snapshot(spark, t)
+    assert got.count() == 160
+    assert got.agg(F.min("doc_id")).first()[0] == 40
+    # untouched rows keep their values; time travel sees the originals
+    assert read_snapshot(spark, t, pre).count() == 200
+    with pytest.raises(ValueError):
+        incremental_read(spark, t, from_snapshot=pre)
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are
+    kept, not deleted."""
+    from kblock_spark.io.tableformat import delete_where
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "doc_id long, v long"
+    ).coalesce(1)
+    overwrite_snapshot(df, t, stat_cols=["doc_id"])
+    stats = delete_where(spark, t, "v < 10")
+    assert stats["rows_deleted"] == 1
+    rows = {r["doc_id"] for r in read_snapshot(spark, t).collect()}
+    assert rows == {2, 3}           # NULL-predicate row survives
+
+
+def test_delete_where_no_match_is_metadata_only(spark, tmp_path):
+    from kblock_spark.io.tableformat import delete_where
+
+    t = str(tmp_path / "tbl")
+    _range_table(spark, t, n=100, files=2)
+    before = set(plan_files(t))
+    stats = delete_where(
+        spark, t, "doc_id > 10000", prune=("doc_id", 10001, 10**12)
+    )
+    assert stats["files_rewritten"] == 0 and stats["rows_deleted"] == 0
+    assert set(plan_files(t)) == before
+    assert read_snapshot(spark, t).count() == 100
+
+
+def test_delete_where_preserves_streaming_batch_id(spark, tmp_path):
+    from kblock_spark.io.tableformat import (
+        delete_where,
+        last_committed_batch,
+        streaming_table_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = streaming_table_sink(t, stat_cols=["doc_id"])
+    sink(_df(spark, 0, 50), 0)
+    sink(_df(spark, 50, 80), 1)
+    delete_where(spark, t, "doc_id < 10")
+    assert last_committed_batch(t) == 1
+    sid = current_snapshot_id(t)
+    sink(_df(spark, 50, 80), 1)     # replay after delete: still no-op
+    assert current_snapshot_id(t) == sid
+    assert read_snapshot(spark, t).count() == 70
