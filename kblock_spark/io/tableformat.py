@@ -249,23 +249,34 @@ def overwrite_snapshot(
 def plan_files(
     path: str,
     snapshot_id: int | None = None,
-    prune: tuple[str, object, object] | None = None,
+    prune: tuple[str, object, object]
+    | list[tuple[str, object, object]]
+    | None = None,
 ) -> list[str]:
     """Scan planning: absolute data-file paths for a snapshot,
-    optionally pruned by ``(col, lo, hi)`` — a file is kept iff its
-    [min_col, max_col] interval intersects [lo, hi] (files lacking
-    stats are conservatively kept). This is manifest-driven: no
-    directory listing, no parquet footer reads at plan time."""
+    optionally pruned by ``(col, lo, hi)`` or a LIST of such triples
+    (a conjunction — multi-dimensional range pruning, the payoff of
+    Z-order clustering). A file is kept iff every predicate's
+    [min_col, max_col] interval intersects its [lo, hi] (files
+    lacking stats are conservatively kept). This is manifest-driven:
+    no directory listing, no parquet footer reads at plan time."""
     m = read_manifest(path, snapshot_id)
+    preds = (
+        []
+        if prune is None
+        else ([prune] if isinstance(prune, tuple) else list(prune))
+    )
     out = []
     for e in m["files"]:
-        if prune is not None:
-            c, lo, hi = prune
+        skip = False
+        for c, lo, hi in preds:
             fmin, fmax = e.get(f"min_{c}"), e.get(f"max_{c}")
             if fmin is not None and fmax is not None:
                 if fmax < lo or fmin > hi:
-                    continue
-        out.append(os.path.join(path, e["path"]))
+                    skip = True
+                    break
+        if not skip:
+            out.append(os.path.join(path, e["path"]))
     return out
 
 
@@ -356,6 +367,82 @@ def compact_data_files(
         "schema": m.get("schema"),
         "stat_cols": stat_cols,
         "schema_evolved": False,
+        "files": new,
+        "added": [e["path"] for e in new],
+    }
+    if batch is not None:
+        manifest["batch_id"] = batch
+    return _commit(path, manifest, cur)
+
+
+def zorder_data_files(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_files: int = 8,
+    bits: int = 16,
+) -> int:
+    """Iceberg's ``rewrite_data_files(strategy => 'sort', sort_order
+    => zorder(...))``: rewrite the current snapshot clustered on the
+    Z-order (bit-interleaved) curve over ``cols``, so per-file
+    min/max stats become tight in EVERY listed dimension at once and
+    :func:`plan_files` multi-predicate pruning skips most files for a
+    small N-dimensional box — the layout a spatial lakehouse needs
+    (a sort on x alone leaves every file spanning all of y).
+
+    Each column is quantized to ``bits`` levels between its global
+    min/max (quantization only shapes the LAYOUT; row content is
+    untouched), the z-value interleaves the quantized bits, and
+    ``repartitionByRange`` over z gives ``target_files`` files each
+    covering one contiguous z-range. Commits a ``replace`` snapshot
+    whose manifest records the sort order and adds ``cols`` to the
+    stat columns; batch ids carry forward like compaction.
+    """
+    from pyspark.sql import functions as F
+
+    cur = current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    m = read_manifest(path, cur)
+    df = read_snapshot(spark, path, cur)
+    ranges = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    n_levels = 1 << bits
+    quant = []
+    for c in cols:
+        mn, mx = ranges[f"mn_{c}"], ranges[f"mx_{c}"]
+        span = (mx - mn) if (mn is not None and mx is not None) else 0.0
+        if not span:
+            quant.append(F.lit(0).cast("long"))
+            continue
+        q = F.floor(
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            / F.lit(float(span))
+            * F.lit(float(n_levels))
+        ).cast("long")
+        quant.append(F.least(F.lit(n_levels - 1), F.greatest(F.lit(0), q)))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quant):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(int(target_files), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    stat_cols = sorted(set(m.get("stat_cols") or []) | set(cols))
+    new = _write_data_files(clustered, path, stat_cols)
+    batch = last_committed_batch(path)
+    manifest = {
+        "operation": "replace",
+        "schema": m.get("schema"),
+        "stat_cols": stat_cols,
+        "schema_evolved": bool(m.get("schema_evolved")),
+        "sort_order": {"kind": "zorder", "cols": list(cols), "bits": bits},
         "files": new,
         "added": [e["path"] for e in new],
     }

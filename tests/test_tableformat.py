@@ -458,3 +458,40 @@ def test_delete_where_preserves_streaming_batch_id(spark, tmp_path):
     sink(_df(spark, 50, 80), 1)     # replay after delete: still no-op
     assert current_snapshot_id(t) == sid
     assert read_snapshot(spark, t).count() == 70
+
+
+def test_zorder_clustering_enables_multi_dim_pruning(spark, tmp_path):
+    from kblock_spark.io.tableformat import zorder_data_files
+
+    t = str(tmp_path / "tbl")
+    # 64x64 grid range-partitioned on y alone: every file spans ALL
+    # of x, so an x-range prunes nothing
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        F.expr("id DIV 64").alias("y"),
+        F.col("id").alias("v"),
+    )
+    overwrite_snapshot(df.repartitionByRange(16, "y"), t, stat_cols=["x", "y"])
+    x_stripe = [("x", 0, 7)]
+    assert len(plan_files(t, prune=x_stripe)) == 16     # no help
+    pre = current_snapshot_id(t)
+    sid = zorder_data_files(spark, t, ["x", "y"], target_files=16, bits=6)
+    assert sid == pre + 1
+    # the z-curve layout makes the SAME stripe prunable
+    assert len(plan_files(t, prune=x_stripe)) <= 8
+    box = [("x", 0, 7), ("y", 0, 7)]
+    assert len(plan_files(t, prune=box)) <= 2
+    # content untouched; pruned read is exact (no false negatives)
+    got = read_snapshot(spark, t, prune=box).where(
+        "x BETWEEN 0 AND 7 AND y BETWEEN 0 AND 7"
+    )
+    assert got.count() == 64
+    assert read_snapshot(spark, t).count() == 4096
+    assert {r["v"] for r in got.collect()} == {
+        yy * 64 + xx for xx in range(8) for yy in range(8)
+    }
+    m = read_manifest(t)
+    assert m["sort_order"] == {"kind": "zorder", "cols": ["x", "y"], "bits": 6}
+    # a z-order rewrite is a replace: change feed refuses to cross it
+    with pytest.raises(ValueError):
+        incremental_read(spark, t, from_snapshot=pre)
