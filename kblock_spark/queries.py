@@ -3325,6 +3325,152 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
 """
 
 
+def tbl_zorder_scan(spark, sf_dir):
+    """Z-order clustering rewrite + multi-dimensional file pruning
+    (io/tableformat.zorder_data_files — Iceberg's
+    ``rewrite_data_files(strategy => 'sort', sort_order =>
+    zorder(...))``) under a hard oracle. Documents get two
+    deterministic grid dims (gx = doc_id % 64, gy = doc_id*31 % 64 —
+    independent, so a sort on either alone leaves every file spanning
+    all of the other); the table is first written range-partitioned
+    on gy (the anti-layout: gx pruning skips nothing), then rewritten
+    clustered on the interleaved-bit z-curve, after which
+    ``plan_files`` with the CONJUNCTION [(gx,0,15),(gy,0,15)] skips
+    most files from manifest min/max stats alone — no footer reads,
+    no directory listing. Pruning is purely subtractive (files, never
+    rows, and only provably-disjoint files), so the pruned read +
+    residual filter is value-identical to the oracle's plain WHERE —
+    which is exactly the property that makes a lakehouse layout
+    optimization safe to ship. Effectiveness (≤2 of 8 files planned
+    for the 1/16-area box) is plan-asserted in
+    tests/test_tableformat.py::test_zorder_clustering_enables_multi_dim_pruning."""
+    from .io.tableformat import (
+        overwrite_snapshot,
+        read_snapshot,
+        zorder_data_files,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("doc_id") % 64).alias("gx"),
+        ((F.col("doc_id") * 31) % 64).alias("gy"),
+    )
+    path = _scratch("tbl_z_")
+    overwrite_snapshot(
+        docs.repartitionByRange(8, "gy"), path, stat_cols=["gx", "gy"]
+    )
+    zorder_data_files(spark, path, ["gx", "gy"], target_files=8, bits=6)
+    box = [("gx", 0, 15), ("gy", 0, 15)]
+    pruned = read_snapshot(spark, path, prune=box).where(
+        "gx BETWEEN 0 AND 15 AND gy BETWEEN 0 AND 15"
+    )
+    return pruned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+TBL_ZORDER_SQL = """
+WITH g AS (
+  SELECT doc_id, lang, n_chars,
+         doc_id % 64 AS gx, (doc_id * 31) % 64 AS gy
+  FROM documents)
+SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+       MIN(doc_id)::BIGINT AS min_doc, MAX(doc_id)::BIGINT AS max_doc
+FROM g WHERE gx BETWEEN 0 AND 15 AND gy BETWEEN 0 AND 15
+GROUP BY lang
+"""
+
+
+def q32_bloom_prefilter_join(spark, sf_dir):
+    """Bloom-filter runtime prefilter ahead of a semi-join
+    (ops/bloom.py — the explicit form of Spark's runtime row-level
+    filtering, SPARK-32268). The selective part subset (p_size ≤ 2,
+    ~5% of parts) aggregates into a bit array via a map-side-combined
+    bit_or hash aggregate (the exchange carries ≤ m/64 word rows, not
+    keys); the probe side tests k xxhash64 positions against the
+    broadcast literal array inside whole-stage codegen, BEFORE the
+    exchange — at 100 TB this removes ~95% of lineitem from the
+    shuffle while the filter itself is a few KB. False positives only
+    add candidates and the exact semi-join removes them, so the
+    operator is value-identical to the oracle's plain
+    ``IN (SELECT ...)`` — the property that makes runtime filters
+    safe at any scale. FP-handling under a deliberately undersized
+    filter is tested in tests/test_bloom.py."""
+    from .ops.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").where(F.col("p_size") <= 2)
+    j = bloom_semi_join(li, pt, "l_partkey", "p_partkey", exact="broadcast")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+Q32_SQL = """
+SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows,
+       SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 2)
+GROUP BY l_returnflag
+"""
+
+
+def d20_split_assignment(spark, sf_dir):
+    """Deterministic train/valid/test corpus split by content-stable
+    hash bucketing — the reproducibility contract a training-data
+    pipeline needs: no RNG state, no global sort, no shuffle to
+    ASSIGN (the split is a map-side expression), identical
+    assignment under any partitioning, any engine, any rerun, and
+    stable as the corpus grows (a new document never moves an old
+    one between splits — unlike modulo-on-row-number schemes).
+    Bucket = repo-wide 48-bit md5-prefix BIGINT of the doc_id string,
+    mod 1000: <800 train, <900 valid, else test. Hard-oracled via the
+    identical md5 arithmetic in DuckDB."""
+    from .ops.sketch import _hash48
+
+    d = _t(spark, sf_dir, "documents")
+    b = F.pmod(_hash48(F.col("doc_id").cast("string")), F.lit(1000))
+    split = (
+        F.when(b < 800, F.lit("train"))
+        .when(b < 900, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("lang", "n_chars", "doc_id", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+D20_SQL = """
+WITH h AS (
+  SELECT lang, doc_id, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 1000 AS b
+  FROM documents)
+SELECT lang,
+       CASE WHEN b < 800 THEN 'train'
+            WHEN b < 900 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+       MIN(doc_id)::BIGINT AS min_doc, MAX(doc_id)::BIGINT AS max_doc
+FROM h GROUP BY 1, 2
+"""
+
+
 # geo_blocks_oracle — the block POLYGONIZER (K3, the flagship block
 # maker) under a hard oracle on a structured fixture with closed-form
 # faces.
@@ -3714,9 +3860,12 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # in place of q07/q08 (4x green) and q04/q11/q19/q21/q22/q23/q24
 # (3x consecutive green r2-r4); the MERGE INTO scan (tbl_merge_scan)
 # replaces q01 (4x green r1-r4).
+# Late round 5 also rotates in d19_hll_distinct, tbl_zorder_scan,
+# q32_bloom_prefilter_join and d20_split_assignment in place of
+# d01-d04 (4x green drivers each, r1-r4).
 # Positions 51+ are the remaining oracle-backed queries
-# (q05, q07, q08, q10, q11, q13, q18, q19, q21, q23, q24, q02,
-# q17, q20, q03, q09, q12, q14, q15, q25 —
+# (d01-d04, q05, q07, q08, q10, q11, q13, q18, q19, q21, q23, q24,
+# q02, q17, q20, q03, q09, q12, q14, q15, q25 —
 # all with 3-4 consecutive driver greens); all of them still run in
 # the sf0.001 parity suite and the self-check every round. Rows-only
 # queries close the list.
@@ -3729,10 +3878,6 @@ REGISTRY: dict = {
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     # text / dedup
-    "d01_token_count": (d01_token_count, D01_SQL),
-    "d02_quality_score": (d02_quality_score, D02_SQL),
-    "d03_fingerprint": (d03_fingerprint, D03_SQL),
-    "d04_exact_dedup": (d04_exact_dedup, D04_SQL),
     "d05_lang_heuristic": (d05_lang_heuristic, D05_SQL),
     "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
     "d06b_dropped_shingle_stats": (d06b_dropped_shingle_stats, D06B_SQL),
@@ -3785,13 +3930,22 @@ REGISTRY: dict = {
     "geo_overlay_oracle": (geo_overlay_oracle, GEO_OVERLAY_SQL),
     # coverage dissolve under a hard oracle (rotated in for q04)
     "geo_dissolve_oracle": (geo_dissolve_oracle, GEO_DISSOLVE_SQL),
+    # late round-5 additions, rotated in for d01-d04 (4x green
+    # drivers each, r1-r4): mergeable HLL distinct sketch, z-order
+    # clustering + multi-dim pruning, Bloom runtime-prefilter join,
+    # deterministic train/valid/test split
+    "d19_hll_distinct": (d19_hll_distinct, D19_SQL),
+    "tbl_zorder_scan": (tbl_zorder_scan, TBL_ZORDER_SQL),
+    "q32_bloom_prefilter_join": (q32_bloom_prefilter_join, Q32_SQL),
+    "d20_split_assignment": (d20_split_assignment, D20_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
-    # new in round 5 (awaiting a window slot next round): mergeable
-    # HLL distinct sketch
-    "d19_hll_distinct": (d19_hll_distinct, D19_SQL),
+    "d01_token_count": (d01_token_count, D01_SQL),
+    "d02_quality_score": (d02_quality_score, D02_SQL),
+    "d03_fingerprint": (d03_fingerprint, D03_SQL),
+    "d04_exact_dedup": (d04_exact_dedup, D04_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),
