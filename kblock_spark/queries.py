@@ -2977,6 +2977,71 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+# s08 — streaming sketch maintenance with PERSISTED register state:
+# the mergeable-summary contract (sketch.py) driven end to end. The
+# corpus arrives as 4 micro-batches (maxFilesPerTrigger=1); each
+# batch's HLL registers MAX-merge into a register table stored in the
+# snapshot table format (io/tableformat.py), so the sketch state is
+# (a) queryable between batches, (b) time-travelable, and (c)
+# replay-idempotent BY ALGEBRA — MAX is idempotent, so an at-least-
+# once re-delivery of a batch merges to the same table, no batch-id
+# bookkeeping required (cheaper than s02-s07's idempotent sink: the
+# math, not the storage layer, absorbs the retry). The final estimate
+# is computed from the PERSISTED registers, and the oracle is
+# D19_SQL VERBATIM: by the merge theorem (sketch(A ∪ B) ==
+# merge(sketch(A), sketch(B)), integer-exact here) the streamed
+# MAX-merge must reproduce the single-pass batch registers
+# bit-for-bit. At 10^12 documents this is the incremental-cardinality
+# architecture: per-drop register deltas of ≤ groups × m rows, one
+# tiny table holding global state, no re-scan of history.
+
+
+def s08_stream_hll_merge(spark, sf_dir):
+    from .io.tableformat import (
+        current_snapshot_id,
+        overwrite_snapshot,
+        read_snapshot,
+    )
+    from .ops.sketch import hll_estimate, hll_merge, hll_registers
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = _scratch("kblock_s08_")
+    src, tbl, ck = f"{base}/src", f"{base}/tbl", f"{base}/ck"
+    d.repartition(4).write.mode("overwrite").parquet(src)
+
+    def merge_batch(bdf, batch_id):
+        toks = bdf.select(
+            "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        regs = hll_registers(toks, ["lang"], "token", p=6)
+        if current_snapshot_id(tbl) is not None:
+            regs = hll_merge(
+                regs, read_snapshot(bdf.sparkSession, tbl), ["lang"]
+            )
+        overwrite_snapshot(regs, tbl)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    est = hll_estimate(read_snapshot(spark, tbl), ["lang"], p=6)
+    exact = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang")
+        .agg(F.countDistinct("token").cast("bigint").alias("n_exact"))
+    )
+    return est.join(exact, "lang").select(
+        "lang", "n_buckets", "z_scaled", "est_e6", "n_exact"
+    )
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -3878,7 +3943,6 @@ REGISTRY: dict = {
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     # text / dedup
-    "d05_lang_heuristic": (d05_lang_heuristic, D05_SQL),
     "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
     "d06b_dropped_shingle_stats": (d06b_dropped_shingle_stats, D06B_SQL),
     "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
@@ -3906,6 +3970,10 @@ REGISTRY: dict = {
     "s05_stream_static_enrich": (s05_stream_static_enrich, S05_SQL),
     "s06_stream_decontamination": (s06_stream_decontamination, D16_SQL),
     "s07_stream_stream_join": (s07_stream_stream_join, S07_SQL),
+    # streamed MAX-merge of persisted HLL registers must equal the
+    # single-pass batch sketch bit-for-bit (merge theorem) — oracle
+    # is D19_SQL verbatim; rotated in for d05 (4x green r1-r4)
+    "s08_stream_hll_merge": (s08_stream_hll_merge, D19_SQL),
     # geospatial with hard oracles (rounds 4-5): SQL-reproducible inputs
     "geo_knn": (geo_knn, GEO_KNN_SQL),
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
@@ -3946,6 +4014,7 @@ REGISTRY: dict = {
     "d02_quality_score": (d02_quality_score, D02_SQL),
     "d03_fingerprint": (d03_fingerprint, D03_SQL),
     "d04_exact_dedup": (d04_exact_dedup, D04_SQL),
+    "d05_lang_heuristic": (d05_lang_heuristic, D05_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_order_per_customer": (q02_top_order_per_customer, Q02_SQL),
     "q16_union_keys": (q16_union_keys, Q16_SQL),

@@ -71,3 +71,34 @@ def test_partial_aggregation_in_plan(spark):
     regs = hll_registers(_vals(spark, 0, 1000), ["g"], "v")
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan
+
+
+def test_persisted_register_merge_replay_idempotent(spark, tmp_path):
+    """The s08 architecture: registers MAX-merged into a snapshot
+    table absorb an at-least-once batch re-delivery by algebra — a
+    replayed merge commits a new snapshot whose CONTENT is identical,
+    and the final estimate equals the single-pass batch sketch
+    (merge theorem, integer-exact)."""
+    from kblock_spark.io.tableformat import (
+        current_snapshot_id,
+        overwrite_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "regs")
+    a = _vals(spark, 0, 1200)
+    b = _vals(spark, 800, 2000)
+
+    def merge_batch(bdf):
+        regs = hll_registers(bdf, ["g"], "v")
+        if current_snapshot_id(t) is not None:
+            regs = hll_merge(regs, read_snapshot(spark, t), ["g"])
+        overwrite_snapshot(regs, t)
+
+    merge_batch(a)
+    merge_batch(b)
+    streamed = _reg_set(read_snapshot(spark, t))
+    merge_batch(b)  # at-least-once re-delivery
+    assert _reg_set(read_snapshot(spark, t)) == streamed
+    single_pass = _reg_set(hll_registers(a.unionByName(b), ["g"], "v"))
+    assert streamed == single_pass
