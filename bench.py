@@ -78,6 +78,15 @@ BENCH_QUERIES = [
     "geo_blocks_oracle",
     "geo_overlay_oracle",
     "geo_dissolve_oracle",
+    # late round 5: table-format DML/layout, runtime filter, sketch,
+    # split, stream-stream join, streamed sketch maintenance
+    "tbl_merge_scan",
+    "tbl_zorder_scan",
+    "q32_bloom_prefilter_join",
+    "d19_hll_distinct",
+    "d20_split_assignment",
+    "s07_stream_stream_join",
+    "s08_stream_hll_merge",
 ]
 
 GEO_NX = GEO_NY = 8
