@@ -59,6 +59,32 @@ def _dec(c) -> F.Column:
     return col.cast("decimal(18,2)")
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Pin the state-partition count for a streaming query's
+    lifetime. Structured Streaming bakes spark.sql.shuffle.partitions
+    into the checkpoint at the first batch — it is a PER-STREAM
+    property, not a session one — and every stateful operator pays
+    per-partition-per-store fixed costs (store open/commit/snapshot)
+    each micro-batch: a stream-stream join holds 4 stores per
+    partition, so the session's batch-tuned 32 means 128 store
+    commits per batch against a few thousand keys (measured 10-17 s
+    vs 3.5 s at 8 for s07). A cluster run against a 10^9 keyspace
+    sets a large count the same way — per stream, sized to keyed
+    state, then immutable for the checkpoint's life. Restores the
+    session conf after termination (safe: availableNow streams are
+    awaited inside the scope)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _h12(col) -> F.Column:
     """md5-prefix bigint hash, identical to DuckDB
     ('0x'||substr(md5(x),1,12))::BIGINT."""
@@ -2612,14 +2638,15 @@ def s02_stream_dedup(spark, sf_dir):
 
     from .streaming.ingest import idempotent_parquet_sink
 
-    q = (
-        kept.writeStream.outputMode("update")
-        .foreachBatch(idempotent_parquet_sink(out))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            kept.writeStream.outputMode("update")
+            .foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).select("fp", "doc_id", "n_dups")
 
 
@@ -2670,14 +2697,15 @@ def s03_stream_session_windows(spark, sf_dir):
             "n_events",
         )
     )
-    q = (
-        sess.writeStream.outputMode("append")
-        .foreachBatch(idempotent_parquet_sink(out))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            sess.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).select("user_id", "session_start", "n_events")
 
 
@@ -2746,14 +2774,15 @@ def s04_stream_tumbling_rollup(spark, sf_dir):
             F.col("n_users").cast("bigint").alias("n_users"),
         )
     )
-    q = (
-        roll.writeStream.outputMode("append")
-        .foreachBatch(idempotent_parquet_sink(out))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            roll.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).select(
         "window_start", "event_type", "n_events", "value_e6", "n_users"
     )
@@ -2818,14 +2847,15 @@ def s05_stream_static_enrich(spark, sf_dir):
             "value_e6",
         )
     )
-    q = (
-        roll.writeStream.outputMode("append")
-        .foreachBatch(idempotent_parquet_sink(out))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            roll.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).select("day", "n_name", "n_events", "value_e6")
 
 
@@ -2879,14 +2909,15 @@ def s06_stream_decontamination(spark, sf_dir):
             "n_contaminated"
         ),
     )
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(idempotent_parquet_sink(out))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     r = spark.read.parquet(out)
     return r.where(F.col("n_contaminated") > 0).select(
         "doc_id",
@@ -2951,14 +2982,15 @@ def s07_stream_stream_join(spark, sf_dir):
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
         "p_value_e6",
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .foreachBatch(idempotent_parquet_sink(out))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).select(
         "user_id", "purchase_ts", "click_ts", "p_value_e6"
     )
@@ -3020,17 +3052,18 @@ def s08_stream_hll_merge(spark, sf_dir):
             )
         overwrite_snapshot(regs, tbl)
 
-    q = (
-        spark.readStream.schema("doc_id long, text string, lang string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.outputMode("append")
-        .foreachBatch(merge_batch)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     est = hll_estimate(read_snapshot(spark, tbl), ["lang"], p=6)
     exact = (
         d.select("lang", F.explode(F.split("text", " ")).alias("token"))
