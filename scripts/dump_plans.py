@@ -88,6 +88,15 @@ SECTIONS = [
         lambda s: __import__("kblock_spark.queries", fromlist=["x"]).geo_tile_rollup(s, SF),
     ),
     (
+        "q32 — Bloom runtime-prefilter semi-join",
+        "The k xxhash64 probes against the literal word array sit in "
+        "the lineitem scan stage's Filter (inside WholeStageCodegen, "
+        "before the exchange) — probe rows that cannot match never "
+        "shuffle; the exact BroadcastHashJoin LeftSemi then removes "
+        "false positives.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).q32_bloom_prefilter_join(s, SF),
+    ),
+    (
         "geo_compact — hierarchical cell compaction",
         "Each of the four level steps is a small HashAggregate plus a "
         "BroadcastHashJoin LeftAnti — no wide shuffle ever touches "
