@@ -451,6 +451,71 @@ def zorder_data_files(
     return _commit(path, manifest, cur)
 
 
+def remove_orphan_files(path: str, older_than_s: float = 0.0) -> list[str]:
+    """Iceberg's ``remove_orphan_files``: delete data files referenced
+    by NO live snapshot — the debris a crash between the staging write
+    and the ``current`` swap leaves behind (the failure
+    test_crash_before_current_swap_is_invisible stages), plus stale
+    ``.current.*`` commit temp files. Unlike :func:`expire_snapshots`
+    this keeps EVERY snapshot readable: the referenced set is the
+    union over the whole live parent chain, so time travel and
+    incremental reads are unaffected.
+
+    ``older_than_s`` guards racing in-flight writers: a staging dir
+    that has been written but whose commit hasn't swapped yet looks
+    orphan, so only files at least this old are removed (Iceberg's
+    default retention for the same op is 3 days). Returns deleted
+    paths relative to the table root. After the file pass, staging
+    dirs left with no parquet (only _SUCCESS/.crc markers) are
+    removed whole; dirs containing a ``_temporary`` in-flight marker
+    are never touched."""
+    referenced: set[str] = set()
+    sid = current_snapshot_id(path)
+    while sid is not None:
+        m = read_manifest(path, sid)
+        referenced.update(e["path"] for e in m["files"])
+        sid = m.get("parent_id")
+    now = time.time()
+    deleted: list[str] = []
+    data_root = os.path.join(path, "data")
+    subs = sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []
+    for sub in subs:
+        subdir = os.path.join(data_root, sub)
+        if not os.path.isdir(subdir):
+            continue
+        entries = os.listdir(subdir)
+        if "_temporary" in entries:
+            continue  # write in flight
+        for name in sorted(entries):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(subdir, name)
+            rel = os.path.relpath(full, path)
+            if rel in referenced:
+                continue
+            if now - os.path.getmtime(full) < older_than_s:
+                continue
+            os.remove(full)
+            deleted.append(rel)
+        left = os.listdir(subdir)
+        if left and not any(n.endswith(".parquet") for n in left):
+            import shutil
+
+            shutil.rmtree(subdir, ignore_errors=True)
+        elif not left:
+            os.rmdir(subdir)
+    md = _meta_dir(path)
+    for name in sorted(os.listdir(md)) if os.path.isdir(md) else []:
+        full = os.path.join(md, name)
+        if (
+            name.startswith(".current.")
+            and now - os.path.getmtime(full) >= older_than_s
+        ):
+            os.remove(full)
+            deleted.append(os.path.relpath(full, path))
+    return deleted
+
+
 def _strip_file_uri(u: str) -> str:
     """``input_file_name()`` yields a ``file:///...`` URI; reduce it
     to the plain absolute path the manifest uses."""

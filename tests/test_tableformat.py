@@ -495,3 +495,38 @@ def test_zorder_clustering_enables_multi_dim_pruning(spark, tmp_path):
     # a z-order rewrite is a replace: change feed refuses to cross it
     with pytest.raises(ValueError):
         incremental_read(spark, t, from_snapshot=pre)
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    from kblock_spark.io.tableformat import remove_orphan_files
+    from kblock_spark.io import tableformat as tf
+
+    t = str(tmp_path / "tbl")
+    s1 = append_snapshot(_df(spark, 0, 30), t)
+    s2 = append_snapshot(_df(spark, 30, 70), t)
+    # stage a crashed writer: data files written, commit never swapped
+    tf._write_data_files(_df(spark, 70, 99), t, [])
+    # and a stale commit temp file
+    stale = os.path.join(tf._meta_dir(t), ".current.deadbeef")
+    with open(stale, "w") as f:
+        f.write("9")
+    n_parquet = sum(
+        1 for _, _, fs in os.walk(os.path.join(t, "data"))
+        for n in fs if n.endswith(".parquet")
+    )
+    # retention guard: everything is younger than 1h -> no-op
+    assert remove_orphan_files(t, older_than_s=3600) == []
+    deleted = remove_orphan_files(t)
+    assert any(d.endswith(".parquet") for d in deleted)
+    assert any(".current." in d for d in deleted)
+    n_after = sum(
+        1 for _, _, fs in os.walk(os.path.join(t, "data"))
+        for n in fs if n.endswith(".parquet")
+    )
+    assert n_after < n_parquet
+    # every snapshot still fully readable (unlike expire_snapshots)
+    assert read_snapshot(spark, t, s1).count() == 30
+    assert read_snapshot(spark, t, s2).count() == 70
+    assert current_snapshot_id(t) == s2
+    # idempotent
+    assert remove_orphan_files(t) == []
