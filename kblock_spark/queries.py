@@ -1666,6 +1666,88 @@ GROUP BY t.doc_id
 """
 
 
+# d21 — cross-corpus boilerplate removal (the CCNet/RefinedWeb line-
+# dedup pass): a segment that appears in ≥ _BOILER_DF distinct
+# documents is boilerplate (headers, footers, cookie banners at web
+# scale) and EVERY occurrence is removed — unlike d17, which keeps the
+# first occurrence of each duplicated segment. Document frequency is
+# per-DOCUMENT (a segment repeated inside one doc counts once), so the
+# stats are corpus-frequency, not occurrence-frequency.
+#
+# Plan shape: segment fingerprints aggregate to a df table
+# (distinct (fp, doc) → groupBy(fp).count(), map-side combine on both
+# steps); the keep-decision is a plain equi-join on fp back to the
+# segment stream (AQE skew-split eligible — a viral boilerplate
+# segment is exactly the hot key case). Reconstruction re-aggregates
+# by doc_id: segments return to their home partitions, raw text never
+# shuffles by content. The df table is segment-vocab-sized; nothing
+# assumes it is broadcastable.
+
+_BOILER_DF = 3
+
+
+def d21_boilerplate_removal(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_segs = F.greatest(
+        F.floor((F.size(toks) + F.lit(_SEG_S - 1)) / F.lit(_SEG_S)).cast("bigint"),
+        F.lit(1),
+    )
+    segs = d.select(
+        "doc_id",
+        toks.alias("w"),
+        F.explode(F.sequence(F.lit(0), (n_segs - 1).cast("int"))).alias("seg_id"),
+    ).select(
+        "doc_id",
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("seg_id") * _SEG_S + 1, _SEG_S), " "
+        ).alias("seg"),
+    ).withColumn("fp", _h12(F.col("seg")))
+    df_tbl = (
+        segs.select("fp", "doc_id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("df"))
+    )
+    marked = segs.join(df_tbl, "fp").withColumn(
+        "kept", F.col("df") < F.lit(_BOILER_DF)
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("seg_id", "seg"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum((~F.col("kept")).cast("int")).cast("bigint").alias("n_boiler"),
+        _h12(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )
+
+
+D21_SQL = f"""
+WITH segs AS (
+  SELECT doc_id, i AS seg_id,
+         array_to_string(w[(i*{_SEG_S})+1 : (i*{_SEG_S})+{_SEG_S}], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text,' ') w FROM documents),
+       UNNEST(range(0, greatest((len(w)+{_SEG_S - 1})//{_SEG_S}, 1))) t(i)),
+fps AS (SELECT doc_id, seg_id, seg, {_H12_SQL.format(x='seg')} AS fp FROM segs),
+df_tbl AS (
+  SELECT fp, COUNT(*)::BIGINT AS df
+  FROM (SELECT DISTINCT fp, doc_id FROM fps) GROUP BY fp)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_segments,
+       SUM(CASE WHEN df >= {_BOILER_DF} THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       {_H12_SQL.format(x=f"COALESCE(string_agg(CASE WHEN df < {_BOILER_DF} THEN seg END, ' ' ORDER BY seg_id), '')")} AS clean_fp
+FROM fps JOIN df_tbl USING (fp)
+GROUP BY doc_id
+"""
+
+
 # d19 — mergeable HyperLogLog distinct-count sketch (ops/sketch.py):
 # per-lang approximate token cardinality. At 10^12 documents an exact
 # COUNT(DISTINCT token) shuffles every token occurrence; the sketch
@@ -3969,7 +4051,6 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # queries close the list.
 REGISTRY: dict = {
     # relational core
-    "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
     "q29_json_extraction": (q29_json_extraction, Q29_SQL),
@@ -4039,6 +4120,8 @@ REGISTRY: dict = {
     "tbl_zorder_scan": (tbl_zorder_scan, TBL_ZORDER_SQL),
     "q32_bloom_prefilter_join": (q32_bloom_prefilter_join, Q32_SQL),
     "d20_split_assignment": (d20_split_assignment, D20_SQL),
+    # cross-corpus boilerplate removal (rotated in for q26, 4x green)
+    "d21_boilerplate_removal": (d21_boilerplate_removal, D21_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
@@ -4073,6 +4156,7 @@ REGISTRY: dict = {
     "q14_prefix_consistency": (q14_prefix_consistency, Q14_SQL),
     "q15_isin_null_filter": (q15_isin_null_filter, Q15_SQL),
     "q25_windowed_count": (q25_windowed_count, Q25_SQL),
+    "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     # rows-only (no SQL equivalent → value-hash goldens in
     # tests/test_geo_golden.py pin these)
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),
