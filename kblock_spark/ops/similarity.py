@@ -608,6 +608,213 @@ def ivf_topk_from_index(
     )
 
 
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    fit_cap: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train product-quantization codebooks → (m, ksub, dsub).
+
+    The vector space is cut into ``m`` subspaces of dim/m dims; each
+    gets its own ``ksub``-centroid k-means codebook, fit driver-side
+    on a deterministic bounded sample (the ``fit_cap`` smallest-hash
+    rows — a TakeOrderedAndProject, no full sort; same FAISS-style
+    training discipline as :func:`assign_ivf_lists`). Vectors are
+    unit-normalized BEFORE splitting so the ADC inner product of
+    :func:`pq_topk` approximates cosine directly. Deterministic by
+    construction: fixed sample, fixed order, fixed init (first ksub
+    sample rows per subspace) — the codebooks never depend on
+    partition layout."""
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_fit: empty embedding table")
+    dim = int(dim_row["d"])
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = (
+        emb.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h", id_col)
+        .limit(fit_cap)
+        .collect()
+    )
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    X /= np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+    k = max(1, min(ksub, len(X)))
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        Xs = np.ascontiguousarray(X[:, s * dsub : (s + 1) * dsub])
+        C = Xs[:k].copy()
+        x2 = (Xs * Xs).sum(axis=1)
+        for _ in range(iters):
+            d2 = x2[:, None] - 2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its per-subspace nearest-codeword ids →
+    (vec_id, code array<smallint>). One Arrow-batched map pass, no
+    shuffle: at dim=64/m=8 the code is 16 bytes against 256 bytes of
+    float32 — the 16× memory compression is what makes a 100 TB
+    embedding corpus scannable from RAM-resident codes."""
+    spark = emb.sparkSession
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        B = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+            codes = np.empty((len(X), m), dtype=np.int16)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                C = B[s]
+                d2 = (
+                    (Xs * Xs).sum(axis=1)[:, None]
+                    - 2.0 * (Xs @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                codes[:, s] = d2.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "code": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, code array<smallint>"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    rerank_mult: int = 0,
+    emb: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k — the compressed-domain ANN scale
+    path next to :func:`lsh_topk` / :func:`ivf_topk`.
+
+    Each query precomputes an (m, ksub) lookup table of subspace inner
+    products against the codebooks; the corpus scan is then pure
+    integer-indexed LUT adds over the 16-byte codes — no decode, no
+    join, no shuffle of vector data. Every partition emits only its
+    LOCAL top-k per query (scores are per-row deterministic, so the
+    partial top-k is partition-invariant), and the global rank is a
+    window over the #partitions·Q·k survivors.
+
+    ``rerank_mult`` > 0 turns on exact refinement: the top k·mult ADC
+    candidates join back to the full-precision vectors (``emb``) for
+    an exact integer-quantized cosine, repairing quantization error
+    the same way FAISS's IndexRefineFlat does. Returns
+    (query_id, neighbor_id, rank, adc[, cosine])."""
+    spark = codes.sparkSession
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    qrows = queries.select(id_col, vec_col).collect()  # query-set-sized
+    qrows.sort(key=lambda r: r[id_col])
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adc double"
+        )
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1), 1e-12)[:, None]
+    # LUT[q, s, c] = <query subvector s, codeword c> — ADC score is
+    # the sum over s, an approximation of cos(query, vector)
+    lut = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), m, dsub), books)
+    bc = spark.sparkContext.broadcast((q_ids, np.ascontiguousarray(lut)))
+    n_keep = k * rerank_mult if rerank_mult > 0 else k
+
+    def scan(batches):
+        ids_, L = bc.value
+        nq = len(ids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
+            nids = pdf[id_col].to_numpy()
+            scores = np.zeros((nq, len(C)))
+            for s in range(m):
+                scores += L[:, s, :][:, C[:, s]]
+            # self-match → -inf BEFORE the cut: excluding it after
+            # truncation would cost the batch holding the query row
+            # one real candidate, making the result depend on which
+            # partition the query landed in
+            scores[ids_[:, None] == nids[None, :]] = -np.inf
+            # local top-n_keep per query, ties → smaller neighbor id
+            keep = min(n_keep, len(C))
+            order = np.lexsort((nids[None, :].repeat(nq, 0), -scores), axis=1)[
+                :, :keep
+            ]
+            qq = np.repeat(ids_, keep)
+            nn = nids[order].ravel()
+            ss = np.take_along_axis(scores, order, axis=1).ravel()
+            sel = np.isfinite(ss)
+            yield pd.DataFrame(
+                {"query_id": qq[sel], "neighbor_id": nn[sel], "adc": ss[sel]}
+            )
+
+    cand = codes.mapInPandas(scan, "query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    if rerank_mult <= 0:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+    if emb is None:
+        raise ValueError("pq_topk: rerank_mult > 0 requires emb")
+    short = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= n_keep
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _quantize(vec_col).alias("qv")
+    )
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"), _quantize(vec_col).alias("nv")
+    )
+    rescored = (
+        short.select("query_id", "neighbor_id", "adc")
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            _cosine(F.col("qv"), F.col("nv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

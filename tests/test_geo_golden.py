@@ -45,6 +45,9 @@ GOLDEN = {
     # persisted-index round trip: same hash as e05 BY CONSTRUCTION —
     # save → load → probed query must reproduce the fresh build exactly
     "e07_ivf_index_ann": ("73afa9e353501e2d", 100),
+    # round 5: PQ ADC shortlist + exact rerank (m=16, ksub=32,
+    # rerank_mult=4; measured recall 0.82 vs brute force)
+    "e09_pq_ann_topk": ("c44409b845792d48", 100),
 }
 
 
