@@ -191,13 +191,61 @@ def last_committed_batch(path: str) -> int | None:
     Walks the snapshot chain newest-first; micro-batch ids are
     monotonically increasing, so the first tagged snapshot found is
     the latest batch."""
-    sid = current_snapshot_id(path)
+    return _last_batch_in_chain(path, current_snapshot_id(path))
+
+
+def _last_batch_in_chain(path: str, sid: int | None) -> int | None:
     while sid is not None:
         m = read_manifest(path, sid)
         if "batch_id" in m:
             return int(m["batch_id"])
         sid = m.get("parent_id")
     return None
+
+
+def rollback_to(path: str, snapshot_id: int) -> int:
+    """Iceberg's ``rollback_to_snapshot``: restore the table to an
+    earlier snapshot's content as a NEW commit → new snapshot id.
+
+    No data moves — the rollback manifest re-references the target's
+    files, its parent is the superseded head (the mistake stays in
+    history, auditable and time-travelable until
+    :func:`expire_snapshots`), and the swap goes through the same
+    optimistic-concurrency commit as every other writer.
+
+    Streaming progress rolls back WITH the data: the manifest pins
+    ``batch_id`` to the last batch in the TARGET's chain (−1 if none —
+    absence would make :func:`last_committed_batch` keep walking into
+    the undone segment through the parent link), so micro-batches the
+    rollback undid are re-admitted on replay instead of being
+    mistaken for already-committed. A rollback is not an append:
+    :func:`incremental_read` refuses to traverse it (content moved
+    backwards — not expressible as a delta)."""
+    cur = current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    if snapshot_id == cur:
+        return cur
+    sid: int | None = cur
+    while sid is not None and sid != snapshot_id:
+        sid = read_manifest(path, sid).get("parent_id")
+    if sid is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of current {cur}"
+        )
+    t = read_manifest(path, snapshot_id)
+    b = _last_batch_in_chain(path, snapshot_id)
+    manifest = {
+        "operation": "rollback",
+        "rollback_of": snapshot_id,
+        "schema": t.get("schema"),
+        "stat_cols": t.get("stat_cols") or [],
+        "schema_evolved": t.get("schema_evolved", False),
+        "files": t["files"],
+        "added": [],
+        "batch_id": -1 if b is None else b,
+    }
+    return _commit(path, manifest, cur)
 
 
 def streaming_table_sink(path: str, stat_cols: list[str] | None = None):

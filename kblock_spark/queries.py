@@ -3534,6 +3534,40 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
 """
 
 
+def tbl_rollback_scan(spark, sf_dir):
+    """Snapshot rollback (io/tableformat.rollback_to — Iceberg's
+    ``rollback_to_snapshot``) under a hard oracle. Even doc_ids commit
+    as the good snapshot; all odd doc_ids land as a bad commit;
+    ``rollback_to`` undoes it as a NEW audited commit (no data moves,
+    the bad snapshot stays time-travelable); a recovery append then
+    adds only the odd ids divisible by 3. Equality with the oracle's
+    ``doc_id % 2 = 0 OR doc_id % 3 = 0`` aggregate proves the rollback
+    removed exactly the bad commit's rows while the re-referenced good
+    files and the post-rollback append both survive."""
+    from .io.tableformat import append_snapshot, rollback_to
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _scratch("tbl_rb_")
+    good = append_snapshot(docs.where("doc_id % 2 = 0"), path)
+    append_snapshot(docs.where("doc_id % 2 = 1"), path)  # the mistake
+    rollback_to(path, good)
+    append_snapshot(docs.where("doc_id % 2 = 1 AND doc_id % 3 = 0"), path)
+    from .io.tableformat import read_snapshot
+
+    return read_snapshot(spark, path).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+TBL_ROLLBACK_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+FROM documents
+WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+GROUP BY lang
+"""
+
+
 def tbl_zorder_scan(spark, sf_dir):
     """Z-order clustering rewrite + multi-dimensional file pruning
     (io/tableformat.zorder_data_files — Iceberg's
@@ -4080,7 +4114,6 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # queries close the list.
 REGISTRY: dict = {
     # relational core
-    "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
     "q29_json_extraction": (q29_json_extraction, Q29_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
@@ -4151,6 +4184,8 @@ REGISTRY: dict = {
     "d20_split_assignment": (d20_split_assignment, D20_SQL),
     # cross-corpus boilerplate removal (rotated in for q26, 4x green)
     "d21_boilerplate_removal": (d21_boilerplate_removal, D21_SQL),
+    # snapshot rollback (rotated in for q27, 4x green)
+    "tbl_rollback_scan": (tbl_rollback_scan, TBL_ROLLBACK_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
@@ -4186,6 +4221,7 @@ REGISTRY: dict = {
     "q15_isin_null_filter": (q15_isin_null_filter, Q15_SQL),
     "q25_windowed_count": (q25_windowed_count, Q25_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
+    "q27_asof_join": (q27_asof_join, Q27_SQL),
     # rows-only (no SQL equivalent → value-hash goldens in
     # tests/test_geo_golden.py pin these)
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),

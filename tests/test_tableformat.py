@@ -530,3 +530,74 @@ def test_remove_orphan_files(spark, tmp_path):
     assert current_snapshot_id(t) == s2
     # idempotent
     assert remove_orphan_files(t) == []
+
+
+def test_rollback_restores_content_as_new_commit(spark, tmp_path):
+    from kblock_spark.io.tableformat import rollback_to
+
+    t = str(tmp_path / "tbl")
+    s1 = append_snapshot(_df(spark, 0, 50), t)
+    s2 = append_snapshot(_df(spark, 50, 120), t)
+    s3 = rollback_to(t, s1)
+    assert s3 == s2 + 1  # a NEW commit, not a pointer rewind
+    assert current_snapshot_id(t) == s3
+    assert read_snapshot(spark, t).count() == 50
+    # the mistake stays time-travelable until expiry
+    assert read_snapshot(spark, t, s2).count() == 120
+    m = read_manifest(t, s3)
+    assert m["operation"] == "rollback" and m["rollback_of"] == s1
+    assert m["parent_id"] == s2
+    # appends continue from the restored state
+    append_snapshot(_df(spark, 200, 210), t)
+    assert read_snapshot(spark, t).count() == 60
+    # rollback to current is a no-op; to a non-ancestor raises
+    assert rollback_to(t, current_snapshot_id(t)) == current_snapshot_id(t)
+    with pytest.raises(ValueError):
+        rollback_to(t, 999)
+    # not an append: the change feed refuses to cross it
+    with pytest.raises(ValueError):
+        incremental_read(spark, t, from_snapshot=s1)
+
+
+def test_rollback_readmits_undone_stream_batches(spark, tmp_path):
+    """Undoing a micro-batch must also roll the batch watermark back,
+    or the exactly-once dedupe would silently skip the replay."""
+    from kblock_spark.io.tableformat import (
+        last_committed_batch,
+        rollback_to,
+        streaming_table_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = streaming_table_sink(t)
+    sink(_df(spark, 0, 10), 0)
+    pre = current_snapshot_id(t)
+    sink(_df(spark, 10, 30), 1)
+    assert last_committed_batch(t) == 1
+    rollback_to(t, pre)
+    assert last_committed_batch(t) == 0
+    # replay of the undone batch 1 recommits (a duplicate of batch 0
+    # would still be skipped)
+    sink(_df(spark, 0, 10), 0)
+    assert read_snapshot(spark, t).count() == 10
+    sink(_df(spark, 10, 30), 1)
+    assert read_snapshot(spark, t).count() == 30
+
+
+def test_rollback_past_all_stream_batches(spark, tmp_path):
+    """Rolling back to a pre-streaming snapshot resets the watermark
+    to 'none committed' (the -1 sentinel), so batch 0 itself replays."""
+    from kblock_spark.io.tableformat import (
+        last_committed_batch,
+        rollback_to,
+        streaming_table_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = append_snapshot(_df(spark, 0, 5), t)
+    sink = streaming_table_sink(t)
+    sink(_df(spark, 5, 15), 0)
+    rollback_to(t, base)
+    assert last_committed_batch(t) == -1
+    sink(_df(spark, 5, 15), 0)
+    assert read_snapshot(spark, t).count() == 15
