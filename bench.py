@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     "d20_split_assignment",
     "s07_stream_stream_join",
     "s08_stream_hll_merge",
+    # session 4: boilerplate removal, PQ ANN, snapshot rollback
+    "d21_boilerplate_removal",
+    "e09_pq_ann_topk",
+    "tbl_rollback_scan",
 ]
 
 GEO_NX = GEO_NY = 8
