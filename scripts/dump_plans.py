@@ -103,6 +103,24 @@ SECTIONS = [
         "more than the current cell set.",
         lambda s: __import__("kblock_spark.queries", fromlist=["x"]).geo_compact(s, SF),
     ),
+    (
+        "d21 — cross-corpus boilerplate removal",
+        "Document frequency is a distinct-then-count pair of "
+        "HashAggregates (map-side combine on both); the keep-decision "
+        "is one equi-join on the 48-bit fingerprint and the "
+        "reconstruction re-aggregates by doc_id — raw text never "
+        "shuffles by content.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d21_boilerplate_removal(s, SF),
+    ),
+    (
+        "e09 — product-quantization ANN (ADC scan)",
+        "The compressed-code scan is one Exchange-free mapInPandas "
+        "(codebook LUTs ride a python broadcast); the only shuffle in "
+        "the whole plan is the tiny candidate window "
+        "(#partitions × Q × 4k rows), then the rerank joins the "
+        "shortlist back with the query side broadcast.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).e09_pq_ann_topk(s, SF),
+    ),
 ]
 
 
