@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "d21_boilerplate_removal",
     "e09_pq_ann_topk",
     "tbl_rollback_scan",
+    "d22_corpus_pipeline",
 ]
 
 GEO_NX = GEO_NY = 8

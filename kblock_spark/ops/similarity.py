@@ -533,7 +533,16 @@ def save_ivf_index(
     out = emb.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, {vec_col} array<double>, list_id int"
     )
-    out.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    # Cluster by list id before the partitioned write: writing from
+    # the source partitioning emits up to (#partitions × #lists)
+    # files — the classic small-files problem (1000 executors × 1024
+    # lists would be a million footers to open per probe). One
+    # shuffle keyed on list_id makes each list a handful of full
+    # files instead; at planetary list sizes raise the partition
+    # count (hash on list_id still co-locates each list's rows).
+    out.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
 
 
 def load_ivf_index(spark, path: str):

@@ -1748,6 +1748,69 @@ GROUP BY doc_id
 """
 
 
+# d22 — the composed corpus pipeline: quality gate → exact dedup →
+# deterministic split → per-(lang, split) accounting, as ONE DAG under
+# ONE oracle. Each stage is individually proven (d01/d02, d04, d20);
+# this entry proves they COMPOSE — filters push into the scan under
+# the dedup aggregate, the keeper join stays an equi-join on
+# (fp, doc_id), and the split assignment remains a map-side
+# expression on the dedup survivors. This is the shape of a real
+# training-data build: at 100 TB every stage is either map-side or a
+# single keyed shuffle, and Catalyst pipelines the quality filter
+# into the first pass over the corpus (one scan, not one per stage).
+
+_PIPE_MIN_CHARS = 100
+_PIPE_MIN_TOKS = 20
+
+
+def d22_corpus_pipeline(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = d.withColumn("n_toks", F.size(F.split("text", " "))).where(
+        (F.col("n_chars") >= _PIPE_MIN_CHARS)
+        & (F.col("n_toks") >= _PIPE_MIN_TOKS)
+    )
+    q = q.withColumn("fp", F.md5("text"))
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = q.join(keep, ["fp", "doc_id"])
+    from .ops.sketch import _hash48
+
+    b = F.pmod(_hash48(F.col("doc_id").cast("string")), F.lit(1000))
+    split = (
+        F.when(b < 800, F.lit("train"))
+        .when(b < 900, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return kept.select("lang", "n_toks", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("sum_tokens"),
+    )
+
+
+D22_SQL = f"""
+WITH q AS (
+  SELECT doc_id, lang, text, len(string_split(text, ' '))::BIGINT AS n_toks
+  FROM documents
+  WHERE n_chars >= {_PIPE_MIN_CHARS}
+    AND len(string_split(text, ' ')) >= {_PIPE_MIN_TOKS}),
+keep AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM q GROUP BY 1),
+kept AS (
+  SELECT q.lang, q.n_toks, q.doc_id
+  FROM q JOIN keep ON md5(q.text) = keep.fp AND q.doc_id = keep.doc_id),
+h AS (
+  SELECT lang, n_toks,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 1000 AS b
+  FROM kept)
+SELECT lang,
+       CASE WHEN b < 800 THEN 'train'
+            WHEN b < 900 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_docs, SUM(n_toks)::BIGINT AS sum_tokens
+FROM h GROUP BY 1, 2
+"""
+
+
 # d19 — mergeable HyperLogLog distinct-count sketch (ops/sketch.py):
 # per-lang approximate token cardinality. At 10^12 documents an exact
 # COUNT(DISTINCT token) shuffles every token occurrence; the sketch
@@ -4114,7 +4177,6 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # queries close the list.
 REGISTRY: dict = {
     # relational core
-    "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
     "q29_json_extraction": (q29_json_extraction, Q29_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
@@ -4186,6 +4248,8 @@ REGISTRY: dict = {
     "d21_boilerplate_removal": (d21_boilerplate_removal, D21_SQL),
     # snapshot rollback (rotated in for q27, 4x green)
     "tbl_rollback_scan": (tbl_rollback_scan, TBL_ROLLBACK_SQL),
+    # composed corpus pipeline (rotated in for q28, 4x green)
+    "d22_corpus_pipeline": (d22_corpus_pipeline, D22_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
@@ -4222,6 +4286,7 @@ REGISTRY: dict = {
     "q25_windowed_count": (q25_windowed_count, Q25_SQL),
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
+    "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
     # rows-only (no SQL equivalent → value-hash goldens in
     # tests/test_geo_golden.py pin these)
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),

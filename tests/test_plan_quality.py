@@ -217,3 +217,16 @@ def test_compact_uses_broadcast_anti_joins(spark):
     assert plan.count("LeftAnti") == 4, plan
     assert plan.count("BroadcastHashJoin") == 4, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_d22_pipeline_one_scan_pushdown(spark):
+    """The composed pipeline must push the quality gate into the
+    parquet scan (n_chars predicate as a PushedFilter) — a pipeline
+    that re-filters after materializing would re-read the corpus per
+    stage at 100 TB."""
+    from kblock_spark.queries import d22_corpus_pipeline
+
+    plan = _plan(d22_corpus_pipeline(spark, SF))
+    assert "GreaterThanOrEqual(n_chars,100)" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
