@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "e09_pq_ann_topk",
     "tbl_rollback_scan",
     "d22_corpus_pipeline",
+    "s09_stream_corpus_pipeline",
 ]
 
 GEO_NX = GEO_NY = 8

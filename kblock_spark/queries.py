@@ -3249,6 +3249,71 @@ def s08_stream_hll_merge(spark, sf_dir):
     )
 
 
+# s09 — the STREAMED corpus pipeline: d22's quality gate → exact
+# dedup → deterministic split → per-(lang, split) accounting run as a
+# Structured Streaming job, with the oracle being D22_SQL VERBATIM —
+# the streamed build must equal the batch build bit-for-bit. The
+# stateless stages (quality filter, fingerprint, split label) ride
+# the stream map-side; the one stateful stage is the seen-fingerprint
+# registry keeping the WHOLE min-doc_id row (stream_dedup_keep_row),
+# so downstream accounting never joins back to the corpus; the final
+# rollup reads the idempotent sink table batch-side (the standard
+# streaming-upsert-table + batch-query split — a second stateful agg
+# in the same query is the anti-pattern Spark forbids anyway).
+# Single-file source → one micro-batch → the keeper is the global
+# min doc_id, same as the batch GROUP BY (s02's determinism recipe).
+
+
+def s09_stream_corpus_pipeline(spark, sf_dir):
+    from .streaming.dedup import stream_dedup_keep_row
+    from .streaming.ingest import idempotent_parquet_sink
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    base = _scratch("kblock_s09_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    d.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, n_chars long"
+    ).parquet(src)
+    from .ops.sketch import _hash48
+
+    q = stream.withColumn("n_toks", F.size(F.split("text", " "))).where(
+        (F.col("n_chars") >= _PIPE_MIN_CHARS)
+        & (F.col("n_toks") >= _PIPE_MIN_TOKS)
+    )
+    b = F.pmod(_hash48(F.col("doc_id").cast("string")), F.lit(1000))
+    q = q.select(
+        F.md5("text").alias("fp"),
+        "doc_id",
+        "lang",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.when(b < 800, F.lit("train"))
+        .when(b < 900, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    kept = stream_dedup_keep_row(q, "lang string, n_toks long, split string")
+    with _stream_shuffle(spark):
+        sq = (
+            kept.writeStream.outputMode("update")
+            .foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
 def media_features(spark, sf_dir):
     from .ops.multimodal import decode_features, synth_media
 
@@ -4177,7 +4242,6 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # queries close the list.
 REGISTRY: dict = {
     # relational core
-    "q29_json_extraction": (q29_json_extraction, Q29_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     # text / dedup
@@ -4248,8 +4312,10 @@ REGISTRY: dict = {
     "d21_boilerplate_removal": (d21_boilerplate_removal, D21_SQL),
     # snapshot rollback (rotated in for q27, 4x green)
     "tbl_rollback_scan": (tbl_rollback_scan, TBL_ROLLBACK_SQL),
-    # composed corpus pipeline (rotated in for q28, 4x green)
+    # composed corpus pipeline (rotated in for q28, 4x green) and its
+    # streamed twin — oracle is D22_SQL verbatim (stream == batch)
     "d22_corpus_pipeline": (d22_corpus_pipeline, D22_SQL),
+    "s09_stream_corpus_pipeline": (s09_stream_corpus_pipeline, D22_SQL),
     # --- driver record window ends here (50 entries above) ---
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
@@ -4287,6 +4353,7 @@ REGISTRY: dict = {
     "q26_rollup_status_priority": (q26_rollup_status_priority, Q26_SQL),
     "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
+    "q29_json_extraction": (q29_json_extraction, Q29_SQL),
     # rows-only (no SQL equivalent → value-hash goldens in
     # tests/test_geo_golden.py pin these)
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),

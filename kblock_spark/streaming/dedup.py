@@ -71,6 +71,53 @@ def _keep_first(key, pdfs, state: GroupState):
     state.update((True,))
 
 
+def stream_dedup_keep_row(docs: DataFrame, payload: str) -> DataFrame:
+    """Seen-fingerprint registry dedup that keeps the WHOLE winning
+    row, not just its id: emits (fp, doc_id, *payload columns) of the
+    min-doc_id row per fingerprint, once per fingerprint ever. The
+    building block for streamed pipeline composition (s09): the
+    payload carries whatever downstream stages need (lang, token
+    count, split label), so the keeper row flows on without a join
+    back to the corpus. ``payload`` is the DDL of the carried columns,
+    e.g. ``"lang string, n_toks long, split string"``; input must
+    contain ``fp``, ``doc_id`` and every payload column. Same state
+    discipline as :func:`stream_dedup_stateful` (one boolean per
+    fingerprint, keyed in the state store)."""
+    cols = [c.strip().split()[0] for c in payload.split(",")]
+    out_schema = f"fp string, doc_id long, {payload}"
+
+    def keep_first_row(key, pdfs, state: GroupState):
+        seen = state.get[0] if state.exists else False
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            row = pdf.loc[pdf["doc_id"].idxmin()]
+            if best is None or row["doc_id"] < best["doc_id"]:
+                best = row
+        if not seen and best is not None:
+            yield pd.DataFrame(
+                {
+                    "fp": [key[0]],
+                    "doc_id": [int(best["doc_id"])],
+                    **{c: [best[c]] for c in cols},
+                }
+            )
+        state.update((True,))
+
+    return (
+        docs.select("fp", "doc_id", *cols)
+        .groupBy("fp")
+        .applyInPandasWithState(
+            keep_first_row,
+            outputStructType=out_schema,
+            stateStructType=_DEDUP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_dedup_stateful(docs: DataFrame) -> DataFrame:
     """Seen-fingerprint registry dedup: emits (fp, kept doc_id, #dups
     suppressed in the emitting batch) once per fingerprint, ever.

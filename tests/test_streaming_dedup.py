@@ -93,3 +93,58 @@ def test_watermark_dedup_kept_set(spark, tmp_path):
     assert len(fps) == 3 and len(set(fps)) == 3
     texts = sorted(r["text"] for r in rows)
     assert texts == ["xx", "yy", "zz"]
+
+
+def test_keep_row_carries_payload_and_suppresses_across_batches(spark, tmp_path):
+    """stream_dedup_keep_row: the min-doc_id row's PAYLOAD survives
+    (not just its id), and a fingerprint seen in an earlier
+    micro-batch never re-emits — the carried state, not batch-local
+    dedup, does the suppression."""
+    from kblock_spark.streaming.dedup import stream_dedup_keep_row
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [5, 3, 9],
+            "fp": ["a", "a", "b"],
+            "lang": ["en", "fr", "de"],
+            "n_toks": [50, 30, 90],
+        }
+    )
+    b2 = pd.DataFrame(  # fp 'a' replays with a SMALLER doc_id: too late
+        {
+            "doc_id": [1, 7],
+            "fp": ["a", "c"],
+            "lang": ["es", "it"],
+            "n_toks": [10, 70],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, fp string, lang string, n_toks long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_dedup_keep_row(stream, "lang string, n_toks long")
+    rows = []
+
+    def sink(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["fp"]: (r["doc_id"], r["lang"], r["n_toks"]) for r in rows}
+    assert len(rows) == 3, rows  # one emit per fingerprint, EVER
+    # fp 'a': batch-1 winner doc 3 (min within the emitting batch),
+    # with doc 3's payload; the later doc 1 is suppressed by state
+    assert got["a"] == (3, "fr", 30)
+    assert got["b"] == (9, "de", 90)
+    assert got["c"] == (7, "it", 70)
