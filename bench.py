@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "tbl_rollback_scan",
     "d22_corpus_pipeline",
     "s09_stream_corpus_pipeline",
+    "tbl_changes_scan",
 ]
 
 GEO_NX = GEO_NY = 8

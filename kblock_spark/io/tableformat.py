@@ -564,6 +564,79 @@ def remove_orphan_files(path: str, older_than_s: float = 0.0) -> list[str]:
     return deleted
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Iceberg's changelog scan ``table_changes`` generalized to ANY
+    pair of snapshots: the row-level diff (op ∈ insert/delete/update)
+    between two table states, keyed by ``key_cols``.
+
+    The manifest does the heavy lifting: data files are immutable, so
+    a file listed by BOTH snapshots contributes no changes and is
+    skipped without being read — only the symmetric difference of the
+    two file lists is scanned and joined. After a MERGE that rewrote
+    3 of 1000 files, the diff reads 3 + 3' files, not 2000; the join
+    shuffles only those rows. Rows a rewrite merely MOVED between
+    files (compaction, z-order) surface in both sides of the join
+    with equal value hashes and drop out — a pure layout change
+    yields an empty diff.
+
+    Returns the TO-side values for inserts/updates and the FROM-side
+    values for deletes, with ``op`` first. Keys are assumed unique
+    per snapshot (enforce upstream; merge_into/delete_where preserve
+    this)."""
+    from pyspark.sql import functions as F
+
+    ma = read_manifest(path, from_snapshot)
+    mb = read_manifest(path, to_snapshot)
+    pa = {e["path"] for e in ma["files"]}
+    pb = {e["path"] for e in mb["files"]}
+    only_a = sorted(pa - pb)
+    only_b = sorted(pb - pa)
+    schema_src = spark.read.parquet(
+        os.path.join(path, (sorted(pa | pb))[0])
+    ).schema
+
+    def _side(paths):
+        if not paths:
+            return spark.createDataFrame([], schema_src)
+        return spark.read.parquet(*[os.path.join(path, p) for p in paths])
+
+    A, B = _side(only_a), _side(only_b)
+    val_cols = [c for c in A.columns if c not in key_cols]
+    # one 128-bit value hash per row instead of N column comparisons:
+    # the join carries (keys, hash, row-struct), not 2x the row width
+    def _tag(df, side):
+        return df.select(
+            *key_cols,
+            F.md5(F.to_json(F.struct(*val_cols))).alias(f"__h_{side}"),
+            F.struct(*val_cols).alias(f"__v_{side}"),
+        )
+
+    j = _tag(A, "a").join(_tag(B, "b"), key_cols, "full_outer")
+    op = (
+        F.when(F.col("__h_a").isNull(), F.lit("insert"))
+        .when(F.col("__h_b").isNull(), F.lit("delete"))
+        .when(F.col("__h_a") != F.col("__h_b"), F.lit("update"))
+    )
+    picked = F.when(F.col("__h_b").isNull(), F.col("__v_a")).otherwise(
+        F.col("__v_b")
+    )
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(
+            "op",
+            *key_cols,
+            *[picked[c].alias(c) for c in val_cols],
+        )
+    )
+
+
 def _strip_file_uri(u: str) -> str:
     """``input_file_name()`` yields a ``file:///...`` URI; reduce it
     to the plain absolute path the manifest uses."""

@@ -3696,6 +3696,64 @@ GROUP BY lang
 """
 
 
+def tbl_changes_scan(spark, sf_dir):
+    """Snapshot-to-snapshot row-level change feed (Iceberg's changelog
+    scan; io/tableformat.snapshot_diff) under a hard oracle. Base =
+    even doc_ids as four range files; a MERGE re-scores every
+    doc_id % 10 = 0 row (lang 'xx', n_chars + 1000) and inserts the
+    odd ids < 100; a DELETE then removes doc_id % 14 = 2. The diff
+    base→head reads ONLY the symmetric difference of the two file
+    lists (files in both manifests are skipped unread — proven by a
+    delete-the-common-file test in tests/test_tableformat.py) and
+    must equal the oracle's closed-form insert/delete/update
+    reconstruction — including doc_id 30-style rows that were updated
+    THEN deleted (net effect: delete, with the FROM-side values)."""
+    from .io.tableformat import (
+        append_snapshot,
+        current_snapshot_id,
+        delete_where,
+        merge_into,
+        snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _scratch("tbl_chg_")
+    base = append_snapshot(
+        docs.where("doc_id % 2 = 0").repartitionByRange(4, "doc_id"),
+        path,
+        stat_cols=["doc_id"],
+    )
+    upd = docs.where("doc_id % 2 = 0 AND doc_id % 10 = 0").select(
+        "doc_id", F.lit("xx").alias("lang"), "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    ins = docs.where("doc_id % 2 = 1 AND doc_id < 100")
+    merge_into(spark, path, upd.unionByName(ins), key_col="doc_id")
+    delete_where(spark, path, "doc_id % 14 = 2")
+    head = current_snapshot_id(path)
+    d = snapshot_diff(spark, path, base, head, key_cols=["doc_id"])
+    return d.select(
+        "op", "doc_id", "lang", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+TBL_CHANGES_SQL = """
+SELECT 'insert' AS op, doc_id, lang, source, n_chars::BIGINT AS n_chars
+FROM documents WHERE doc_id % 2 = 1 AND doc_id < 100
+UNION ALL
+SELECT 'delete' AS op, doc_id, lang, source, n_chars::BIGINT AS n_chars
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 14 = 2
+UNION ALL
+SELECT 'update' AS op, doc_id, 'xx' AS lang, source,
+       (n_chars + 1000)::BIGINT AS n_chars
+FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 10 = 0 AND doc_id % 14 <> 2
+"""
+
+
 def tbl_zorder_scan(spark, sf_dir):
     """Z-order clustering rewrite + multi-dimensional file pruning
     (io/tableformat.zorder_data_files — Iceberg's
@@ -4254,8 +4312,9 @@ REGISTRY: dict = {
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
     "d13_token_chunking": (d13_token_chunking, D13_SQL),
-    "d14_pattern_scrub": (d14_pattern_scrub, D14_SQL),
     "d15_stratified_rebalance": (d15_stratified_rebalance, D15_SQL),
+    # row-level change feed (rotated in for d14, 3x green r2-r4)
+    "tbl_changes_scan": (tbl_changes_scan, TBL_CHANGES_SQL),
     # similarity / ANN (oracle-backed)
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
@@ -4354,6 +4413,7 @@ REGISTRY: dict = {
     "q27_asof_join": (q27_asof_join, Q27_SQL),
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
     "q29_json_extraction": (q29_json_extraction, Q29_SQL),
+    "d14_pattern_scrub": (d14_pattern_scrub, D14_SQL),
     # rows-only (no SQL equivalent → value-hash goldens in
     # tests/test_geo_golden.py pin these)
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),

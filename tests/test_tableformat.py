@@ -601,3 +601,64 @@ def test_rollback_past_all_stream_batches(spark, tmp_path):
     assert last_committed_batch(t) == -1
     sink(_df(spark, 5, 15), 0)
     assert read_snapshot(spark, t).count() == 15
+
+
+def test_snapshot_diff_ops_and_file_skip(spark, tmp_path):
+    from kblock_spark.io.tableformat import merge_into, snapshot_diff
+
+    t = str(tmp_path / "tbl")
+    s1 = append_snapshot(
+        _df(spark, 0, 100).repartitionByRange(4, "doc_id"), t,
+        stat_cols=["doc_id"],
+    )
+    upd = spark.range(0, 25, 10).select(  # touches ONE of 4 range files
+        F.col("id").alias("doc_id"), F.lit(-1).alias("v")
+    )
+    ins = spark.range(500, 505).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("v")
+    )
+    s2 = merge_into(spark, t, upd.unionByName(ins), key_col="doc_id")[
+        "snapshot_id"
+    ]
+    d = snapshot_diff(spark, t, s1, s2, key_cols=["doc_id"])
+    got = {(r["op"], r["doc_id"], r["v"]) for r in d.collect()}
+    expect = {("update", i, -1) for i in range(0, 25, 10)} | {
+        ("insert", i, 7) for i in range(500, 505)
+    }
+    assert got == expect
+    # HARD skip proof: delete a file common to both snapshots from
+    # disk — the diff must not even open it (merge left untouched
+    # range files shared between s1 and s2)
+    m1 = {e["path"] for e in read_manifest(t, s1)["files"]}
+    m2 = {e["path"] for e in read_manifest(t, s2)["files"]}
+    common = sorted(m1 & m2)
+    assert common, "fixture must leave untouched files"
+    os.rename(os.path.join(t, common[0]), os.path.join(t, common[0]) + ".gone")
+    d2 = snapshot_diff(spark, t, s1, s2, key_cols=["doc_id"])
+    assert {(r["op"], r["doc_id"], r["v"]) for r in d2.collect()} == expect
+    os.rename(os.path.join(t, common[0]) + ".gone", os.path.join(t, common[0]))
+
+
+def test_snapshot_diff_pure_layout_change_is_empty(spark, tmp_path):
+    """Compaction rewrites every file (zero common paths) but moves
+    rows unchanged: the value-hash join must cancel them all out."""
+    from kblock_spark.io.tableformat import compact_data_files, snapshot_diff
+
+    t = str(tmp_path / "tbl")
+    s1 = append_snapshot(_df(spark, 0, 60).repartition(6), t)
+    s2 = compact_data_files(spark, t, target_files=1)
+    assert snapshot_diff(spark, t, s1, s2, key_cols=["doc_id"]).count() == 0
+
+
+def test_snapshot_diff_delete_side(spark, tmp_path):
+    from kblock_spark.io.tableformat import delete_where, snapshot_diff
+
+    t = str(tmp_path / "tbl")
+    s1 = append_snapshot(_df(spark, 0, 40), t)
+    s2 = delete_where(spark, t, "doc_id % 8 = 3")["snapshot_id"]
+    d = snapshot_diff(spark, t, s1, s2, key_cols=["doc_id"])
+    got = {(r["op"], r["doc_id"]) for r in d.collect()}
+    assert got == {("delete", i) for i in range(40) if i % 8 == 3}
+    # delete rows carry the FROM-side values
+    vals = {r["doc_id"]: r["v"] for r in d.collect()}
+    assert all(vals[i] == i * 7 % 100 for i in vals)
