@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "d22_corpus_pipeline",
     "s09_stream_corpus_pipeline",
     "tbl_changes_scan",
+    "d23_frequent_tokens",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -1811,6 +1811,71 @@ FROM h GROUP BY 1, 2
 """
 
 
+# d23 — EXACT distributed heavy hitters (frequent-token mining, the
+# vocab-building pass): all tokens whose corpus frequency exceeds
+# n/K, computed exactly with bounded per-task state. Two passes:
+#
+#   1. candidate generation — each partition counts ITS tokens
+#      (vectorized, state = partition-local distinct set, bounded by
+#      the split size) and emits those with local count·K > local
+#      total. Superset guarantee by averaging: if a token's global
+#      count exceeds n/K = Σn_p/K, then count_p > n_p/K in at least
+#      one partition (otherwise summing the per-partition bounds
+#      contradicts the global count) — so no true heavy hitter can be
+#      missed. Each partition emits < K candidates, so the union is
+#      (#partitions·K)-bounded → broadcastable at any corpus size.
+#   2. exact recount — occurrences semi-join the broadcast candidate
+#      set and aggregate; the n/K filter on EXACT counts removes
+#      false candidates. Never materializes the full token histogram
+#      on any node.
+#
+# (When even a split's distinct set would overflow, swap stage 1 for
+# Misra-Gries summaries — same superset guarantee, O(K) state; the
+# exact-recount stage is unchanged.) Oracle: plain GROUP BY / HAVING.
+
+_HH_K = 64
+
+
+def d23_frequent_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def cand_part(batches):
+        import pandas as pd
+
+        counts = None
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+        if counts is None or not len(counts):
+            return
+        n_p = int(counts.sum())
+        hot = counts[counts * _HH_K > n_p]
+        if len(hot):
+            yield pd.DataFrame({"tok": hot.index.astype(str)})
+
+    cand = toks.mapInPandas(cand_part, "tok string").distinct()
+    n = toks.count()  # one-row scalar, driver-side by design
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") * _HH_K > F.lit(n))
+        .select("tok", F.col("n_occ").cast("bigint").alias("n_occ"))
+    )
+
+
+D23_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+n AS (SELECT COUNT(*)::BIGINT AS c FROM toks)
+SELECT tok, COUNT(*)::BIGINT AS n_occ
+FROM toks CROSS JOIN n
+GROUP BY tok, n.c
+HAVING COUNT(*) * {_HH_K} > n.c
+"""
+
+
 # d19 — mergeable HyperLogLog distinct-count sketch (ops/sketch.py):
 # per-lang approximate token cardinality. At 10^12 documents an exact
 # COUNT(DISTINCT token) shuffles every token occurrence; the sketch
@@ -4311,8 +4376,9 @@ REGISTRY: dict = {
     "d10_dup_components": (d10_dup_components, D10_SQL),
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
-    "d13_token_chunking": (d13_token_chunking, D13_SQL),
     "d15_stratified_rebalance": (d15_stratified_rebalance, D15_SQL),
+    # exact heavy hitters (rotated in for d13, 3x green r2-r4)
+    "d23_frequent_tokens": (d23_frequent_tokens, D23_SQL),
     # row-level change feed (rotated in for d14, 3x green r2-r4)
     "tbl_changes_scan": (tbl_changes_scan, TBL_CHANGES_SQL),
     # similarity / ANN (oracle-backed)
@@ -4414,6 +4480,7 @@ REGISTRY: dict = {
     "q28_grouped_percentiles": (q28_grouped_percentiles, Q28_SQL),
     "q29_json_extraction": (q29_json_extraction, Q29_SQL),
     "d14_pattern_scrub": (d14_pattern_scrub, D14_SQL),
+    "d13_token_chunking": (d13_token_chunking, D13_SQL),
     # rows-only (no SQL equivalent → value-hash goldens in
     # tests/test_geo_golden.py pin these)
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),
