@@ -113,6 +113,14 @@ SECTIONS = [
         lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d21_boilerplate_removal(s, SF),
     ),
     (
+        "d23 — exact heavy hitters (candidates + recount)",
+        "Stage 1 is an Exchange-free mapInPandas emitting <K "
+        "candidates per partition; the recount is a BroadcastHashJoin "
+        "semi against that bounded set plus one hash aggregate — the "
+        "full token histogram never materializes anywhere.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d23_frequent_tokens(s, SF),
+    ),
+    (
         "e09 — product-quantization ANN (ADC scan)",
         "The compressed-code scan is one Exchange-free mapInPandas "
         "(codebook LUTs ride a python broadcast); the only shuffle in "
