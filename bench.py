@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "s09_stream_corpus_pipeline",
     "tbl_changes_scan",
     "d23_frequent_tokens",
+    "e10_ivfpq_index_ann",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -824,6 +824,200 @@ def pq_topk(
     )
 
 
+def save_ivfpq_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Persist an IVF-PQ index (the FAISS production architecture,
+    composing :func:`save_ivf_index`'s partition-pruned inverted lists
+    with :func:`pq_encode`'s compressed codes): each vector stores
+    only its list id and its ≤32-byte PQ code, hive-partitioned by
+    list id. A probed ANN query then reads a few PRUNED partitions of
+    COMPRESSED codes — both the scan surface and the bytes-per-row
+    shrink, which is what makes trillion-vector serving storable.
+    Codes quantize the unit-normalized vector itself (FAISS
+    ``by_residual=False``); coarse assignment uses the raw vector,
+    matching the probe side."""
+    spark = emb.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(C)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, books[s, c].tolist())
+            for s in range(m)
+            for c in range(ksub)
+        ],
+        "sub int, code int, word array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    bc = spark.sparkContext.broadcast((C, books))
+
+    def assign_encode(batches):
+        cen, B = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ cen.T)
+                + (cen * cen).sum(axis=1)[None, :]
+            )
+            lid = d2.argmin(axis=1).astype(np.int32)
+            U = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+            codes = np.empty((len(U), m), dtype=np.int16)
+            for s in range(m):
+                Us = U[:, s * dsub : (s + 1) * dsub]
+                Cs = B[s]
+                dd = (
+                    (Us * Us).sum(axis=1)[:, None]
+                    - 2.0 * (Us @ Cs.T)
+                    + (Cs * Cs).sum(axis=1)[None, :]
+                )
+                codes[:, s] = dd.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "code": list(codes),
+                    "list_id": lid,
+                }
+            )
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        assign_encode, f"{id_col} long, code array<smallint>, list_id int"
+    )
+    # cluster before the partitioned write (see save_ivf_index)
+    out.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_mult: int = 4,
+    emb: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over a persisted IVF-PQ index: each query probes its
+    ``nprobe`` nearest coarse lists; the scan reads ONLY the probed
+    hive partitions (static ``list_id IN`` pushed to planning time,
+    same discipline as :func:`ivf_topk_from_index`) and scores codes
+    by ADC LUT adds; candidacy is PER QUERY (a code row counts for a
+    query only if its list is in that query's probe set — batch
+    amortization must not silently widen a query's candidate pool);
+    exact rerank of the k·rerank_mult shortlist against the
+    full-precision vectors repairs quantization error."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    brows = spark.read.parquet(f"{path}/codebooks").orderBy(
+        "sub", "code"
+    ).collect()
+    m = max(r["sub"] for r in brows) + 1
+    ksub = max(r["code"] for r in brows) + 1
+    dsub = len(brows[0]["word"])
+    books = np.empty((m, ksub, dsub))
+    for r in brows:
+        books[r["sub"], r["code"]] = np.asarray(r["word"], dtype=np.float64)
+    qrows = queries.select(id_col, vec_col).collect()  # query-set-sized
+    qrows.sort(key=lambda r: r[id_col])
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adc double"
+        )
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    d2 = (
+        (Q * Q).sum(axis=1)[:, None]
+        - 2.0 * (Q @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    probes = np.argsort(d2, axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_ids = sorted({int(x) for x in probes.ravel()})
+    U = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-12)[:, None]
+    lut = np.einsum("qsd,scd->qsc", U.reshape(len(U), m, dsub), books)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, np.ascontiguousarray(lut), probes)
+    )
+    n_keep = k * rerank_mult if rerank_mult > 0 else k
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_id").isin(probe_ids)
+    )
+
+    def scan(batches):
+        ids_, L, pr = bc.value
+        nq = len(ids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cc = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            nids = pdf[id_col].to_numpy()
+            lids = pdf["list_id"].to_numpy()
+            scores = np.zeros((nq, len(Cc)))
+            for s in range(L.shape[1]):
+                scores += L[:, s, :][:, Cc[:, s]]
+            for qi in range(nq):  # per-query probe-set candidacy
+                scores[qi, ~np.isin(lids, pr[qi])] = -np.inf
+            scores[ids_[:, None] == nids[None, :]] = -np.inf
+            keep = min(n_keep, len(Cc))
+            order = np.lexsort((nids[None, :].repeat(nq, 0), -scores), axis=1)[
+                :, :keep
+            ]
+            qq = np.repeat(ids_, keep)
+            nn = nids[order].ravel()
+            ss = np.take_along_axis(scores, order, axis=1).ravel()
+            sel = np.isfinite(ss)
+            yield pd.DataFrame(
+                {"query_id": qq[sel], "neighbor_id": nn[sel], "adc": ss[sel]}
+            )
+
+    cand = lists.select(id_col, "code", "list_id").mapInPandas(
+        scan, "query_id long, neighbor_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= n_keep
+    )
+    if rerank_mult <= 0 or emb is None:
+        return short.where(F.col("rank") <= k)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _quantize(vec_col).alias("qv")
+    )
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"), _quantize(vec_col).alias("nv")
+    )
+    rescored = (
+        short.select("query_id", "neighbor_id", "adc")
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            _cosine(F.col("qv"), F.col("nv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

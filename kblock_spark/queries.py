@@ -2822,6 +2822,42 @@ def e09_pq_ann_topk(spark, sf_dir):
     )
 
 
+def e10_ivfpq_index_ann(spark, sf_dir):
+    """ANN over a persisted IVF-PQ index (ops/similarity.py
+    save_ivfpq_index / ivfpq_topk_from_index) — the FAISS production
+    architecture as a storage-layer composition: coarse-quantizer
+    hive partitions prune the scan to each query's probed lists
+    (candidacy enforced PER QUERY, not per batch), PQ codes shrink
+    the scanned bytes 8×, ADC LUT adds score without decoding, and
+    exact rerank of the 4k shortlist repairs quantization error.
+    Rows-only (k-means + index round trip has no SQL analogue);
+    recall vs brute force and probe-set candidacy are tested in
+    tests/test_similarity.py; value hash pinned in
+    tests/test_geo_golden.py."""
+    import os
+
+    import numpy as np
+
+    from .ops.similarity import (
+        ivfpq_topk_from_index,
+        kmeans_fit,
+        pq_fit,
+        save_ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    C = np.round(kmeans_fit(e, k=8, dim=64, iters=3), 6)
+    B = np.round(pq_fit(e, m=16, ksub=32, iters=4), 6)
+    path = os.path.join(_scratch("kblock_ivfpq_"), "index")
+    save_ivfpq_index(e, C, B, path)
+    q = e.where(F.col("vec_id") < _N_QUERIES)
+    return ivfpq_topk_from_index(
+        spark, path, q, k=_TOPK, nprobe=3, rerank_mult=4, emb=e
+    ).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 12).alias("cosine")
+    )
+
+
 def s01_stream_tile_rollup(spark, sf_dir):
     """Structured Streaming surface (rows-only; batch-parity and
     checkpoint-resume proofs live in tests/test_streaming.py): drain a
@@ -4487,6 +4523,7 @@ REGISTRY: dict = {
     "e05_ivf_ann_topk": (e05_ivf_ann_topk, None),
     "e07_ivf_index_ann": (e07_ivf_index_ann, None),
     "e09_pq_ann_topk": (e09_pq_ann_topk, None),
+    "e10_ivfpq_index_ann": (e10_ivfpq_index_ann, None),
     "media_features": (media_features, None),
     "geo_blocks": (geo_blocks, None),
     "geo_pip_join": (geo_pip_join, None),

@@ -48,6 +48,9 @@ GOLDEN = {
     # round 5: PQ ADC shortlist + exact rerank (m=16, ksub=32,
     # rerank_mult=4; measured recall 0.82 vs brute force)
     "e09_pq_ann_topk": ("c44409b845792d48", 100),
+    # round 5: persisted IVF-PQ (coarse partition pruning + PQ codes
+    # + per-query probe candidacy + exact rerank)
+    "e10_ivfpq_index_ann": ("6b29ef0bd188b3f8", 100),
 }
 
 

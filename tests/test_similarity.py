@@ -312,3 +312,52 @@ def test_pq_code_compression_shape(spark, emb):
     ).first()
     assert row["m_max"] == row["m_min"] == 8
     assert 0 <= row["c_min"] and row["c_max"] <= 15
+
+
+def test_ivfpq_recall_and_probe_candidacy(spark, emb, tmp_path):
+    """IVF-PQ round trip: decent recall with exact rerank scores, and
+    per-query candidacy — every returned neighbor must live in one of
+    THAT query's probed lists (batch amortization must not widen a
+    query's candidate pool)."""
+    import numpy as np
+
+    from kblock_spark.ops.similarity import (
+        ivfpq_topk_from_index,
+        kmeans_fit,
+        pq_fit,
+        save_ivfpq_index,
+    )
+
+    queries = emb.where(F.col("vec_id") < 30)
+    C = np.round(kmeans_fit(emb, k=8, dim=64, iters=3), 6)
+    B = np.round(pq_fit(emb, m=16, ksub=32, iters=4), 6)
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(emb, C, B, path)
+    out = ivfpq_topk_from_index(
+        spark, path, queries, k=5, nprobe=4, rerank_mult=4, emb=emb
+    ).collect()
+    exact = brute_force_topk(emb, queries, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in out}
+    # nprobe=4 of 8 lists: candidate coverage bounds recall
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.4, f"IVF-PQ recall {recall:.2f}"
+    # rerank scores are exact
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in out:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine"] == pytest.approx(exact_scores[key], abs=0)
+    # per-query candidacy: recompute each query's probe set and the
+    # index's list assignment; every neighbor must be inside
+    rows = spark.read.parquet(f"{path}/lists").select("vec_id", "list_id").collect()
+    vec_list = {r["vec_id"]: r["list_id"] for r in rows}
+    qrows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+             for r in queries.collect()}
+    for r in out:
+        q = qrows[r["query_id"]]
+        d2 = ((q[None, :] - C) ** 2).sum(axis=1)
+        probes = set(np.argsort(d2)[:4].tolist())
+        assert vec_list[r["neighbor_id"]] in probes, r
