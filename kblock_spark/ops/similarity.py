@@ -512,7 +512,7 @@ def save_ivf_index(
     spark.createDataFrame(
         [(i, row.tolist()) for i, row in enumerate(C)],
         "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     bc = spark.sparkContext.broadcast(C)
 
     def assign(batches):
@@ -849,7 +849,7 @@ def save_ivfpq_index(
     spark.createDataFrame(
         [(i, row.tolist()) for i, row in enumerate(C)],
         "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark.createDataFrame(
         [
             (s, c, books[s, c].tolist())
@@ -857,7 +857,7 @@ def save_ivfpq_index(
             for c in range(ksub)
         ],
         "sub int, code int, word array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     bc = spark.sparkContext.broadcast((C, books))
 
     def assign_encode(batches):

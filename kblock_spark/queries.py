@@ -3028,7 +3028,11 @@ def s04_stream_tumbling_rollup(spark, sf_dir):
         F.lit(-1).cast("long").alias("user_id"),
         F.lit(0.0).alias("value"),
     )
-    sent.coalesce(1).write.mode("append").parquet(src)
+    # repartition(1), NOT coalesce(1): a coalesced local relation is
+    # one task pulling every parallelized slice sequentially through
+    # the python gateway (~0.2 s each, measured 4-6 s of pure
+    # overhead); the exchange reads slices in parallel first
+    sent.repartition(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema(
         "event_type string, ts timestamp, user_id long, value double"
     ).parquet(src)
@@ -3100,7 +3104,7 @@ def s05_stream_static_enrich(spark, sf_dir):
         "user_id",
         F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
         F.lit(0.0).alias("value"),
-    ).coalesce(1).write.mode("append").parquet(src)
+    ).repartition(1).write.mode("append").parquet(src)  # see s04 note
     stream = spark.readStream.schema(
         "user_id long, ts timestamp, value double"
     ).parquet(src)
