@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "tbl_changes_scan",
     "d23_frequent_tokens",
     "e10_ivfpq_index_ann",
+    "d24_url_canonicalize",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -1811,6 +1811,83 @@ FROM h GROUP BY 1, 2
 """
 
 
+# d24 — URL canonicalization (crawl-side exact dedup key): a crawl
+# sees the same page under many spellings — scheme case, www.,
+# tracking params. Canonicalize (lowercase, https-fold, strip www.,
+# keep only the content-bearing `id` param) and aggregate per host.
+# URLs derive deterministically from doc_id IN BOTH ENGINES (the
+# geo_knn recipe applied to strings): each page (doc_id DIV 2) is
+# seen twice — once clean, once messy (HTTP://WWW. + utm noise) — so
+# the canonical key must collapse exactly 2:1 per host. Pure
+# Catalyst string/regex expressions: map-side until the final
+# per-host aggregate, one shuffle at any corpus size.
+
+
+def d24_url_canonicalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    page = F.expr("doc_id DIV 2")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://ex")).otherwise(
+            F.lit("HTTP://WWW.EX")
+        ),
+        (page % 50).cast("string"),
+        F.lit(".com/p/"),
+        page.cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?id=")).otherwise(
+            F.lit("?utm_source=feed&utm_medium=social&id=")
+        ),
+        (page % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("&ref=tw")).otherwise(F.lit("")),
+    )
+    lowered = F.regexp_replace(
+        F.lower(url), r"^https?://(www\.)?", "https://"
+    )
+    path_part = F.split(lowered, r"\?").getItem(0)
+    id_param = F.regexp_extract(lowered, r"[?&]id=([0-9]+)", 1)
+    canon = F.concat(
+        path_part,
+        F.when(id_param != "", F.concat(F.lit("?id="), id_param)).otherwise(
+            F.lit("")
+        ),
+    )
+    host = F.regexp_extract(canon, r"^https://([^/]+)", 1)
+    return (
+        d.select(host.alias("host"), canon.alias("canon"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canon").alias("n_pages"),
+        )
+    )
+
+
+D24_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://ex' ELSE 'HTTP://WWW.EX' END)
+         || ((doc_id // 2) % 50)::VARCHAR || '.com/p/'
+         || (doc_id // 2)::VARCHAR
+         || (CASE WHEN doc_id % 2 = 0 THEN '?id='
+                  ELSE '?utm_source=feed&utm_medium=social&id=' END)
+         || ((doc_id // 2) % 7)::VARCHAR
+         || (CASE WHEN doc_id % 2 = 1 THEN '&ref=tw' ELSE '' END) AS url
+  FROM documents),
+c AS (
+  SELECT regexp_replace(lower(url), '^https?://(www\\.)?', 'https://') AS low
+  FROM u),
+k AS (
+  SELECT string_split(low, '?')[1]
+         || (CASE WHEN regexp_extract(low, '[?&]id=([0-9]+)', 1) <> ''
+                  THEN '?id=' || regexp_extract(low, '[?&]id=([0-9]+)', 1)
+                  ELSE '' END) AS canon
+  FROM c)
+SELECT regexp_extract(canon, '^https://([^/]+)', 1) AS host,
+       COUNT(*)::BIGINT AS n_urls,
+       COUNT(DISTINCT canon)::BIGINT AS n_pages
+FROM k GROUP BY 1
+"""
+
+
 # d23 — EXACT distributed heavy hitters (frequent-token mining, the
 # vocab-building pass): all tokens whose corpus frequency exceeds
 # n/K, computed exactly with bounded per-task state. Two passes:
@@ -4416,9 +4493,10 @@ REGISTRY: dict = {
     "d10_dup_components": (d10_dup_components, D10_SQL),
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
-    "d15_stratified_rebalance": (d15_stratified_rebalance, D15_SQL),
     # exact heavy hitters (rotated in for d13, 3x green r2-r4)
     "d23_frequent_tokens": (d23_frequent_tokens, D23_SQL),
+    # URL canonicalization (rotated in for d15, 3x green r2-r4)
+    "d24_url_canonicalize": (d24_url_canonicalize, D24_SQL),
     # row-level change feed (rotated in for d14, 3x green r2-r4)
     "tbl_changes_scan": (tbl_changes_scan, TBL_CHANGES_SQL),
     # similarity / ANN (oracle-backed)
@@ -4521,6 +4599,7 @@ REGISTRY: dict = {
     "q29_json_extraction": (q29_json_extraction, Q29_SQL),
     "d14_pattern_scrub": (d14_pattern_scrub, D14_SQL),
     "d13_token_chunking": (d13_token_chunking, D13_SQL),
+    "d15_stratified_rebalance": (d15_stratified_rebalance, D15_SQL),
     # rows-only (no SQL equivalent → value-hash goldens in
     # tests/test_geo_golden.py pin these)
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),

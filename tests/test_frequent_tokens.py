@@ -54,3 +54,17 @@ def test_no_false_positives_near_threshold(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, [text], 3)
     got = {r["tok"] for r in d23_frequent_tokens(spark, sf).collect()}
     assert got == {"hot"}
+
+
+def test_d24_canonical_collapses_messy_twins(spark):
+    """Every page is seen once clean and once messy (HTTP://WWW. +
+    utm noise): canonicalization must collapse exactly 2:1 per host,
+    and hosts must be lowercase with www. stripped."""
+    from kblock_spark.queries import d24_url_canonicalize
+
+    rows = d24_url_canonicalize(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_urls"] == 2 * r["n_pages"], r
+        assert r["host"].startswith("ex") and not r["host"].startswith("www."), r
+        assert r["host"] == r["host"].lower()
