@@ -113,6 +113,21 @@ SECTIONS = [
         lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d21_boilerplate_removal(s, SF),
     ),
     (
+        "d22 — composed corpus pipeline (one scan)",
+        "Quality gate → exact dedup → split → rollup as ONE DAG: the "
+        "n_chars predicate is a PushedFilter in the single corpus "
+        "scan, the keeper decision is one equi-join on (fp, doc_id), "
+        "and nothing re-materializes between stages.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d22_corpus_pipeline(s, SF),
+    ),
+    (
+        "d24 — URL canonicalization",
+        "Pure Catalyst string/regex expressions inside one "
+        "WholeStageCodegen span; the only exchange is the final "
+        "per-host aggregate (map-side partial combine first).",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d24_url_canonicalize(s, SF),
+    ),
+    (
         "d23 — exact heavy hitters (candidates + recount)",
         "Stage 1 is an Exchange-free mapInPandas emitting <K "
         "candidates per partition; the recount is a BroadcastHashJoin "
