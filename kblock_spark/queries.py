@@ -4474,12 +4474,15 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 # Late round 5 also rotates in d19_hll_distinct, tbl_zorder_scan,
 # q32_bloom_prefilter_join and d20_split_assignment in place of
 # d01-d04 (4x green drivers each, r1-r4).
+# The closing session rotates eight more new operators into the
+# window — d21 boilerplate removal, tbl_rollback_scan, d22 corpus
+# pipeline, s09 streamed pipeline, tbl_changes_scan, d23 heavy
+# hitters, d24 URL canonicalization — in place of q26-q29 (4x green
+# drivers each) and d13/d14/d15 (3x green each).
 # Positions 51+ are the remaining oracle-backed queries
-# (d01-d04, q05, q07, q08, q10, q11, q13, q18, q19, q21, q23, q24,
-# q02, q17, q20, q03, q09, q12, q14, q15, q25 —
-# all with 3-4 consecutive driver greens); all of them still run in
-# the sf0.001 parity suite and the self-check every round. Rows-only
-# queries close the list.
+# (d01-d05, d13-d15, q01-q31's veterans — all with 3-4 consecutive
+# driver greens); all of them still run in the sf0.001 parity suite
+# and the self-check every round. Rows-only queries close the list.
 REGISTRY: dict = {
     # relational core
     "q30_set_ops": (q30_set_ops, Q30_SQL),
