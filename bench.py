@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "d23_frequent_tokens",
     "e10_ivfpq_index_ann",
     "d24_url_canonicalize",
+    "q33_sql_surface",
 ]
 
 GEO_NX = GEO_NY = 8

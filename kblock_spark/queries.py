@@ -1811,6 +1811,37 @@ FROM h GROUP BY 1, 2
 """
 
 
+# q33 — the SQL SURFACE: the identical analytical query a reference
+# user would paste, executed through spark.sql over a registered view
+# (every other registry entry declares its plan via the DataFrame
+# API; this one proves the engine's ANSI-SQL path end-to-end —
+# Catalyst planning, window-after-aggregate evaluation, integer-exact
+# quantized sums — against DuckDB running near-verbatim SQL). The
+# only oracle-side difference is the ::BIGINT cast DuckDB needs on
+# SUM(BIGINT) (HUGEINT widening — the round-4 s04 lesson).
+
+_Q33_BODY = """
+SELECT user_id, event_type, n_events, total_e6, rnk FROM (
+  SELECT user_id, event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)){cast} AS total_e6,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY COUNT(*) DESC, event_type) AS rnk
+  FROM {table}
+  GROUP BY user_id, event_type) t
+WHERE rnk <= 2
+"""
+
+
+def q33_sql_surface(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("kblock_events_v")
+    return spark.sql(_Q33_BODY.format(table="kblock_events_v", cast=""))
+
+
+Q33_SQL = _Q33_BODY.format(table="events", cast="::BIGINT")
+
+
 # d24 — URL canonicalization (crawl-side exact dedup key): a crawl
 # sees the same page under many spellings — scheme case, www.,
 # tracking params. Canonicalize (lowercase, https-fold, strip www.,
@@ -4491,7 +4522,8 @@ REGISTRY: dict = {
     "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
     "d06b_dropped_shingle_stats": (d06b_dropped_shingle_stats, D06B_SQL),
     "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
-    "d08_simhash": (d08_simhash, D08_SQL),
+    # the spark.sql surface proof (rotated in for d08, 3x green)
+    "q33_sql_surface": (q33_sql_surface, Q33_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d10_dup_components": (d10_dup_components, D10_SQL),
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
@@ -4603,6 +4635,7 @@ REGISTRY: dict = {
     "d14_pattern_scrub": (d14_pattern_scrub, D14_SQL),
     "d13_token_chunking": (d13_token_chunking, D13_SQL),
     "d15_stratified_rebalance": (d15_stratified_rebalance, D15_SQL),
+    "d08_simhash": (d08_simhash, D08_SQL),
     # rows-only (no SQL equivalent → value-hash goldens in
     # tests/test_geo_golden.py pin these)
     "e04_lsh_ann_topk": (e04_lsh_ann_topk, None),
