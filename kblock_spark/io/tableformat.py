@@ -151,6 +151,7 @@ def append_snapshot(
     path: str,
     stat_cols: list[str] | None = None,
     batch_id: int | None = None,
+    commit_retries: int = 3,
 ) -> int:
     """Commit ``df`` as an APPEND snapshot → new snapshot id.
 
@@ -158,32 +159,51 @@ def append_snapshot(
     just written. ``stat_cols`` adds per-file min/max for those
     columns (enables :func:`plan_files` pruning). ``batch_id`` tags
     the snapshot with a streaming micro-batch id (see
-    :func:`streaming_table_sink`)."""
-    parent = current_snapshot_id(path)
-    base: list[dict] = []
+    :func:`streaming_table_sink`).
+
+    Lost a commit race? Appends are order-independent, so the data
+    files (written ONCE, immutable) are re-based onto the new head
+    and only the metadata commit retries — Iceberg's
+    ``commit.retry.num-retries`` discipline. At cluster scale many
+    writers appending concurrently is the NORMAL state; without
+    metadata-only retries every conflict would re-shuffle and
+    re-write the loser's data. ``commit_retries=0`` restores
+    fail-fast behavior; :class:`CommitConflict` is raised once
+    retries are exhausted. Stats columns are resolved once at write
+    time (they are baked into the file entries)."""
     schema = df.schema.simpleString()
-    evolved = False
-    if parent is not None:
-        m = read_manifest(path, parent)
-        base = m["files"]
-        stat_cols = stat_cols if stat_cols is not None else m.get("stat_cols")
-        # a schema change (e.g. added column) marks the chain evolved:
-        # readers then merge footers so old files surface the new
-        # columns as NULL (Iceberg add-column semantics)
-        evolved = bool(m.get("schema_evolved")) or m.get("schema") != schema
+    parent0 = current_snapshot_id(path)
+    if stat_cols is None and parent0 is not None:
+        stat_cols = read_manifest(path, parent0).get("stat_cols")
     stat_cols = stat_cols or []
     new = _write_data_files(df, path, stat_cols)
-    manifest = {
-        "operation": "append",
-        "schema": schema,
-        "stat_cols": stat_cols,
-        "schema_evolved": evolved,
-        "files": base + new,
-        "added": [e["path"] for e in new],
-    }
-    if batch_id is not None:
-        manifest["batch_id"] = int(batch_id)
-    return _commit(path, manifest, parent)
+    for attempt in range(commit_retries + 1):
+        parent = current_snapshot_id(path)
+        base: list[dict] = []
+        evolved = False
+        if parent is not None:
+            m = read_manifest(path, parent)
+            base = m["files"]
+            # a schema change (e.g. added column) marks the chain
+            # evolved: readers then merge footers so old files surface
+            # the new columns as NULL (Iceberg add-column semantics)
+            evolved = bool(m.get("schema_evolved")) or m.get("schema") != schema
+        manifest = {
+            "operation": "append",
+            "schema": schema,
+            "stat_cols": stat_cols,
+            "schema_evolved": evolved,
+            "files": base + new,
+            "added": [e["path"] for e in new],
+        }
+        if batch_id is not None:
+            manifest["batch_id"] = int(batch_id)
+        try:
+            return _commit(path, manifest, parent)
+        except CommitConflict:
+            if attempt == commit_retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def last_committed_batch(path: str) -> int | None:

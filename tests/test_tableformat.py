@@ -662,3 +662,52 @@ def test_snapshot_diff_delete_side(spark, tmp_path):
     # delete rows carry the FROM-side values
     vals = {r["doc_id"]: r["v"] for r in d.collect()}
     assert all(vals[i] == i * 7 % 100 for i in vals)
+
+
+def test_append_retries_metadata_only_on_lost_race(spark, tmp_path, monkeypatch):
+    """Writer A loses the commit race to B: A's data files must NOT be
+    rewritten — only the metadata commit re-bases onto B's head and
+    retries (Iceberg's commit.retry discipline). With retries
+    disabled the conflict surfaces."""
+    from kblock_spark.io import tableformat as tf
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+
+    orig_commit = tf._commit
+    state = {"raced": False}
+
+    def racy_commit(path, manifest, expected_parent):
+        if not state["raced"] and expected_parent == 1:
+            state["raced"] = True
+            # a competing writer (B) lands between A's plan and A's
+            # swap; B's own commit passes through (raced already set)
+            tf.append_snapshot(_df(spark, 500, 520), path)
+        return orig_commit(path, manifest, expected_parent)
+
+    monkeypatch.setattr(tf, "_commit", racy_commit)
+    n_files_before = sum(
+        1 for _, _, fs in os.walk(os.path.join(t, "data"))
+        for n in fs if n.endswith(".parquet")
+    )
+    sid = tf.append_snapshot(_df(spark, 10, 30), t)
+    monkeypatch.setattr(tf, "_commit", orig_commit)
+    assert state["raced"]
+    assert sid == 3  # B took 2; A re-based and landed as 3
+    assert read_snapshot(spark, t).count() == 10 + 20 + 20
+    # A's staged files were reused, not rewritten: exactly the files
+    # of B's append plus A's ONE staging dir were added
+    m3 = read_manifest(t, 3)
+    n_files_after = sum(
+        1 for _, _, fs in os.walk(os.path.join(t, "data"))
+        for n in fs if n.endswith(".parquet")
+    )
+    n_added_by_both = n_files_after - n_files_before
+    assert len(m3["added"]) + len(read_manifest(t, 2)["added"]) == n_added_by_both
+    # fail-fast mode still raises
+    def always_racy(path, manifest, expected_parent):
+        raise CommitConflict("simulated")
+
+    monkeypatch.setattr(tf, "_commit", always_racy)
+    with pytest.raises(CommitConflict):
+        tf.append_snapshot(_df(spark, 30, 40), t, commit_retries=0)
