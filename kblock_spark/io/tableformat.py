@@ -69,6 +69,19 @@ def read_manifest(path: str, snapshot_id: int | None = None) -> dict:
         return json.load(f)
 
 
+def _read_manifest_expired_ok(path: str, sid: int) -> dict | None:
+    """Manifest for ``sid``, or None if :func:`expire_snapshots`
+    dropped it. Chain walkers treat a missing ancestor as the end of
+    the chain (Iceberg: expired snapshots fall off the lineage) —
+    without this, every walk over an expired table crashed with
+    FileNotFoundError (expire-then-vacuum, streaming-sink restart,
+    rollback ancestry checks)."""
+    try:
+        return read_manifest(path, sid)
+    except FileNotFoundError:
+        return None
+
+
 def _file_stats(fpath: str, stat_cols: list[str]) -> dict:
     """Per-file row count + column min/max from the parquet footer —
     metadata-only reads (no data pages), the source of the same stats
@@ -98,9 +111,30 @@ def _file_stats(fpath: str, stat_cols: list[str]) -> dict:
     return stats
 
 
+# a manifest claim (snap-<sid>.json exists but ``current`` never
+# advanced to <sid>) older than this is treated as a crashed writer's
+# debris and broken — Iceberg's commit-timeout discipline. A LIVE
+# writer slower than this between its claim and its pointer swap
+# could be raced; 5 minutes is ~4 orders of magnitude above the
+# observed claim→swap latency (two small file ops).
+_STALE_CLAIM_S = 300.0
+
+
 def _commit(path: str, manifest: dict, expected_parent: int | None) -> int:
-    """Write the manifest, then atomically swap ``current`` iff the
-    parent this writer based its snapshot on is still live."""
+    """Claim the next snapshot's manifest file exclusively, then
+    atomically swap ``current``.
+
+    The manifest file doubles as the commit LOCK: it is created via
+    ``os.link`` from a unique temp file (atomic-exclusive, like
+    ``open(..., 'x')`` but with the content already durable), so two
+    writers racing on the same parent can never both reach the
+    pointer swap — the loser's link fails with ``FileExistsError``
+    and raises :class:`CommitConflict` **before anything existing is
+    overwritten**. This closes the window where a loser that passed
+    the entry check clobbered the winner's already-committed manifest
+    and then re-based on its own clobbered copy, silently dropping
+    the winner's files. A claim whose pointer swap never happened
+    (crashed writer) is broken after :data:`_STALE_CLAIM_S` seconds."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     if current_snapshot_id(path) != expected_parent:
         raise CommitConflict(
@@ -113,18 +147,47 @@ def _commit(path: str, manifest: dict, expected_parent: int | None) -> int:
         "parent_id": expected_parent,
         "ts": time.time(),
     }
-    with open(_snap_path(path, sid), "w") as f:
-        json.dump(manifest, f, indent=1)
-    # the swap is the commit point: os.replace is atomic on POSIX
-    tmp = os.path.join(_meta_dir(path), f".current.{uuid.uuid4().hex}")
+    snap = _snap_path(path, sid)
+    tmp = os.path.join(_meta_dir(path), f".snap.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    try:
+        try:
+            os.link(tmp, snap)  # atomic claim — never overwrites
+        except FileExistsError:
+            # either a racing writer that will win, or a crashed
+            # writer's debris: break ONLY provably-stale claims
+            stale = False
+            try:
+                stale = (
+                    current_snapshot_id(path) == expected_parent
+                    and time.time() - os.path.getmtime(snap) > _STALE_CLAIM_S
+                )
+            except FileNotFoundError:
+                pass  # claimant finished or vanished; just conflict
+            if not stale:
+                raise CommitConflict(
+                    f"snapshot {sid} of {path} already claimed by a "
+                    "concurrent writer"
+                ) from None
+            os.remove(snap)
+            os.link(tmp, snap)
+    finally:
+        os.remove(tmp)
+    # the swap is the commit point: os.replace is atomic on POSIX.
+    # Holding the sid claim means no competing writer on the same
+    # parent can reach this point, so the swap cannot clobber a
+    # concurrent commit; the recheck is defense in depth.
+    ptr = os.path.join(_meta_dir(path), f".current.{uuid.uuid4().hex}")
+    with open(ptr, "w") as f:
         f.write(str(sid))
     if current_snapshot_id(path) != expected_parent:
-        os.remove(tmp)
+        os.remove(ptr)
+        os.remove(snap)  # release the claim we own
         raise CommitConflict(
             f"table {path} advanced past snapshot {expected_parent}"
         )
-    os.replace(tmp, os.path.join(_meta_dir(path), "current"))
+    os.replace(ptr, os.path.join(_meta_dir(path), "current"))
     return sid
 
 
@@ -216,7 +279,9 @@ def last_committed_batch(path: str) -> int | None:
 
 def _last_batch_in_chain(path: str, sid: int | None) -> int | None:
     while sid is not None:
-        m = read_manifest(path, sid)
+        m = _read_manifest_expired_ok(path, sid)
+        if m is None:
+            return None  # ancestry expired before any tagged snapshot
         if "batch_id" in m:
             return int(m["batch_id"])
         sid = m.get("parent_id")
@@ -248,10 +313,12 @@ def rollback_to(path: str, snapshot_id: int) -> int:
         return cur
     sid: int | None = cur
     while sid is not None and sid != snapshot_id:
-        sid = read_manifest(path, sid).get("parent_id")
+        m = _read_manifest_expired_ok(path, sid)
+        sid = m.get("parent_id") if m is not None else None
     if sid is None:
         raise ValueError(
-            f"snapshot {snapshot_id} is not an ancestor of current {cur}"
+            f"snapshot {snapshot_id} is not a live ancestor of current "
+            f"{cur} (never existed, or expired)"
         )
     t = read_manifest(path, snapshot_id)
     b = _last_batch_in_chain(path, snapshot_id)
@@ -392,7 +459,12 @@ def incremental_read(
     added: list[str] = []
     sid = to_sid
     while sid is not None and sid > from_snapshot:
-        m = read_manifest(path, sid)
+        m = _read_manifest_expired_ok(path, sid)
+        if m is None:
+            raise ValueError(
+                f"snapshot {sid} in range ({from_snapshot}, {to_sid}] "
+                "has been expired; the delta is unrecoverable"
+            )
         if m.get("operation") != "append":
             raise ValueError(
                 f"snapshot {sid} is {m.get('operation')!r}; incremental "
@@ -540,7 +612,9 @@ def remove_orphan_files(path: str, older_than_s: float = 0.0) -> list[str]:
     referenced: set[str] = set()
     sid = current_snapshot_id(path)
     while sid is not None:
-        m = read_manifest(path, sid)
+        m = _read_manifest_expired_ok(path, sid)
+        if m is None:
+            break  # expired ancestors reference nothing live
         referenced.update(e["path"] for e in m["files"])
         sid = m.get("parent_id")
     now = time.time()
@@ -753,7 +827,10 @@ def merge_into(
     batch = last_committed_batch(path)
     manifest = {
         "operation": "merge",
-        "schema": m.get("schema"),
+        # the schema `evolved` was computed against — recording the
+        # stale parent schema here made every later append re-diff
+        # against a schema the table no longer has
+        "schema": schema,
         "stat_cols": stat_cols,
         "schema_evolved": evolved,
         "files": kept + new,
@@ -867,8 +944,11 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     keep_ids = []
     sid: int | None = cur
     while sid is not None and len(keep_ids) < keep_last:
+        m = _read_manifest_expired_ok(path, sid)
+        if m is None:
+            break  # a previous expire already cut the chain here
         keep_ids.append(sid)
-        sid = read_manifest(path, sid).get("parent_id")
+        sid = m.get("parent_id")
     referenced = set()
     for k in keep_ids:
         referenced.update(e["path"] for e in read_manifest(path, k)["files"])

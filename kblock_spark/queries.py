@@ -1555,10 +1555,23 @@ def d17_segment_dedup(spark, sf_dir):
     # order-identical to min(struct(doc_id, seg_id)) while staying
     # HashAggregate-eligible — min over a struct falls back to
     # SortAggregate, which re-SORTS every partition of the segment
-    # stream by fingerprint (measured: two extra Sort nodes). Bound:
+    # stream by fingerprint (measured: two extra Sort nodes). Bounds:
     # seg_id < 2^22 ⇔ docs under ~12.5M tokens (50k-token docs are
-    # the guarded tail, d11).
-    packed = (F.col("doc_id") * F.lit(1 << 22) + F.col("seg_id")).alias("pk")
+    # the guarded tail, d11) AND doc_id < 2^41 — ENFORCED per row
+    # below: overflow would silently select a wrong first-occurrence
+    # keeper, so it must fail loudly instead. assert_true is a plain
+    # JVM comparison per row (returns NULL when the bound holds).
+    bound_ok = F.assert_true(
+        (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(1 << 41))
+        & (F.col("seg_id") < F.lit(1 << 22)),
+        F.lit("d17 packed-key overflow: need doc_id in [0, 2^41) "
+              "and seg_id < 2^22"),
+    )
+    packed = F.when(
+        bound_ok.isNull(),
+        F.col("doc_id") * F.lit(1 << 22) + F.col("seg_id"),
+    ).alias("pk")
     firsts = segs.select("fp", packed).groupBy("fp").agg(
         F.min("pk").alias("first_pk")
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -71,6 +72,14 @@ def _keep_first(key, pdfs, state: GroupState):
     state.update((True,))
 
 
+def _parse_payload_ddl(payload: str) -> StructType:
+    """Parse a payload column DDL with the real DDL parser — a naive
+    ``payload.split(',')`` mis-splits any comma-bearing type
+    (``decimal(10,2)``, ``map<string,long>``, ``struct<...>``) and
+    silently produces wrong column names."""
+    return StructType.fromDDL(payload)
+
+
 def stream_dedup_keep_row(docs: DataFrame, payload: str) -> DataFrame:
     """Seen-fingerprint registry dedup that keeps the WHOLE winning
     row, not just its id: emits (fp, doc_id, *payload columns) of the
@@ -83,8 +92,15 @@ def stream_dedup_keep_row(docs: DataFrame, payload: str) -> DataFrame:
     contain ``fp``, ``doc_id`` and every payload column. Same state
     discipline as :func:`stream_dedup_stateful` (one boolean per
     fingerprint, keyed in the state store)."""
-    cols = [c.strip().split()[0] for c in payload.split(",")]
-    out_schema = f"fp string, doc_id long, {payload}"
+    payload_schema = _parse_payload_ddl(payload)
+    cols = [f.name for f in payload_schema.fields]
+    out_schema = StructType(
+        [
+            StructField("fp", StringType()),
+            StructField("doc_id", LongType()),
+            *payload_schema.fields,
+        ]
+    )
 
     def keep_first_row(key, pdfs, state: GroupState):
         seen = state.get[0] if state.exists else False

@@ -49,3 +49,15 @@ def test_dedup_is_idempotent_on_clean_corpus(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     out = d17_segment_dedup(spark, str(tmp_path))
     assert out.where(F.col("n_kept") != F.col("n_segments")).count() == 0
+
+
+def test_packed_key_bound_is_enforced(spark, tmp_path):
+    """doc_id >= 2^41 would overflow the (doc_id, seg_id) packed
+    BIGINT and silently select a wrong keeper — it must raise."""
+    import pytest
+
+    rows = [(1 << 41, "alpha beta gamma"), (0, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    with pytest.raises(Exception, match="(?i)overflow|assert"):
+        d17_segment_dedup(spark, str(tmp_path)).collect()

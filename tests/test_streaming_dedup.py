@@ -148,3 +148,15 @@ def test_keep_row_carries_payload_and_suppresses_across_batches(spark, tmp_path)
     assert got["a"] == (3, "fr", 30)
     assert got["b"] == (9, "de", 90)
     assert got["c"] == (7, "it", 70)
+
+
+def test_payload_ddl_parse_handles_comma_bearing_types():
+    """split(',') mis-split decimal(10,2)/map<k,v>/struct payloads —
+    the DDL parser must yield the true field names."""
+    from kblock_spark.streaming.dedup import _parse_payload_ddl
+
+    s = _parse_payload_ddl(
+        "price decimal(10,2), tags map<string,long>, "
+        "meta struct<a:int,b:string>, lang string"
+    )
+    assert [f.name for f in s.fields] == ["price", "tags", "meta", "lang"]

@@ -711,3 +711,136 @@ def test_append_retries_metadata_only_on_lost_race(spark, tmp_path, monkeypatch)
     monkeypatch.setattr(tf, "_commit", always_racy)
     with pytest.raises(CommitConflict):
         tf.append_snapshot(_df(spark, 30, 40), t, commit_retries=0)
+
+
+def test_lost_race_never_clobbers_winner_manifest(spark, tmp_path):
+    """THE commit race the O_EXCL claim closes: writer B (winner) has
+    written its manifest but not yet swapped ``current``; writer A
+    (loser) passed its entry check in that window. A must conflict
+    WITHOUT touching B's manifest — before the fix A overwrote it and
+    a retry re-based on A's own clobbered copy, dropping B's files."""
+    from kblock_spark.io import tableformat as tf
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+    # winner B mid-commit: manifest for sid 2 written, current still 1
+    b_files = tf._write_data_files(_df(spark, 100, 130), t, [])
+    b_manifest = {
+        "operation": "append", "schema": "", "stat_cols": [],
+        "files": read_manifest(t, 1)["files"] + b_files,
+        "added": [e["path"] for e in b_files],
+        "snapshot_id": 2, "parent_id": 1, "ts": 0,
+    }
+    with open(tf._snap_path(t, 2), "w") as f:
+        json.dump(b_manifest, f)
+    winner_bytes = open(tf._snap_path(t, 2), "rb").read()
+    # loser A: entry check passes (current == 1), claim must fail
+    a_files = tf._write_data_files(_df(spark, 10, 20), t, [])
+    with pytest.raises(CommitConflict):
+        tf._commit(
+            t,
+            {"operation": "append", "schema": "", "stat_cols": [],
+             "files": a_files, "added": [e["path"] for e in a_files]},
+            expected_parent=1,
+        )
+    assert open(tf._snap_path(t, 2), "rb").read() == winner_bytes
+    # winner completes its swap; its 30 rows are all present
+    with open(os.path.join(t, "metadata", "current"), "w") as f:
+        f.write("2")
+    assert read_snapshot(spark, t).count() == 40
+
+
+def test_stale_claim_is_broken(spark, tmp_path):
+    """A crashed writer's claim (manifest written, swap never
+    happened, older than _STALE_CLAIM_S) must not wedge the table."""
+    from kblock_spark.io import tableformat as tf
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+    debris = {"operation": "append", "schema": "", "stat_cols": [],
+              "files": [], "added": [], "snapshot_id": 2,
+              "parent_id": 1, "ts": 0}
+    with open(tf._snap_path(t, 2), "w") as f:
+        json.dump(debris, f)
+    old = __import__("time").time() - tf._STALE_CLAIM_S - 60
+    os.utime(tf._snap_path(t, 2), (old, old))
+    sid = append_snapshot(_df(spark, 10, 25), t)
+    assert sid == 2
+    assert read_snapshot(spark, t).count() == 25
+
+
+def test_fresh_claim_blocks_commit(spark, tmp_path):
+    """A FRESH claim (racing in-flight writer) is respected: retries
+    exhaust into CommitConflict rather than breaking the lock."""
+    from kblock_spark.io import tableformat as tf
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+    with open(tf._snap_path(t, 2), "w") as f:
+        json.dump({"snapshot_id": 2, "parent_id": 1, "files": []}, f)
+    with pytest.raises(CommitConflict):
+        append_snapshot(_df(spark, 10, 20), t, commit_retries=2)
+    assert current_snapshot_id(t) == 1
+
+
+def test_expire_then_vacuum_and_walkers_survive(spark, tmp_path):
+    """expire_snapshots cuts the parent chain; every chain walker must
+    treat the missing ancestor as end-of-chain, not crash."""
+    from kblock_spark.io.tableformat import (
+        last_committed_batch,
+        remove_orphan_files,
+        rollback_to,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t, batch_id=0)
+    append_snapshot(_df(spark, 10, 20), t, batch_id=1)
+    append_snapshot(_df(spark, 20, 30), t)
+    append_snapshot(_df(spark, 30, 40), t)
+    expire_snapshots(t, keep_last=2)  # keeps 4, 3; cuts below 3
+    # vacuum walks the full chain → must stop at the cut
+    removed = remove_orphan_files(t)
+    assert read_snapshot(spark, t).count() == 40
+    assert isinstance(removed, list)
+    # streaming-sink restart walks past untagged snapshots → None,
+    # not FileNotFoundError (kept 3 and 4 carry no batch_id)
+    assert last_committed_batch(t) is None
+    # rollback ancestry walk over the cut → clean ValueError
+    with pytest.raises(ValueError, match="not a live ancestor"):
+        rollback_to(t, 1)
+    # a second, wider expire doesn't crash on the already-cut chain
+    assert isinstance(expire_snapshots(t, keep_last=5), list)
+
+
+def test_incremental_read_over_expired_range_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+    append_snapshot(_df(spark, 10, 20), t)
+    append_snapshot(_df(spark, 20, 30), t)
+    expire_snapshots(t, keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        incremental_read(spark, t, from_snapshot=1)
+
+
+def test_merge_manifest_records_evolved_schema(spark, tmp_path):
+    """A schema-widening merge must record the schema it computed
+    `evolved` against — recording the stale parent schema made every
+    later append re-diff against a schema the table no longer has."""
+    from kblock_spark.io.tableformat import merge_into
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t, stat_cols=["doc_id"])
+    ups = _df(spark, 5, 12).withColumn("extra", F.lit(9).cast("long"))
+    merge_into(spark, t, ups, "doc_id")
+    m = read_manifest(t)
+    assert "extra" in m["schema"]
+    assert m["schema_evolved"] is True
+    # an append with the SAME widened schema is not a new evolution
+    # diff against a stale schema: the recorded schema matches
+    widened = _df(spark, 12, 15).withColumn("extra", F.lit(1).cast("long"))
+    append_snapshot(widened, t)
+    m2 = read_manifest(t)
+    assert m2["schema"] == widened.schema.simpleString()
+    tbl = read_snapshot(spark, t)
+    assert tbl.count() == 15
+    assert "extra" in tbl.columns
