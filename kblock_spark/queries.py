@@ -4499,6 +4499,178 @@ LEFT JOIN s1 ON s1.block_id = ba.block_id AND s1.gadm_code = ba.gadm_code
 """
 
 
+# geo_k_oracle / geo_layers_oracle — the k-complexity kernel (K1/K2,
+# the project's NAMESAKE metric: reference batch_4_compute_k.py:41-375,
+# Delaunay-BFS layer peel) under a hard DuckDB oracle.
+#
+# Fixture (probed empirically, then derived in closed form): full
+# (2R+1)^2 integer grids of buildings with pitch G = 2^-10 deg (exact
+# dyadic) inside a rectangle of half-width (R+0.5)G. Any triangulation
+# of a full grid uses only unit-cell edges (rook + one diagonal per
+# cell), and every such edge changes the Chebyshev shell index
+# max(|i|,|j|) by at most 1, so the Voronoi-BFS peel advances EXACTLY
+# one shell per wave regardless of how cocircular ties are broken:
+#  - boundary-seeded blocks (no street): seeds = cells crossed by the
+#    boundary ring = the outer shell (8R cells); wave w = shell
+#    R-w+1 (8c buildings), last wave the center → k = R+1, per-
+#    building layer = R - max(|i|,|j|) + 1.
+#  - street-seeded blocks (an on-network street along the center
+#    row): seeds = row j=0 (2R+1 cells); wave w = rows ±(w-1)
+#    (2(2R+1) buildings) → k = R+1, layer = |j| + 1. The street's
+#    on-network length = the mercator x-span of the block (clip at
+#    the shell is exact for these dyadic inputs; radians/multiply op
+#    order replicated in SQL — bit-identical, quantized at 1e-5 m).
+#  - an interior street too far (>1.5 x 100 m buffer) from the
+#    exterior ring stays OFF-network: boundary-seeded peel + its
+#    exact length in off_network_street_length.
+#  - degenerate blocks: n=0 (k=1, layers "0") and n=1 (k=1, "1").
+
+
+def _k_oracle_fixture(spark):
+    """(blocks, buildings, streets) for the compute_k hard oracle.
+    Buildings carry urls "<block>:<i>:<j>" so the per-building layer
+    oracle can regenerate them in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from .geo.geom import pack_rings
+
+    G = 2.0 ** -10
+    blocks_rows, bldg_rows, street_rows = [], [], []
+
+    def add_block(bid, cx, cy, R, with_buildings=True):
+        m = (R + 0.5) * G
+        shell = np.array(
+            [[cx - m, cy - m], [cx + m, cy - m],
+             [cx + m, cy + m], [cx - m, cy + m]]
+        )
+        sizes, coords = pack_rings(shell)
+        blocks_rows.append(
+            {"block_id": bid, "ring_sizes": sizes, "coords": coords}
+        )
+        if with_buildings:
+            bldg_rows.extend(
+                {"block_id": bid, "url": f"{bid}:{i}:{j}",
+                 "lon": cx + i * G, "lat": cy + j * G}
+                for i in range(-R, R + 1) for j in range(-R, R + 1)
+            )
+
+    for bid, cx, cy, R in [
+        ("A3", 0.25, 0.25, 3), ("A5", 0.25, 0.65, 5), ("A7", 0.65, 0.25, 7)
+    ]:
+        add_block(bid, cx, cy, R)
+    sid = 0
+    for bid, cx, cy, R in [("B4", 1.25, 0.25, 4), ("B6", 1.25, 0.65, 6)]:
+        add_block(bid, cx, cy, R)
+        L = (R + 2) * G
+        street_rows.append(
+            {"street_id": sid, "highway": "residential",
+             "coords": [cx - L, cy, cx + L, cy]}
+        )
+        sid += 1
+    add_block("C4", 1.65, 0.25, 4)
+    street_rows.append(
+        {"street_id": sid, "highway": "residential",
+         "coords": [1.65 - G, 0.25, 1.65 + G, 0.25]}
+    )
+    add_block("E0", 1.65, 0.65, 0, with_buildings=False)
+    add_block("E1", 2.05, 0.25, 0)
+    return (
+        spark.createDataFrame(pd.DataFrame(blocks_rows)),
+        spark.createDataFrame(pd.DataFrame(bldg_rows)),
+        spark.createDataFrame(pd.DataFrame(street_rows)),
+    )
+
+
+def geo_k_oracle(spark, sf_dir):
+    from .pipeline import compute_k
+
+    blocks, bldgs, streets = _k_oracle_fixture(spark)
+    k = compute_k(blocks, bldgs.drop("url"), streets)
+    return k.select(
+        "block_id",
+        F.col("building_count").cast("bigint").alias("n_bldgs"),
+        F.col("k_complexity").cast("bigint").alias("k"),
+        F.col("building_layers").alias("layers"),
+        F.round(F.col("on_network_street_length") * 1e5)
+        .cast("bigint").alias("on_net_e5"),
+        F.round(F.col("off_network_street_length") * 1e5)
+        .cast("bigint").alias("off_net_e5"),
+    )
+
+
+def geo_layers_oracle(spark, sf_dir):
+    from .pipeline import compute_layers
+
+    blocks, bldgs, streets = _k_oracle_fixture(spark)
+    lay = compute_layers(blocks, bldgs, streets)
+    return lay.select(
+        "block_id",
+        "url",
+        F.col("layer").cast("bigint").alias("layer"),
+        F.col("k_complexity").cast("bigint").alias("k"),
+    )
+
+
+_G_SQL = "0.0009765625"  # 2^-10, exact
+
+GEO_K_SQL = f"""
+WITH params(block_id, kind, cx, R) AS (
+  VALUES ('A3', 'boundary', 0.25, 3),
+         ('A5', 'boundary', 0.25, 5),
+         ('A7', 'boundary', 0.65, 7),
+         ('B4', 'street',   1.25, 4),
+         ('B6', 'street',   1.25, 6),
+         ('C4', 'interior', 1.65, 4)),
+bnd_layers AS (
+  SELECT p.block_id,
+         string_agg((8 * t.c)::VARCHAR, ',' ORDER BY t.c DESC) || ',1'
+           AS layers
+  FROM params p JOIN range(1, 8) t(c) ON t.c <= p.R
+  GROUP BY p.block_id)
+SELECT p.block_id,
+       ((2*p.R+1) * (2*p.R+1))::BIGINT AS n_bldgs,
+       (p.R + 1)::BIGINT AS k,
+       CASE WHEN p.kind = 'street'
+            THEN (2*p.R+1)::VARCHAR
+                 || repeat(',' || (2*(2*p.R+1))::VARCHAR, p.R)
+            ELSE b.layers END AS layers,
+       CASE WHEN p.kind = 'street'
+            THEN CAST(round((6378137*radians(p.cx + (p.R+0.5)*{_G_SQL})
+                           - 6378137*radians(p.cx - (p.R+0.5)*{_G_SQL}))
+                          * 1e5) AS BIGINT)
+            ELSE 0::BIGINT END AS on_net_e5,
+       CASE WHEN p.kind = 'interior'
+            THEN CAST(round((6378137*radians(p.cx + {_G_SQL})
+                           - 6378137*radians(p.cx - {_G_SQL}))
+                          * 1e5) AS BIGINT)
+            ELSE 0::BIGINT END AS off_net_e5
+FROM params p LEFT JOIN bnd_layers b USING (block_id)
+UNION ALL SELECT 'E0', 0::BIGINT, 1::BIGINT, '0', 0::BIGINT, 0::BIGINT
+UNION ALL SELECT 'E1', 1::BIGINT, 1::BIGINT, '1', 0::BIGINT, 0::BIGINT
+"""
+
+GEO_LAYERS_SQL = """
+WITH params(block_id, kind, R) AS (
+  VALUES ('A3', 'boundary', 3), ('A5', 'boundary', 5),
+         ('A7', 'boundary', 7), ('B4', 'street', 4),
+         ('B6', 'street', 6), ('C4', 'boundary', 4)),
+grid AS (
+  SELECT p.block_id, p.kind, p.R, ti.i, tj.j
+  FROM params p
+  JOIN range(-7, 8) ti(i) ON abs(ti.i) <= p.R
+  JOIN range(-7, 8) tj(j) ON abs(tj.j) <= p.R)
+SELECT block_id,
+       block_id || ':' || i::VARCHAR || ':' || j::VARCHAR AS url,
+       CASE WHEN kind = 'street' THEN abs(j) + 1
+            ELSE R - greatest(abs(i), abs(j)) + 1
+       END::BIGINT AS layer,
+       (R + 1)::BIGINT AS k
+FROM grid
+UNION ALL SELECT 'E1', 'E1:0:0', 1::BIGINT, 1::BIGINT
+"""
+
+
 # that has never (or rarely) had a driver row is inside — round 5
 # rotates in d16_decontamination and s05_stream_static_enrich (added
 # late in r4, previously at positions 51-52) in place of q02/q20,
@@ -4547,9 +4719,12 @@ REGISTRY: dict = {
     "d24_url_canonicalize": (d24_url_canonicalize, D24_SQL),
     # row-level change feed (rotated in for d14, 3x green r2-r4)
     "tbl_changes_scan": (tbl_changes_scan, TBL_CHANGES_SQL),
+    # the k-complexity kernel K1/K2 under hard oracles (round 6: the
+    # project's namesake metric was the last hot geometry path
+    # without one; rotated in for e01/e02, 5x green drivers r1-r5)
+    "geo_k_oracle": (geo_k_oracle, GEO_K_SQL),
+    "geo_layers_oracle": (geo_layers_oracle, GEO_LAYERS_SQL),
     # similarity / ANN (oracle-backed)
-    "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
-    "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
     "e08_semantic_decontamination": (e08_semantic_decontamination, E08_SQL),
@@ -4611,6 +4786,8 @@ REGISTRY: dict = {
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
+    "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
+    "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
     "d03_fingerprint": (d03_fingerprint, D03_SQL),

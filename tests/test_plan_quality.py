@@ -93,6 +93,8 @@ def test_e02_blocked_matches_bruteforce(spark):
 # min class count) — O(N·1) by construction, same as geo_population's
 _CARTESIAN_OK = {
     "e01_ann_cosine_topk", "geo_k_complexity", "geo_population",
+    # same compute_k/_pack_blocks machinery as geo_k_complexity
+    "geo_k_oracle", "geo_layers_oracle",
     # embeds allocate_population → same ONE-ROW broadcast scalar
     # attach as geo_population
     "geo_combine_full",
