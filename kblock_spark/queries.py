@@ -1205,7 +1205,12 @@ _MH_B = (577, 1009, 2003, 3019)
 
 
 def d07_minhash_lsh_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    return _minhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_pairs(d: DataFrame) -> DataFrame:
+    """Banded-MinHash LSH candidate pairs over any (doc_id, text)
+    frame — the d07 core, reused by the fuzzy corpus pipeline (d25)."""
     sh = _shingle_hashes(d)
     mins = [
         F.min(F.pmod(F.lit(_MH_A[b]) * F.col("h") + F.lit(_MH_B[b]), F.lit(_MH_P)))
@@ -1815,6 +1820,98 @@ h AS (
   SELECT lang, n_toks,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 1000 AS b
   FROM kept)
+SELECT lang,
+       CASE WHEN b < 800 THEN 'train'
+            WHEN b < 900 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_docs, SUM(n_toks)::BIGINT AS sum_tokens
+FROM h GROUP BY 1, 2
+"""
+
+
+# d25 — the corpus pipeline with a FUZZY dedup stage (the
+# C4/RefinedWeb/CCNet production shape): quality filter → exact
+# (md5) dedup → MinHash-LSH candidate pairs → connected components →
+# cluster-keeper selection → split assignment → (lang, split) rollup.
+# Composes d22's stages with d07 (banded minhash, no band crossJoin)
+# and d10 (hash-to-min + pointer-jumping components, O(log d)
+# rounds) under ONE oracle. Scale: one corpus scan (quality predicate
+# pushed to parquet), the LSH self-join is band-bucket-keyed, the CC
+# iterates only over docs that appear in a candidate pair, and the
+# keeper filter is a left anti join on the (small) loser set.
+
+
+def d25_fuzzy_corpus_pipeline(spark, sf_dir):
+    from .ops.components import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.withColumn("n_toks", F.size(F.split("text", " "))).where(
+        (F.col("n_chars") >= _PIPE_MIN_CHARS)
+        & (F.col("n_toks") >= _PIPE_MIN_TOKS)
+    )
+    q = q.withColumn("fp", F.md5("text"))
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # exact-kept survivors feed BOTH the shingle pass and the final
+    # rollup — checkpoint so the filter+dedup subtree runs once
+    kept = q.join(keep, ["fp", "doc_id"]).localCheckpoint(eager=False)
+    pairs = _minhash_pairs(kept.select("doc_id", "text"))
+    losers = (
+        dup_clusters(pairs).where(~F.col("is_keeper")).select("doc_id")
+    )
+    final = kept.join(losers, "doc_id", "left_anti")
+    from .ops.sketch import _hash48
+
+    b = F.pmod(_hash48(F.col("doc_id").cast("string")), F.lit(1000))
+    split = (
+        F.when(b < 800, F.lit("train"))
+        .when(b < 900, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return final.select("lang", "n_toks", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("sum_tokens"),
+    )
+
+
+D25_SQL = f"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, lang, text, len(string_split(text, ' '))::BIGINT AS n_toks
+  FROM documents
+  WHERE n_chars >= {_PIPE_MIN_CHARS}
+    AND len(string_split(text, ' ')) >= {_PIPE_MIN_TOKS}),
+keep AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM q GROUP BY 1),
+kept AS (
+  SELECT q.doc_id, q.lang, q.text, q.n_toks
+  FROM q JOIN keep ON md5(q.text) = keep.fp AND q.doc_id = keep.doc_id),
+sh AS (
+  SELECT DISTINCT doc_id,
+         {_H12_SQL.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+  FROM (SELECT doc_id, string_split(text,' ') w FROM kept),
+       UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+per_doc AS (SELECT doc_id, {_D07_MINS} FROM sh GROUP BY doc_id),
+mh AS ({_D07_BANDS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+losers AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING MIN(v) <> u),
+final AS (
+  SELECT * FROM kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+h AS (
+  SELECT lang, n_toks,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 1000 AS b
+  FROM final)
 SELECT lang,
        CASE WHEN b < 800 THEN 'train'
             WHEN b < 900 THEN 'valid'
@@ -4709,7 +4806,10 @@ REGISTRY: dict = {
     "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
     # the spark.sql surface proof (rotated in for d08, 3x green)
     "q33_sql_surface": (q33_sql_surface, Q33_SQL),
-    "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
+    # fuzzy-dedup corpus pipeline (round 6: d07+d10+keeper composed
+    # into d22's stages under one oracle; rotated in for d09, 4x
+    # green drivers r2-r5)
+    "d25_fuzzy_corpus_pipeline": (d25_fuzzy_corpus_pipeline, D25_SQL),
     "d10_dup_components": (d10_dup_components, D10_SQL),
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
@@ -4788,6 +4888,7 @@ REGISTRY: dict = {
     # suite and the self-check each round)
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
+    "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
     "d03_fingerprint": (d03_fingerprint, D03_SQL),

@@ -105,7 +105,11 @@ _CARTESIAN_OK = {
     # built — cheap but not needed for this static audit
 _PLAN_AUDIT_SKIP = {"s01_stream_tile_rollup", "e05_ivf_ann_topk",
                     "d10_dup_components", "q22_weighted_buckets",
-                    "geo_knn"}
+                    "geo_knn",
+                    # CC pointer-jumping iterates at plan-build time
+                    # (like d10); its dedicated no-cartesian test runs
+                    # the same check once
+                    "d25_fuzzy_corpus_pipeline"}
 
 
 def test_no_accidental_cartesians_anywhere(spark):
@@ -230,5 +234,19 @@ def test_d22_pipeline_one_scan_pushdown(spark):
 
     plan = _plan(d22_corpus_pipeline(spark, SF))
     assert "GreaterThanOrEqual(n_chars,100)" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d25_fuzzy_pipeline_no_cartesian(spark):
+    """The fuzzy pipeline adds MinHash-LSH + connected components on
+    top of d22; the LSH self-join must stay band-bucket-keyed (no
+    O(N^2) join anywhere in the plan). The quality-gate parquet
+    pushdown is asserted on d22 (the stage is shared verbatim); it is
+    invisible here because the exact-kept subtree sits behind a
+    localCheckpoint (Scan ExistingRDD in this plan)."""
+    from kblock_spark.queries import d25_fuzzy_corpus_pipeline
+
+    plan = _plan(d25_fuzzy_corpus_pipeline(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
