@@ -243,10 +243,14 @@ def append_snapshot(
     for attempt in range(commit_retries + 1):
         parent = current_snapshot_id(path)
         base: list[dict] = []
+        dels: list[dict] = []
         evolved = False
         if parent is not None:
             m = read_manifest(path, parent)
             base = m["files"]
+            # position deletes survive appends: they address explicit
+            # immutable files, so they can't hit the new rows
+            dels = m.get("delete_files") or []
             # a schema change (e.g. added column) marks the chain
             # evolved: readers then merge footers so old files surface
             # the new columns as NULL (Iceberg add-column semantics)
@@ -259,6 +263,8 @@ def append_snapshot(
             "files": base + new,
             "added": [e["path"] for e in new],
         }
+        if dels:
+            manifest["delete_files"] = dels
         if batch_id is not None:
             manifest["batch_id"] = int(batch_id)
         try:
@@ -332,6 +338,8 @@ def rollback_to(path: str, snapshot_id: int) -> int:
         "added": [],
         "batch_id": -1 if b is None else b,
     }
+    if t.get("delete_files"):
+        manifest["delete_files"] = t["delete_files"]
     return _commit(path, manifest, cur)
 
 
@@ -439,7 +447,223 @@ def read_snapshot(
         all_files = plan_files(path, snapshot_id)
         df = reader.parquet(*all_files)
         return df.where("1 = 0")
-    return reader.parquet(*files)
+    return _apply_position_deletes(
+        spark, reader.parquet(*files), path, m.get("delete_files")
+    )
+
+
+def _apply_position_deletes(
+    spark: SparkSession, df: DataFrame, path: str, dels: list[dict] | None
+) -> DataFrame:
+    """Merge-on-read scan: anti-join the (file_path, pos) rows of the
+    snapshot's position-delete files — Iceberg v2's read path for
+    cheap deletes/upserts. The delete set is broadcast (it is the
+    SMALL side by construction: a delete file holds row addresses,
+    not rows); data rows never shuffle. Data files appended after a
+    delete are untouched automatically: position deletes address
+    explicit immutable files, so they can never hit rows that did not
+    exist when the delete committed."""
+    from pyspark.sql import functions as F
+
+    if not dels:
+        return df
+    cols = df.columns
+    return _address_and_filter(spark, df, path, dels).select(*cols)
+
+
+def _address_and_filter(
+    spark: SparkSession, scan: DataFrame, path: str, dels: list[dict] | None
+) -> DataFrame:
+    """Parquet scan → rows carrying their own address as ``__fp`` /
+    ``__pos`` columns, with position deletes applied. The ``_metadata``
+    hidden column only resolves directly on the scan relation (it is
+    lost through joins/projections), so the address must be captured
+    FIRST — the MOR writers then reuse the captured columns to emit
+    new delete rows."""
+    from pyspark.sql import functions as F
+
+    df = scan.withColumn("__fp", F.col("_metadata.file_path")).withColumn(
+        "__pos", F.col("_metadata.row_index")
+    )
+    if dels:
+        ddf = spark.read.parquet(
+            *[os.path.join(path, e["path"]) for e in dels]
+        )
+        df = df.join(
+            F.broadcast(ddf),
+            (F.col("__fp") == ddf["file_path"])
+            & (F.col("__pos") == ddf["pos"]),
+            "left_anti",
+        )
+    return df
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    prune: tuple[str, object, object] | None = None,
+) -> dict:
+    """Row-level DELETE as a MERGE-ON-READ commit (Iceberg v2
+    position deletes): instead of rewriting every file containing a
+    matching row (:func:`delete_where`'s copy-on-write), write ONE
+    small delete file recording the (file_path, row position) of each
+    deleted row and commit it metadata-only. Scans apply the delete
+    file via a broadcast anti-join (:func:`_apply_position_deletes`);
+    :func:`compact_data_files` / :func:`zorder_data_files` materialize
+    the deletes and clear them (Iceberg's rewrite maintenance).
+
+    This is the shape a 100 TB table needs for frequent small deletes:
+    write amplification is O(rows deleted), not O(files touched) —
+    a 10-row GDPR erasure against a 1000-file table writes one
+    kilobyte-scale delete file instead of rewriting gigabytes.
+
+    NULL semantics match SQL DELETE (rows where the predicate is TRUE
+    are deleted; FALSE or NULL are kept). Returns ``{"snapshot_id",
+    "rows_deleted", "delete_files"}``."""
+    from pyspark.sql import functions as F
+
+    cur = current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    m = read_manifest(path, cur)
+    candidates = plan_files(path, cur, prune=prune)
+    hits = None
+    if candidates:
+        reader = spark.read
+        if m.get("schema_evolved"):
+            reader = reader.option("mergeSchema", "true")
+        rows = _address_and_filter(
+            spark, reader.parquet(*sorted(candidates)), path,
+            m.get("delete_files"),
+        )
+        hits = rows.where(f"({predicate}) = TRUE").select(
+            F.col("__fp").alias("file_path"),
+            F.col("__pos").alias("pos"),
+        )
+    new_dels: list[dict] = []
+    rows_deleted = 0
+    if hits is not None:
+        sub = os.path.join(path, "data", uuid.uuid4().hex)
+        hits.repartition(1).write.mode("overwrite").parquet(sub)
+        for name in sorted(os.listdir(sub)):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(sub, name)
+            md = pq.ParquetFile(fpath).metadata
+            rows_deleted += md.num_rows
+            if md.num_rows:
+                new_dels.append(
+                    {"path": os.path.relpath(fpath, path),
+                     "rows": md.num_rows}
+                )
+    batch = last_committed_batch(path)
+    manifest = {
+        "operation": "delete-mor",
+        "schema": m.get("schema"),
+        "stat_cols": m.get("stat_cols") or [],
+        "schema_evolved": bool(m.get("schema_evolved")),
+        "files": m["files"],
+        "added": [],
+        "delete_files": (m.get("delete_files") or []) + new_dels,
+    }
+    if batch is not None:
+        manifest["batch_id"] = batch
+    sid = _commit(path, manifest, cur)
+    return {
+        "snapshot_id": sid,
+        "rows_deleted": rows_deleted,
+        "delete_files": len(manifest["delete_files"]),
+    }
+
+
+def merge_into_mor(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+) -> dict:
+    """MERGE INTO as a merge-on-read commit: position-delete the
+    matched rows and append the update rows — ONE snapshot, no data
+    file rewritten (Iceberg v2's cheap-upsert path, vs
+    :func:`merge_into`'s copy-on-write). Write amplification is
+    O(size of updates), independent of how many table files hold a
+    matched key. File selection reuses the manifest min/max pruning +
+    exact broadcast match of the CoW path, but the matched files only
+    contribute ROW ADDRESSES, never bytes.
+
+    Returns ``{"snapshot_id", "rows_shadowed", "files_touched"}``."""
+    from pyspark.sql import functions as F
+
+    cur = current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    m = read_manifest(path, cur)
+    stat_cols = m.get("stat_cols") or []
+    keys = updates.select(key_col).distinct()
+    lo, hi = updates.agg(F.min(key_col), F.max(key_col)).first()
+    candidates = (
+        plan_files(path, cur, prune=(key_col, lo, hi))
+        if lo is not None
+        else []
+    )
+    new_dels: list[dict] = []
+    rows_shadowed = 0
+    files_touched = 0
+    if candidates:
+        reader = spark.read
+        if m.get("schema_evolved"):
+            reader = reader.option("mergeSchema", "true")
+        rows = _address_and_filter(
+            spark, reader.parquet(*sorted(candidates)), path,
+            m.get("delete_files"),
+        )
+        hits = rows.join(F.broadcast(keys), key_col, "inner").select(
+            F.col("__fp").alias("file_path"),
+            F.col("__pos").alias("pos"),
+        )
+        sub = os.path.join(path, "data", uuid.uuid4().hex)
+        hits.repartition(1).write.mode("overwrite").parquet(sub)
+        touched = set()
+        for name in sorted(os.listdir(sub)):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(sub, name)
+            md = pq.ParquetFile(fpath).metadata
+            rows_shadowed += md.num_rows
+            if md.num_rows:
+                new_dels.append(
+                    {"path": os.path.relpath(fpath, path),
+                     "rows": md.num_rows}
+                )
+                # delete files are kilobyte-scale: reading the column
+                # back for the touched-file metric is metadata-cheap
+                touched.update(
+                    pq.read_table(fpath, columns=["file_path"])
+                    .column("file_path").to_pylist()
+                )
+        files_touched = len(touched)
+    new = _write_data_files(updates, path, stat_cols)
+    schema = updates.schema.simpleString()
+    evolved = bool(m.get("schema_evolved")) or m.get("schema") != schema
+    batch = last_committed_batch(path)
+    manifest = {
+        "operation": "merge-mor",
+        "schema": m.get("schema") if not evolved else schema,
+        "stat_cols": stat_cols,
+        "schema_evolved": evolved,
+        "files": m["files"] + new,
+        "added": [e["path"] for e in new],
+        "delete_files": (m.get("delete_files") or []) + new_dels,
+    }
+    if batch is not None:
+        manifest["batch_id"] = batch
+    sid = _commit(path, manifest, cur)
+    return {
+        "snapshot_id": sid,
+        "rows_shadowed": rows_shadowed,
+        "files_touched": files_touched,
+    }
 
 
 def incremental_read(
@@ -616,6 +840,9 @@ def remove_orphan_files(path: str, older_than_s: float = 0.0) -> list[str]:
         if m is None:
             break  # expired ancestors reference nothing live
         referenced.update(e["path"] for e in m["files"])
+        # position-delete files are live references too: vacuuming
+        # one would resurrect its deleted rows
+        referenced.update(e["path"] for e in m.get("delete_files") or [])
         sid = m.get("parent_id")
     now = time.time()
     deleted: list[str] = []
@@ -689,18 +916,37 @@ def snapshot_diff(
     mb = read_manifest(path, to_snapshot)
     pa = {e["path"] for e in ma["files"]}
     pb = {e["path"] for e in mb["files"]}
-    only_a = sorted(pa - pb)
-    only_b = sorted(pb - pa)
+    # merge-on-read: a delete-mor snapshot changes NO data files, so
+    # the file symmetric difference alone would miss its row deletes.
+    # Common files addressed by a delete file present on only one
+    # side must be scanned on both sides (each side then applies its
+    # own delete set, and unchanged rows hash-cancel as usual).
+    da = ma.get("delete_files") or []
+    db = mb.get("delete_files") or []
+    changed_dels = {e["path"] for e in da} ^ {e["path"] for e in db}
+    touched: set[str] = set()
+    for dp in sorted(changed_dels):
+        col = pq.read_table(
+            os.path.join(path, dp), columns=["file_path"]
+        ).column("file_path")
+        touched.update(
+            os.path.relpath(_strip_file_uri(fp), path)
+            for fp in set(col.to_pylist())
+        )
+    re_scan = touched & pa & pb
+    only_a = sorted((pa - pb) | re_scan)
+    only_b = sorted((pb - pa) | re_scan)
     schema_src = spark.read.parquet(
         os.path.join(path, (sorted(pa | pb))[0])
     ).schema
 
-    def _side(paths):
+    def _side(paths, dels):
         if not paths:
             return spark.createDataFrame([], schema_src)
-        return spark.read.parquet(*[os.path.join(path, p) for p in paths])
+        df = spark.read.parquet(*[os.path.join(path, p) for p in paths])
+        return _apply_position_deletes(spark, df, path, dels)
 
-    A, B = _side(only_a), _side(only_b)
+    A, B = _side(only_a, da), _side(only_b, db)
     val_cols = [c for c in A.columns if c not in key_cols]
     # one 128-bit value hash per row instead of N column comparisons:
     # the join carries (keys, hash, row-struct), not 2x the row width
@@ -799,24 +1045,34 @@ def merge_into(
     reader = spark.read
     if m.get("schema_evolved"):
         reader = reader.option("mergeSchema", "true")
+    live_dels = m.get("delete_files")
     matched: set = set()
     if candidates:
-        cand_rows = reader.parquet(*sorted(candidates))
+        # the captured __fp address replaces input_file_name(): the
+        # latter cannot resolve once the MOR anti-join puts a second
+        # source in the plan
+        cand_rows = _address_and_filter(
+            spark, reader.parquet(*sorted(candidates)), path, live_dels
+        )
         hit = (
-            cand_rows.select(key_col, F.input_file_name().alias("__f"))
+            cand_rows.select(key_col, "__fp")
             .join(F.broadcast(keys), key_col, "inner")
-            .select("__f")
+            .select("__fp")
             .distinct()
         )
         # file paths only — bounded by the candidate file count
-        matched = {_strip_file_uri(r["__f"]) for r in hit.collect()}
+        matched = {_strip_file_uri(r["__fp"]) for r in hit.collect()}
     kept = [
         e
         for e in all_entries
         if os.path.join(path, e["path"]) not in matched
     ]
     if matched:
-        base_rows = reader.parquet(*sorted(matched))
+        # position-delete-shadowed rows must not resurrect through
+        # the rewrite: filter them before the anti-join
+        base_rows = _apply_position_deletes(
+            spark, reader.parquet(*sorted(matched)), path, live_dels
+        )
         keep_rows = base_rows.join(F.broadcast(keys), key_col, "left_anti")
         new_rows = keep_rows.unionByName(updates, allowMissingColumns=True)
     else:
@@ -836,6 +1092,10 @@ def merge_into(
         "files": kept + new,
         "added": [e["path"] for e in new],
     }
+    if live_dels:
+        # entries referencing rewritten (now dead) files are inert;
+        # entries referencing kept files must keep applying
+        manifest["delete_files"] = live_dels
     if batch is not None:
         manifest["batch_id"] = batch
     sid = _commit(path, manifest, cur)
@@ -884,16 +1144,19 @@ def delete_where(
     stat_cols = m.get("stat_cols") or []
     all_entries = m["files"]
     candidates = set(plan_files(path, cur, prune=prune))
+    live_dels = m.get("delete_files")
     matched: set = set()
     rows_deleted = 0
     if candidates:
         reader = spark.read
         if m.get("schema_evolved"):
             reader = reader.option("mergeSchema", "true")
-        cand_rows = reader.parquet(*sorted(candidates))
+        cand_rows = _address_and_filter(
+            spark, reader.parquet(*sorted(candidates)), path, live_dels
+        )
         per_file = (
             cand_rows.where(f"({predicate}) = TRUE")
-            .groupBy(F.input_file_name().alias("__f"))
+            .groupBy(F.col("__fp").alias("__f"))
             .count()
             .collect()
         )
@@ -909,7 +1172,9 @@ def delete_where(
         reader = spark.read
         if m.get("schema_evolved"):
             reader = reader.option("mergeSchema", "true")
-        base_rows = reader.parquet(*sorted(matched))
+        base_rows = _apply_position_deletes(
+            spark, reader.parquet(*sorted(matched)), path, live_dels
+        )
         keep_rows = base_rows.where(f"({predicate}) IS NOT TRUE")
         new = _write_data_files(keep_rows, path, stat_cols)
     batch = last_committed_batch(path)
@@ -921,6 +1186,8 @@ def delete_where(
         "files": kept + new,
         "added": [e["path"] for e in new],
     }
+    if live_dels:
+        manifest["delete_files"] = live_dels
     if batch is not None:
         manifest["batch_id"] = batch
     sid = _commit(path, manifest, cur)
@@ -951,7 +1218,9 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
         sid = m.get("parent_id")
     referenced = set()
     for k in keep_ids:
-        referenced.update(e["path"] for e in read_manifest(path, k)["files"])
+        km = read_manifest(path, k)
+        referenced.update(e["path"] for e in km["files"])
+        referenced.update(e["path"] for e in km.get("delete_files") or [])
     deleted = []
     data_root = os.path.join(path, "data")
     for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:

@@ -3985,6 +3985,91 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
 """
 
 
+def tbl_mor_scan(spark, sf_dir):
+    """Merge-on-read (Iceberg v2 position deletes) under a hard
+    oracle: DELETE and MERGE commit only row ADDRESSES + new rows
+    (io/tableformat.delete_where_mor / merge_into_mor); the scan
+    applies the delete files via a broadcast anti-join. The fixture
+    proves the full life-cycle on one table: MOR delete → MOR upsert
+    (matched live rows shadowed, matched-but-deleted keys re-inserted
+    via the update rows, pure inserts appended) → a later append whose
+    rows the earlier delete must NOT touch (position deletes address
+    explicit immutable files) — all without rewriting a single data
+    file (asserted in tests/test_tableformat_mor.py; here the oracle
+    pins the visible row set)."""
+    from .io.tableformat import (
+        append_snapshot,
+        delete_where_mor,
+        merge_into_mor,
+        overwrite_snapshot,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _scratch("tbl_mor_")
+    overwrite_snapshot(
+        docs.repartitionByRange(4, "doc_id"), path, stat_cols=["doc_id"]
+    )
+    delete_where_mor(spark, path, "doc_id % 5 = 2")
+    upd = (
+        docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 300))
+        .select(
+            "doc_id",
+            F.lit("yy").alias("lang"),
+            "source",
+            (F.col("n_chars") + 500).alias("n_chars"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    merge_into_mor(spark, path, upd, "doc_id")
+    append_snapshot(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang",
+            "source",
+            "n_chars",
+        ),
+        path,
+    )
+    return read_snapshot(spark, path).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+TBL_MOR_SQL = """
+WITH after_del AS (
+  SELECT doc_id, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 <> 2),
+upd AS (
+  SELECT doc_id, 'yy' AS lang, source, n_chars + 500 AS n_chars
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id < 300
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0),
+appended AS (
+  SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars FROM upd
+UNION ALL
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
+FROM after_del WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+UNION ALL
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars FROM appended
+"""
+
+
 def tbl_rollback_scan(spark, sf_dir):
     """Snapshot rollback (io/tableformat.rollback_to — Iceberg's
     ``rollback_to_snapshot``) under a hard oracle. Even doc_ids commit
@@ -4824,8 +4909,9 @@ REGISTRY: dict = {
     # without one; rotated in for e01/e02, 5x green drivers r1-r5)
     "geo_k_oracle": (geo_k_oracle, GEO_K_SQL),
     "geo_layers_oracle": (geo_layers_oracle, GEO_LAYERS_SQL),
-    # similarity / ANN (oracle-backed)
-    "e03_label_centroid": (e03_label_centroid, E03_SQL),
+    # merge-on-read position deletes, the Iceberg v2 cheap-upsert
+    # path (round 6; rotated in for e03, 4x green drivers r2-r5)
+    "tbl_mor_scan": (tbl_mor_scan, TBL_MOR_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
     "e08_semantic_decontamination": (e08_semantic_decontamination, E08_SQL),
     "d16_decontamination": (d16_decontamination, D16_SQL),
@@ -4888,6 +4974,7 @@ REGISTRY: dict = {
     # suite and the self-check each round)
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
+    "e03_label_centroid": (e03_label_centroid, E03_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
