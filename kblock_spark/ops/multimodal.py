@@ -31,10 +31,16 @@ MEDIA_SCHEMA = (
 
 
 def make_blob(media_id: int, kind: str, width: int, height: int, n_frames: int) -> bytes:
+    """Payload byte j = (D[j mod 16] + j div 16) mod 256, where D is
+    the md5 digest of "<media_id>:<kind>" — pseudo-random-looking but
+    CLOSED-FORM, so a SQL engine can regenerate the byte stream from
+    the hex digest and cross-check the decode features (the round-6
+    media_features hard oracle; an RNG payload was uncheckable)."""
     seed = hashlib.md5(f"{media_id}:{kind}".encode()).digest()
     payload_len = min(width * height, 4096)
-    rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-    payload = rng.integers(0, 256, payload_len, dtype=np.uint8).tobytes()
+    d = np.frombuffer(seed, dtype=np.uint8).astype(np.int64)
+    j = np.arange(payload_len, dtype=np.int64)
+    payload = ((d[j % 16] + j // 16) % 256).astype(np.uint8).tobytes()
     return (
         MAGIC
         + kind[:1].upper().encode()

@@ -3638,13 +3638,51 @@ def s09_stream_corpus_pipeline(spark, sf_dir):
 
 
 def media_features(spark, sf_dir):
+    """Multimodal decode plumbing under a hard oracle (round 6): the
+    synth container payload is a closed-form md5-block byte stream
+    (ops/multimodal.make_blob), so DuckDB regenerates every byte from
+    the digest hex and cross-checks the decoded features — header
+    parse (kind/width/height), mean byte (integer-exact sum, one
+    division — bit-identical), distinct byte count. content_hash
+    stays in decode_features for the pytest determinism check; it is
+    an md5 over raw BYTES, which SQL cannot rebuild from text."""
     from .ops.multimodal import decode_features, synth_media
 
     media = synth_media(spark, 300)
     return decode_features(media).select(
-        "media_id", "kind", "dec_width", "dec_height",
-        F.round("mean_byte", 6).alias("mean_byte"), "content_hash",
+        "media_id", "kind",
+        F.col("dec_width").cast("bigint").alias("dec_width"),
+        F.col("dec_height").cast("bigint").alias("dec_height"),
+        F.round(F.col("mean_byte") * 1e6).cast("bigint").alias("mean_byte_e6"),
+        F.col("distinct_bytes").cast("bigint").alias("distinct_bytes"),
     )
+
+
+MEDIA_SQL = """
+WITH m AS (
+  SELECT i AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+         32 + (i * 37) % 480 AS w,
+         32 + (i * 53) % 360 AS h
+  FROM range(300) t(i)),
+digests AS (
+  SELECT media_id, kind, w, h,
+         least(w * h, 4096) AS plen,
+         md5(media_id::VARCHAR || ':' || kind) AS hex
+  FROM m),
+bytes AS (
+  SELECT d.media_id,
+         (('0x' || substr(d.hex, ((t.j % 16) * 2 + 1)::INT, 2))::BIGINT
+          + t.j // 16) % 256 AS val
+  FROM digests d JOIN range(4096) t(j) ON t.j < d.plen)
+SELECT d.media_id, d.kind,
+       d.w::BIGINT AS dec_width, d.h::BIGINT AS dec_height,
+       CAST(round(AVG(b.val) * 1e6) AS BIGINT) AS mean_byte_e6,
+       COUNT(DISTINCT b.val)::BIGINT AS distinct_bytes
+FROM digests d JOIN bytes b ON b.media_id = d.media_id
+GROUP BY 1, 2, 3, 4
+"""
 
 
 # ---------------------------------------------------------------- registry
@@ -4895,7 +4933,10 @@ REGISTRY: dict = {
     # into d22's stages under one oracle; rotated in for d09, 4x
     # green drivers r2-r5)
     "d25_fuzzy_corpus_pipeline": (d25_fuzzy_corpus_pipeline, D25_SQL),
-    "d10_dup_components": (d10_dup_components, D10_SQL),
+    # multimodal decode under a hard oracle (round 6: closed-form
+    # md5-block payload regenerated byte-by-byte in SQL; rotated in
+    # for d10, 4x green drivers r2-r5)
+    "media_features": (media_features, MEDIA_SQL),
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
     # exact heavy hitters (rotated in for d13, 3x green r2-r4)
@@ -4975,6 +5016,7 @@ REGISTRY: dict = {
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
+    "d10_dup_components": (d10_dup_components, D10_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
@@ -5021,7 +5063,6 @@ REGISTRY: dict = {
     "e07_ivf_index_ann": (e07_ivf_index_ann, None),
     "e09_pq_ann_topk": (e09_pq_ann_topk, None),
     "e10_ivfpq_index_ann": (e10_ivfpq_index_ann, None),
-    "media_features": (media_features, None),
     "geo_blocks": (geo_blocks, None),
     "geo_pip_join": (geo_pip_join, None),
     "geo_k_complexity": (geo_k_complexity, None),

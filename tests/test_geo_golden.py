@@ -39,7 +39,8 @@ GOLDEN = {
     # columns fill to no_agglosid/Non-urban/No, k_complexity
     # zero-fill became fill-to-1
     "geo_combine_full": ("f67762402e0cbb1b", 28),
-    "media_features": ("1f9e2bd35fe6dccd", 300),
+    # media_features graduated to a hard DuckDB oracle in round 6
+    # (closed-form md5-block payload) and left the golden set
     "s01_stream_tile_rollup": ("a3824bff0cd6587c", 867),
     "e05_ivf_ann_topk": ("73afa9e353501e2d", 100),
     # persisted-index round trip: same hash as e05 BY CONSTRUCTION —
