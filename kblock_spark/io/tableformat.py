@@ -191,21 +191,73 @@ def _commit(path: str, manifest: dict, expected_parent: int | None) -> int:
     return sid
 
 
+def _partition_expr(df: DataFrame, spec: list[dict]):
+    """Partition-transform columns for a spec. The derived columns are
+    COPIES (``__p_<col>``), so ``partitionBy`` strips only the copy and
+    every data file stays self-contained — leaf files are readable
+    without basePath reconstruction (the manifest is the planner, not
+    the directory tree)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    names = []
+    for t in spec:
+        col, tr = t["col"], t["transform"]
+        name = f"__p_{tr}_{col}"
+        if tr == "identity":
+            out = out.withColumn(name, F.col(col).cast("string"))
+        elif tr == "bucket":
+            out = out.withColumn(
+                name, F.pmod(F.xxhash64(F.col(col)), F.lit(int(t["n"])))
+            )
+        elif tr == "truncate":
+            w = int(t["w"])
+            out = out.withColumn(
+                name, (F.col(col).cast("long") - F.pmod(F.col(col).cast("long"), F.lit(w)))
+            )
+        else:
+            raise ValueError(f"unknown partition transform {tr!r}")
+        names.append(name)
+    return out, names
+
+
 def _write_data_files(
-    df: DataFrame, path: str, stat_cols: list[str]
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str],
+    spec: list[dict] | None = None,
+    spec_id: int = 0,
 ) -> list[dict]:
     """Write ``df`` into a unique staging subdir of data/ and return
     manifest entries for the files produced. Files are immutable once
-    written; uncommitted stagings are invisible orphans."""
+    written; uncommitted stagings are invisible orphans. Under a
+    partition spec the write is hive-laid-out by the transform copies
+    and every entry records its partition tuple + spec id (Iceberg:
+    each data file is tagged with the spec it was written under)."""
     sub = os.path.join(path, "data", uuid.uuid4().hex)
-    df.write.mode("overwrite").parquet(sub)
+    if spec:
+        pdf, pnames = _partition_expr(df, spec)
+        pdf.write.mode("overwrite").partitionBy(*pnames).parquet(sub)
+    else:
+        df.write.mode("overwrite").parquet(sub)
     entries = []
-    for name in sorted(os.listdir(sub)):
-        if not name.endswith(".parquet"):
-            continue
-        fpath = os.path.join(sub, name)
-        rel = os.path.relpath(fpath, path)
-        entries.append({"path": rel, **_file_stats(fpath, stat_cols)})
+    for root, _dirs, names in sorted(os.walk(sub)):
+        part: dict = {}
+        if spec:
+            for seg in os.path.relpath(root, sub).split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    part[k.removeprefix("__p_")] = v
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, name)
+            rel = os.path.relpath(fpath, path)
+            e = {"path": rel, **_file_stats(fpath, stat_cols)}
+            if spec:
+                e["partition"] = part
+                e["spec_id"] = spec_id
+            entries.append(e)
     return entries
 
 
@@ -236,10 +288,16 @@ def append_snapshot(
     time (they are baked into the file entries)."""
     schema = df.schema.simpleString()
     parent0 = current_snapshot_id(path)
-    if stat_cols is None and parent0 is not None:
-        stat_cols = read_manifest(path, parent0).get("stat_cols")
+    spec: list[dict] = []
+    spec_id = 0
+    if parent0 is not None:
+        m0 = read_manifest(path, parent0)
+        if stat_cols is None:
+            stat_cols = m0.get("stat_cols")
+        spec = m0.get("spec") or []
+        spec_id = int(m0.get("spec_id") or 0)
     stat_cols = stat_cols or []
-    new = _write_data_files(df, path, stat_cols)
+    new = _write_data_files(df, path, stat_cols, spec=spec, spec_id=spec_id)
     for attempt in range(commit_retries + 1):
         parent = current_snapshot_id(path)
         base: list[dict] = []
@@ -265,6 +323,12 @@ def append_snapshot(
         }
         if dels:
             manifest["delete_files"] = dels
+        if spec:
+            manifest["spec"] = spec
+            manifest["spec_id"] = spec_id
+        elif parent is not None and m.get("spec_id"):
+            # spec was reverted to unpartitioned: keep the id counter
+            manifest["spec_id"] = m["spec_id"]
         if batch_id is not None:
             manifest["batch_id"] = int(batch_id)
         try:
@@ -273,6 +337,61 @@ def append_snapshot(
             if attempt == commit_retries:
                 raise
     raise AssertionError("unreachable")
+
+
+def _carry_spec(manifest: dict, m: dict) -> dict:
+    """Copy the partition spec + id from a parent manifest onto a new
+    one (rewrite ops emit unpartitioned files — tagged with no
+    partition tuple, so planning treats them conservatively — but
+    FUTURE appends must keep partitioning by the live spec)."""
+    if m.get("spec"):
+        manifest["spec"] = m["spec"]
+    if m.get("spec_id"):
+        manifest["spec_id"] = m["spec_id"]
+    return manifest
+
+
+def set_partition_spec(path: str, spec: list[dict]) -> int:
+    """Iceberg partition-spec EVOLUTION: change how FUTURE data files
+    are laid out, as a metadata-only commit — no data file moves, no
+    rewrite. Each transform is ``{"col", "transform"}`` with
+    ``transform`` ∈ identity | bucket (+``n``) | truncate (+``w``).
+
+    Old files keep the layout (and per-file partition tuple + spec id)
+    they were written under; new appends partition by the new spec.
+    Scan planning prunes each file BY ITS OWN spec — exactly Iceberg's
+    split planning across spec changes — so a table can start
+    unpartitioned, evolve to identity(lang) when language skew
+    emerges, and later to bucket(doc_id, N) for join co-location,
+    without ever rewriting history. ``spec=[]`` reverts to
+    unpartitioned writes. Returns the new snapshot id."""
+    for t in spec:
+        if t.get("transform") not in ("identity", "bucket", "truncate"):
+            raise ValueError(f"unknown partition transform: {t!r}")
+        if t["transform"] == "bucket" and "n" not in t:
+            raise ValueError("bucket transform needs 'n'")
+        if t["transform"] == "truncate" and "w" not in t:
+            raise ValueError("truncate transform needs 'w'")
+    cur = current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    m = read_manifest(path, cur)
+    manifest = {
+        "operation": "set-spec",
+        "schema": m.get("schema"),
+        "stat_cols": m.get("stat_cols") or [],
+        "schema_evolved": bool(m.get("schema_evolved")),
+        "files": m["files"],
+        "added": [],
+        "spec": list(spec),
+        "spec_id": int(m.get("spec_id") or 0) + 1,
+    }
+    if m.get("delete_files"):
+        manifest["delete_files"] = m["delete_files"]
+    batch = last_committed_batch(path)
+    if batch is not None:
+        manifest["batch_id"] = batch
+    return _commit(path, manifest, cur)
 
 
 def last_committed_batch(path: str) -> int | None:
@@ -340,6 +459,7 @@ def rollback_to(path: str, snapshot_id: int) -> int:
     }
     if t.get("delete_files"):
         manifest["delete_files"] = t["delete_files"]
+    _carry_spec(manifest, t)
     return _commit(path, manifest, cur)
 
 
@@ -372,19 +492,29 @@ def overwrite_snapshot(
     """Commit ``df`` as a full-table OVERWRITE snapshot. Old files
     stay on disk for time travel until :func:`expire_snapshots`."""
     parent = current_snapshot_id(path)
-    if stat_cols is None and parent is not None:
-        stat_cols = read_manifest(path, parent).get("stat_cols")
+    spec: list[dict] = []
+    spec_id = 0
+    pm: dict = {}
+    if parent is not None:
+        pm = read_manifest(path, parent)
+        if stat_cols is None:
+            stat_cols = pm.get("stat_cols")
+        spec = pm.get("spec") or []
+        spec_id = int(pm.get("spec_id") or 0)
     stat_cols = stat_cols or []
-    new = _write_data_files(df, path, stat_cols)
+    new = _write_data_files(df, path, stat_cols, spec=spec, spec_id=spec_id)
     return _commit(
         path,
-        {
-            "operation": "overwrite",
-            "schema": df.schema.simpleString(),
-            "stat_cols": stat_cols,
-            "files": new,
-            "added": [e["path"] for e in new],
-        },
+        _carry_spec(
+            {
+                "operation": "overwrite",
+                "schema": df.schema.simpleString(),
+                "stat_cols": stat_cols,
+                "files": new,
+                "added": [e["path"] for e in new],
+            },
+            pm,
+        ),
         parent,
     )
 
@@ -401,7 +531,13 @@ def plan_files(
     (a conjunction — multi-dimensional range pruning, the payoff of
     Z-order clustering). A file is kept iff every predicate's
     [min_col, max_col] interval intersects its [lo, hi] (files
-    lacking stats are conservatively kept). This is manifest-driven:
+    lacking stats are conservatively kept). Files written under a
+    partition spec are ALSO pruned by their own partition tuple —
+    identity(col) values outside [lo, hi] skip the file even without
+    column stats; bucket/truncate partitions are conservatively kept
+    for range predicates (like Iceberg, bucket layout cannot answer a
+    range). Each file prunes by the spec it was written under, so the
+    plan is correct across spec evolution. This is manifest-driven:
     no directory listing, no parquet footer reads at plan time."""
     m = read_manifest(path, snapshot_id)
     preds = (
@@ -416,6 +552,18 @@ def plan_files(
             fmin, fmax = e.get(f"min_{c}"), e.get(f"max_{c}")
             if fmin is not None and fmax is not None:
                 if fmax < lo or fmin > hi:
+                    skip = True
+                    break
+            pv = (e.get("partition") or {}).get(f"identity_{c}")
+            if pv is not None:
+                # hive dir values are strings; coerce to the
+                # predicate's type, keep the file if uncoercible
+                # (e.g. __HIVE_DEFAULT_PARTITION__ for NULLs)
+                try:
+                    v = type(lo)(pv)
+                except (TypeError, ValueError):
+                    continue
+                if v < lo or v > hi:
                     skip = True
                     break
         if not skip:
@@ -569,7 +717,7 @@ def delete_where_mor(
     }
     if batch is not None:
         manifest["batch_id"] = batch
-    sid = _commit(path, manifest, cur)
+    sid = _commit(path, _carry_spec(manifest, m), cur)
     return {
         "snapshot_id": sid,
         "rows_deleted": rows_deleted,
@@ -658,7 +806,7 @@ def merge_into_mor(
     }
     if batch is not None:
         manifest["batch_id"] = batch
-    sid = _commit(path, manifest, cur)
+    sid = _commit(path, _carry_spec(manifest, m), cur)
     return {
         "snapshot_id": sid,
         "rows_shadowed": rows_shadowed,
@@ -736,7 +884,7 @@ def compact_data_files(
     }
     if batch is not None:
         manifest["batch_id"] = batch
-    return _commit(path, manifest, cur)
+    return _commit(path, _carry_spec(manifest, m), cur)
 
 
 def zorder_data_files(
@@ -812,7 +960,7 @@ def zorder_data_files(
     }
     if batch is not None:
         manifest["batch_id"] = batch
-    return _commit(path, manifest, cur)
+    return _commit(path, _carry_spec(manifest, m), cur)
 
 
 def remove_orphan_files(path: str, older_than_s: float = 0.0) -> list[str]:
@@ -1098,7 +1246,7 @@ def merge_into(
         manifest["delete_files"] = live_dels
     if batch is not None:
         manifest["batch_id"] = batch
-    sid = _commit(path, manifest, cur)
+    sid = _commit(path, _carry_spec(manifest, m), cur)
     return {
         "snapshot_id": sid,
         "files_total": len(all_entries),
@@ -1190,7 +1338,7 @@ def delete_where(
         manifest["delete_files"] = live_dels
     if batch is not None:
         manifest["batch_id"] = batch
-    sid = _commit(path, manifest, cur)
+    sid = _commit(path, _carry_spec(manifest, m), cur)
     return {
         "snapshot_id": sid,
         "files_total": len(all_entries),

@@ -4108,6 +4108,44 @@ SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars FROM appended
 """
 
 
+def tbl_spec_scan(spark, sf_dir):
+    """Partition-spec evolution under a hard oracle: the table starts
+    unpartitioned, evolves to identity(lang) (metadata-only commit —
+    no rewrite, asserted in tests/test_tableformat_spec.py), and a
+    second crawl appends under the new spec. The pruned scan keeps
+    pre-spec files conservatively and skips non-matching identity
+    partitions of post-spec files (each file prunes by the spec it
+    was written under); a residual filter makes the row set exact
+    for the oracle."""
+    from .io.tableformat import (
+        append_snapshot,
+        read_snapshot,
+        set_partition_spec,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _scratch("tbl_spec_")
+    append_snapshot(docs.where(F.col("doc_id") % 2 == 0), path)
+    set_partition_spec(path, [{"col": "lang", "transform": "identity"}])
+    append_snapshot(docs.where(F.col("doc_id") % 2 == 1), path)
+    return (
+        read_snapshot(spark, path, prune=("lang", "en", "en"))
+        .where("lang = 'en'")
+        .select(
+            "doc_id", "lang", "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+TBL_SPEC_SQL = """
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
+FROM documents WHERE lang = 'en'
+"""
+
+
 def tbl_rollback_scan(spark, sf_dir):
     """Snapshot rollback (io/tableformat.rollback_to — Iceberg's
     ``rollback_to_snapshot``) under a hard oracle. Even doc_ids commit
@@ -4937,7 +4975,9 @@ REGISTRY: dict = {
     # md5-block payload regenerated byte-by-byte in SQL; rotated in
     # for d10, 4x green drivers r2-r5)
     "media_features": (media_features, MEDIA_SQL),
-    "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
+    # partition-spec evolution, metadata-only (round 6; rotated in
+    # for d11, 4x green drivers r2-r5)
+    "tbl_spec_scan": (tbl_spec_scan, TBL_SPEC_SQL),
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
     # exact heavy hitters (rotated in for d13, 3x green r2-r4)
     "d23_frequent_tokens": (d23_frequent_tokens, D23_SQL),
@@ -5017,6 +5057,7 @@ REGISTRY: dict = {
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
     "d10_dup_components": (d10_dup_components, D10_SQL),
+    "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
