@@ -98,6 +98,15 @@ BENCH_QUERIES = [
     "e10_ivfpq_index_ann",
     "d24_url_canonicalize",
     "q33_sql_surface",
+    # round 6: k-complexity + layer-peel hard oracles, fuzzy-dedup
+    # corpus pipeline, merge-on-read DML, partition-spec evolution,
+    # multimodal decode oracle
+    "geo_k_oracle",
+    "geo_layers_oracle",
+    "d25_fuzzy_corpus_pipeline",
+    "tbl_mor_scan",
+    "tbl_spec_scan",
+    "media_features",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -136,6 +136,24 @@ SECTIONS = [
         lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d23_frequent_tokens(s, SF),
     ),
     (
+        "d25 — fuzzy-dedup corpus pipeline",
+        "d22's stages plus MinHash-LSH + connected components: the "
+        "LSH candidate join is band-bucket-keyed (SortMergeJoin on "
+        "(band, minhash)), the CC loser set is applied as one "
+        "broadcast LeftAnti — no O(N^2) join anywhere; the exact-kept "
+        "subtree sits behind a localCheckpoint boundary (Scan "
+        "ExistingRDD) so its scan pushdown is shown in the d22 "
+        "section (the stage is shared verbatim).",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d25_fuzzy_corpus_pipeline(s, SF),
+    ),
+    (
+        "merge-on-read scan (position deletes)",
+        "The Iceberg v2 read path: data rows never shuffle — the "
+        "kilobyte-scale delete file is the BROADCAST side of a "
+        "LeftAnti on (_metadata.file_path, _metadata.row_index).",
+        None,
+    ),
+    (
         "e09 — product-quantization ANN (ADC scan)",
         "The compressed-code scan is one Exchange-free mapInPandas "
         "(codebook LUTs ride a python broadcast); the only shuffle in "
@@ -181,9 +199,30 @@ def main():
         "Formatted Catalyst plans of the flagship operators at "
         "sf0.001/smoke inputs.\n",
     ]
+    # merge-on-read scan evidence table
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kblock_spark.io.tableformat import (
+        append_snapshot, delete_where_mor, read_snapshot,
+    )
+
+    mor_t = tempfile.mkdtemp(prefix="plans_mor_")
+    append_snapshot(
+        spark.range(0, 200).select(F.col("id").alias("doc_id")), mor_t
+    )
+    delete_where_mor(spark, mor_t, "doc_id % 7 = 0")
+    mor_df = read_snapshot(spark, mor_t)
+
     for (title, note, builder) in SECTIONS:
         if builder is None:
-            df = pip if title.startswith("PIP") else kdf
+            if title.startswith("PIP"):
+                df = pip
+            elif title.startswith("merge-on-read"):
+                df = mor_df
+            else:
+                df = kdf
         else:
             df = builder(spark)
         out.append(f"\n## {title}\n\n{note}\n\n```\n{_fmt(df)}\n```\n")
