@@ -486,6 +486,39 @@ def streaming_table_sink(path: str, stat_cols: list[str] | None = None):
     return sink
 
 
+def streaming_upsert_sink(
+    path: str, key_col: str, stat_cols: list[str] | None = None
+):
+    """foreachBatch sink UPSERTING each micro-batch by key — the CDC
+    table-maintenance pattern (Iceberg's streaming MERGE): every
+    batch's rows replace same-key rows via a merge-on-read commit
+    (:func:`merge_into_mor` — one kilobyte-scale position-delete file
+    + the batch's data files; nothing rewrites), so the table always
+    holds the LATEST value per key while every historical state stays
+    time-travelable. Exactly-once like :func:`streaming_table_sink`:
+    the batch id rides in the merge manifest and replayed batches
+    no-op. Batches must not carry duplicate keys (reduce upstream —
+    e.g. max_by(seq) per key inside the batch)."""
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        last = last_committed_batch(path)
+        if last is not None and batch_id <= last:
+            return
+        if batch_df.isEmpty():
+            return  # a replayed empty batch upserts nothing anyway
+        if current_snapshot_id(path) is None:
+            append_snapshot(
+                batch_df, path, stat_cols=stat_cols, batch_id=batch_id
+            )
+        else:
+            merge_into_mor(
+                batch_df.sparkSession, path, batch_df, key_col,
+                batch_id=batch_id,
+            )
+
+    return sink
+
+
 def overwrite_snapshot(
     df: DataFrame, path: str, stat_cols: list[str] | None = None
 ) -> int:
@@ -730,6 +763,7 @@ def merge_into_mor(
     path: str,
     updates: DataFrame,
     key_col: str,
+    batch_id: int | None = None,
 ) -> dict:
     """MERGE INTO as a merge-on-read commit: position-delete the
     matched rows and append the update rows — ONE snapshot, no data
@@ -794,7 +828,9 @@ def merge_into_mor(
     new = _write_data_files(updates, path, stat_cols)
     schema = updates.schema.simpleString()
     evolved = bool(m.get("schema_evolved")) or m.get("schema") != schema
-    batch = last_committed_batch(path)
+    # an explicit batch_id tags THIS commit (the streaming upsert
+    # sink's exactly-once marker); otherwise carry the last one
+    batch = last_committed_batch(path) if batch_id is None else int(batch_id)
     manifest = {
         "operation": "merge-mor",
         "schema": m.get("schema") if not evolved else schema,

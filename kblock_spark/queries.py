@@ -3637,6 +3637,81 @@ def s09_stream_corpus_pipeline(spark, sf_dir):
     )
 
 
+def s10_stream_upsert(spark, sf_dir):
+    """Streaming MERGE-ON-READ upsert sink (the Iceberg CDC pattern,
+    io/tableformat.streaming_upsert_sink): three "crawls" of the same
+    url space arrive as three micro-batches (maxFilesPerTrigger=1,
+    mtime-ordered); each batch position-deletes its matched keys and
+    appends its rows in ONE merge-mor commit — the table always holds
+    the latest value per key, nothing is rewritten, every historical
+    state stays time-travelable, and a replayed batch no-ops via the
+    manifest batch id. Oracle: the last-crawl-wins reconstruction in
+    closed form (crawl 2 ⊃ crawl 1 ⊃ crawl 0 by doc_id divisibility)."""
+    import os
+    import shutil
+    import time as _time
+
+    from .io.tableformat import read_snapshot, streaming_upsert_sink
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _scratch("kblock_supsert_")
+    src, tbl, ck = f"{base}/src", f"{base}/tbl", f"{base}/ck"
+    os.makedirs(src, exist_ok=True)
+    crawls = [
+        d.withColumn("crawl", F.lit(0)),
+        d.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.lit("c1").alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars"), F.lit(1).alias("crawl"),
+        ),
+        d.where(F.col("doc_id") % 4 == 0).select(
+            "doc_id", F.lit("c2").alias("lang"),
+            (F.col("n_chars") + 2000).alias("n_chars"), F.lit(2).alias("crawl"),
+        ),
+    ]
+    now = _time.time()
+    for i, c in enumerate(crawls):
+        tmp = f"{base}/c{i}"
+        c.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
+        )
+        dst = f"{src}/crawl{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        # the file source processes oldest-mtime first: pin the order
+        os.utime(dst, (now - 30 + i * 10, now - 30 + i * 10))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, lang string, n_chars long, crawl int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(streaming_upsert_sink(tbl, "doc_id", stat_cols=["doc_id"]))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_snapshot(spark, tbl).select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+S10_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'c2'
+            WHEN doc_id % 2 = 0 THEN 'c1'
+            ELSE lang END AS lang,
+       (CASE WHEN doc_id % 4 = 0 THEN n_chars + 2000
+             WHEN doc_id % 2 = 0 THEN n_chars + 1000
+             ELSE n_chars END)::BIGINT AS n_chars
+FROM documents
+"""
+
+
 def media_features(spark, sf_dir):
     """Multimodal decode plumbing under a hard oracle (round 6): the
     synth container payload is a closed-form md5-block byte stream
@@ -4978,7 +5053,9 @@ REGISTRY: dict = {
     # partition-spec evolution, metadata-only (round 6; rotated in
     # for d11, 4x green drivers r2-r5)
     "tbl_spec_scan": (tbl_spec_scan, TBL_SPEC_SQL),
-    "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
+    # streaming merge-on-read upsert sink, the Iceberg CDC pattern
+    # (round 6; rotated in for d12, 4x green drivers r2-r5)
+    "s10_stream_upsert": (s10_stream_upsert, S10_SQL),
     # exact heavy hitters (rotated in for d13, 3x green r2-r4)
     "d23_frequent_tokens": (d23_frequent_tokens, D23_SQL),
     # URL canonicalization (rotated in for d15, 3x green r2-r4)
@@ -5058,6 +5135,7 @@ REGISTRY: dict = {
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
     "d10_dup_components": (d10_dup_components, D10_SQL),
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
+    "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),

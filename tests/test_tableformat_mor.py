@@ -143,3 +143,30 @@ def test_mor_merge_then_diff_shows_updates(spark, tmp_path):
     assert got == {("update", 18), ("update", 19)} | {
         ("insert", i) for i in range(20, 25)
     }
+
+
+def test_streaming_upsert_sink_exactly_once_and_time_travel(spark, tmp_path):
+    from kblock_spark.io.tableformat import (
+        current_snapshot_id,
+        streaming_upsert_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = streaming_upsert_sink(t, "doc_id")
+    b0 = _df(spark, 0, 30)
+    b1 = spark.range(20, 40).select(
+        F.col("id").alias("doc_id"), F.lit(-1).cast("long").alias("v")
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sid_after = current_snapshot_id(t)
+    # replays of both batches no-op (exactly-once by manifest batch id)
+    sink(b0, 0)
+    sink(b1, 1)
+    assert current_snapshot_id(t) == sid_after
+    got = {r["doc_id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 40
+    assert all(got[i] == -1 for i in range(20, 40))
+    assert all(got[i] == i * 7 % 100 for i in range(20))
+    # every pre-upsert state stays time-travelable
+    assert read_snapshot(spark, t, snapshot_id=1).count() == 30
