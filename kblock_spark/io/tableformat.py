@@ -147,6 +147,17 @@ def _commit(path: str, manifest: dict, expected_parent: int | None) -> int:
         "parent_id": expected_parent,
         "ts": time.time(),
     }
+    # sequence stamping: files added by THIS commit get seq = sid, and
+    # a fresh equality-delete entry gets its commit's seq — the
+    # scoping Iceberg v2 uses so an eq delete shadows only rows of
+    # files committed strictly BEFORE it (file.seq < delete.seq)
+    added = set(manifest.get("added") or [])
+    for e in manifest.get("files", []):
+        if e["path"] in added and "seq" not in e:
+            e["seq"] = sid
+    for e in manifest.get("delete_files") or []:
+        if e.get("kind") == "eq" and "seq" not in e:
+            e["seq"] = sid
     snap = _snap_path(path, sid)
     tmp = os.path.join(_meta_dir(path), f".snap.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
@@ -628,47 +639,52 @@ def read_snapshot(
         all_files = plan_files(path, snapshot_id)
         df = reader.parquet(*all_files)
         return df.where("1 = 0")
-    return _apply_position_deletes(
-        spark, reader.parquet(*files), path, m.get("delete_files")
-    )
+    return _apply_delete_files(spark, reader.parquet(*files), path, m)
 
 
-def _apply_position_deletes(
-    spark: SparkSession, df: DataFrame, path: str, dels: list[dict] | None
+def _apply_delete_files(
+    spark: SparkSession, df: DataFrame, path: str, m: dict | None
 ) -> DataFrame:
-    """Merge-on-read scan: anti-join the (file_path, pos) rows of the
-    snapshot's position-delete files — Iceberg v2's read path for
-    cheap deletes/upserts. The delete set is broadcast (it is the
-    SMALL side by construction: a delete file holds row addresses,
-    not rows); data rows never shuffle. Data files appended after a
-    delete are untouched automatically: position deletes address
-    explicit immutable files, so they can never hit rows that did not
-    exist when the delete committed."""
-    from pyspark.sql import functions as F
-
-    if not dels:
+    """Merge-on-read scan: apply the snapshot's delete files —
+    Iceberg v2's read path for cheap deletes/upserts. Position
+    deletes anti-join on (file_path, pos); equality deletes anti-join
+    on the key column, scoped to data files whose commit sequence
+    precedes the delete's. The delete sets are broadcast (they are
+    the SMALL side by construction: addresses/keys, not rows); data
+    rows never shuffle."""
+    if not (m or {}).get("delete_files"):
         return df
     cols = df.columns
-    return _address_and_filter(spark, df, path, dels).select(*cols)
+    return _address_and_filter(spark, df, path, m).select(*cols)
 
 
 def _address_and_filter(
-    spark: SparkSession, scan: DataFrame, path: str, dels: list[dict] | None
+    spark: SparkSession, scan: DataFrame, path: str, m: dict | None
 ) -> DataFrame:
     """Parquet scan → rows carrying their own address as ``__fp`` /
-    ``__pos`` columns, with position deletes applied. The ``_metadata``
-    hidden column only resolves directly on the scan relation (it is
-    lost through joins/projections), so the address must be captured
-    FIRST — the MOR writers then reuse the captured columns to emit
-    new delete rows."""
+    ``__pos`` columns, with the manifest's delete files applied. The
+    ``_metadata`` hidden column only resolves directly on the scan
+    relation (it is lost through joins/projections), so the address
+    must be captured FIRST — the MOR writers then reuse the captured
+    columns to emit new delete rows.
+
+    Position deletes address explicit immutable files, so files
+    appended after the delete are untouched automatically. Equality
+    deletes carry a commit sequence: a row is shadowed iff its key
+    matches AND its file's seq < the delete's seq (Iceberg v2
+    sequence-number scoping) — rows re-appended later with the same
+    key survive."""
     from pyspark.sql import functions as F
 
     df = scan.withColumn("__fp", F.col("_metadata.file_path")).withColumn(
         "__pos", F.col("_metadata.row_index")
     )
-    if dels:
+    dels = (m or {}).get("delete_files") or []
+    pos = [e for e in dels if e.get("kind") != "eq"]
+    eq = [e for e in dels if e.get("kind") == "eq"]
+    if pos:
         ddf = spark.read.parquet(
-            *[os.path.join(path, e["path"]) for e in dels]
+            *[os.path.join(path, e["path"]) for e in pos]
         )
         df = df.join(
             F.broadcast(ddf),
@@ -676,7 +692,94 @@ def _address_and_filter(
             & (F.col("__pos") == ddf["pos"]),
             "left_anti",
         )
+    if eq:
+        # per-row file sequence via a broadcast (file_path, seq) map
+        # derived from the manifest ("file:" + abspath is the
+        # _metadata.file_path form; missing seq = pre-feature file =
+        # 0, conservatively shadowed by every eq delete)
+        seq_rows = [
+            ("file:" + os.path.join(path, e["path"]), int(e.get("seq") or 0))
+            for e in (m or {}).get("files") or []
+        ]
+        seq_df = spark.createDataFrame(seq_rows, "__sfp string, __fseq long")
+        df = df.join(
+            F.broadcast(seq_df), df["__fp"] == seq_df["__sfp"], "left"
+        ).drop("__sfp")
+        for col in sorted({e["col"] for e in eq}):
+            parts = []
+            for e in eq:
+                if e["col"] != col:
+                    continue
+                p = spark.read.parquet(os.path.join(path, e["path"]))
+                parts.append(
+                    p.select(
+                        F.col(col).alias("__dkey"),
+                        F.lit(int(e["seq"])).alias("__dseq"),
+                    )
+                )
+            kdf = parts[0]
+            for p in parts[1:]:
+                kdf = kdf.unionByName(p)
+            df = df.join(
+                F.broadcast(kdf),
+                (df[col] == kdf["__dkey"])
+                & (F.coalesce(df["__fseq"], F.lit(0)) < kdf["__dseq"]),
+                "left_anti",
+            )
+        df = df.drop("__fseq")
     return df
+
+
+def delete_keys_mor(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+) -> dict:
+    """Row-level delete by KEY as an equality-delete commit — the
+    zero-read flavor of merge-on-read (Iceberg v2 equality deletes):
+    the commit writes ONLY the key list; no data file is read, let
+    alone rewritten. A GDPR erasure against a 100 TB table costs one
+    kilobyte-scale write — the scan-side anti-join pays the filter,
+    scoped by commit sequence so rows appended AFTER the delete with
+    the same key survive (position deletes get that scoping for free
+    by addressing files; equality deletes need the seq comparison).
+    Returns ``{"snapshot_id", "keys"}``."""
+    cur = current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    m = read_manifest(path, cur)
+    sub = os.path.join(path, "data", uuid.uuid4().hex)
+    keys.select(key_col).distinct().repartition(1).write.mode(
+        "overwrite"
+    ).parquet(sub)
+    new_dels = []
+    n_keys = 0
+    for name in sorted(os.listdir(sub)):
+        if not name.endswith(".parquet"):
+            continue
+        fpath = os.path.join(sub, name)
+        md = pq.ParquetFile(fpath).metadata
+        n_keys += md.num_rows
+        if md.num_rows:
+            new_dels.append(
+                {"path": os.path.relpath(fpath, path), "rows": md.num_rows,
+                 "kind": "eq", "col": key_col}
+            )
+    batch = last_committed_batch(path)
+    manifest = {
+        "operation": "delete-mor",
+        "schema": m.get("schema"),
+        "stat_cols": m.get("stat_cols") or [],
+        "schema_evolved": bool(m.get("schema_evolved")),
+        "files": m["files"],
+        "added": [],
+        "delete_files": (m.get("delete_files") or []) + new_dels,
+    }
+    if batch is not None:
+        manifest["batch_id"] = batch
+    sid = _commit(path, _carry_spec(manifest, m), cur)
+    return {"snapshot_id": sid, "keys": n_keys}
 
 
 def delete_where_mor(
@@ -690,7 +793,7 @@ def delete_where_mor(
     matching row (:func:`delete_where`'s copy-on-write), write ONE
     small delete file recording the (file_path, row position) of each
     deleted row and commit it metadata-only. Scans apply the delete
-    file via a broadcast anti-join (:func:`_apply_position_deletes`);
+    file via a broadcast anti-join (:func:`_apply_delete_files`);
     :func:`compact_data_files` / :func:`zorder_data_files` materialize
     the deletes and clear them (Iceberg's rewrite maintenance).
 
@@ -715,8 +818,7 @@ def delete_where_mor(
         if m.get("schema_evolved"):
             reader = reader.option("mergeSchema", "true")
         rows = _address_and_filter(
-            spark, reader.parquet(*sorted(candidates)), path,
-            m.get("delete_files"),
+            spark, reader.parquet(*sorted(candidates)), path, m
         )
         hits = rows.where(f"({predicate}) = TRUE").select(
             F.col("__fp").alias("file_path"),
@@ -797,8 +899,7 @@ def merge_into_mor(
         if m.get("schema_evolved"):
             reader = reader.option("mergeSchema", "true")
         rows = _address_and_filter(
-            spark, reader.parquet(*sorted(candidates)), path,
-            m.get("delete_files"),
+            spark, reader.parquet(*sorted(candidates)), path, m
         )
         hits = rows.join(F.broadcast(keys), key_col, "inner").select(
             F.col("__fp").alias("file_path"),
@@ -1124,13 +1225,13 @@ def snapshot_diff(
         os.path.join(path, (sorted(pa | pb))[0])
     ).schema
 
-    def _side(paths, dels):
+    def _side(paths, side_m):
         if not paths:
             return spark.createDataFrame([], schema_src)
         df = spark.read.parquet(*[os.path.join(path, p) for p in paths])
-        return _apply_position_deletes(spark, df, path, dels)
+        return _apply_delete_files(spark, df, path, side_m)
 
-    A, B = _side(only_a, da), _side(only_b, db)
+    A, B = _side(only_a, ma), _side(only_b, mb)
     val_cols = [c for c in A.columns if c not in key_cols]
     # one 128-bit value hash per row instead of N column comparisons:
     # the join carries (keys, hash, row-struct), not 2x the row width
@@ -1236,7 +1337,7 @@ def merge_into(
         # latter cannot resolve once the MOR anti-join puts a second
         # source in the plan
         cand_rows = _address_and_filter(
-            spark, reader.parquet(*sorted(candidates)), path, live_dels
+            spark, reader.parquet(*sorted(candidates)), path, m
         )
         hit = (
             cand_rows.select(key_col, "__fp")
@@ -1254,8 +1355,8 @@ def merge_into(
     if matched:
         # position-delete-shadowed rows must not resurrect through
         # the rewrite: filter them before the anti-join
-        base_rows = _apply_position_deletes(
-            spark, reader.parquet(*sorted(matched)), path, live_dels
+        base_rows = _apply_delete_files(
+            spark, reader.parquet(*sorted(matched)), path, m
         )
         keep_rows = base_rows.join(F.broadcast(keys), key_col, "left_anti")
         new_rows = keep_rows.unionByName(updates, allowMissingColumns=True)
@@ -1336,7 +1437,7 @@ def delete_where(
         if m.get("schema_evolved"):
             reader = reader.option("mergeSchema", "true")
         cand_rows = _address_and_filter(
-            spark, reader.parquet(*sorted(candidates)), path, live_dels
+            spark, reader.parquet(*sorted(candidates)), path, m
         )
         per_file = (
             cand_rows.where(f"({predicate}) = TRUE")
@@ -1356,8 +1457,8 @@ def delete_where(
         reader = spark.read
         if m.get("schema_evolved"):
             reader = reader.option("mergeSchema", "true")
-        base_rows = _apply_position_deletes(
-            spark, reader.parquet(*sorted(matched)), path, live_dels
+        base_rows = _apply_delete_files(
+            spark, reader.parquet(*sorted(matched)), path, m
         )
         keep_rows = base_rows.where(f"({predicate}) IS NOT TRUE")
         new = _write_data_files(keep_rows, path, stat_cols)

@@ -4153,6 +4153,15 @@ def tbl_mor_scan(spark, sf_dir):
         ),
         path,
     )
+    # equality delete LAST (zero-read: only the key list is written;
+    # shadows every earlier file's matching rows by seq scoping)
+    from .io.tableformat import delete_keys_mor
+
+    delete_keys_mor(
+        spark, path,
+        docs.where(F.col("doc_id") % 9 == 5).select("doc_id"),
+        "doc_id",
+    )
     return read_snapshot(spark, path).select(
         "doc_id",
         "lang",
@@ -4173,13 +4182,17 @@ upd AS (
   FROM documents WHERE doc_id % 11 = 0),
 appended AS (
   SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
-  FROM documents WHERE doc_id % 3 = 0)
-SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars FROM upd
-UNION ALL
+  FROM documents WHERE doc_id % 3 = 0),
+visible AS (
+  SELECT doc_id, lang, source, n_chars FROM upd
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars
+  FROM after_del WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars FROM appended)
 SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
-FROM after_del WHERE doc_id NOT IN (SELECT doc_id FROM upd)
-UNION ALL
-SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars FROM appended
+FROM visible
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 9 = 5)
 """
 
 

@@ -170,3 +170,65 @@ def test_streaming_upsert_sink_exactly_once_and_time_travel(spark, tmp_path):
     assert all(got[i] == i * 7 % 100 for i in range(20))
     # every pre-upsert state stays time-travelable
     assert read_snapshot(spark, t, snapshot_id=1).count() == 30
+
+
+def test_equality_delete_zero_read_and_seq_scoped(spark, tmp_path):
+    """delete_keys_mor commits only a key list (no data file read or
+    rewritten); rows appended AFTER the delete with the same key
+    survive (sequence scoping) — the property position deletes get
+    for free and equality deletes need seq comparison for."""
+    from kblock_spark.io.tableformat import delete_keys_mor
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 50).repartition(2), t)
+    before = _data_files(t)
+    keys = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    res = delete_keys_mor(spark, t, keys, "doc_id")
+    assert res["keys"] == 10
+    assert _data_files(t) == before  # zero data files touched
+    assert read_snapshot(spark, t).count() == 40
+    # re-append 5 of the deleted keys: the eq delete must NOT shadow
+    # them (their file's seq > the delete's seq)
+    append_snapshot(_df(spark, 0, 5), t)
+    got = {r["doc_id"] for r in read_snapshot(spark, t).collect()}
+    assert got == set(range(5)) | set(range(10, 50))
+    # a second eq delete stacks, again zero-read
+    delete_keys_mor(
+        spark, t, spark.range(3).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    got2 = {r["doc_id"] for r in read_snapshot(spark, t).collect()}
+    assert got2 == {3, 4} | set(range(10, 50))
+    # time travel: pre-delete state intact
+    assert read_snapshot(spark, t, snapshot_id=1).count() == 50
+
+
+def test_equality_delete_compaction_materializes(spark, tmp_path):
+    from kblock_spark.io.tableformat import delete_keys_mor
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 30), t)
+    delete_keys_mor(
+        spark, t, spark.range(20, 40).select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )
+    assert read_snapshot(spark, t).count() == 20
+    compact_data_files(spark, t, target_files=1)
+    m = read_manifest(t)
+    assert not m.get("delete_files")
+    assert read_snapshot(spark, t).count() == 20
+
+
+def test_mixed_position_and_equality_deletes(spark, tmp_path):
+    from kblock_spark.io.tableformat import delete_keys_mor
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 60).repartition(3), t)
+    delete_where_mor(spark, t, "doc_id % 10 = 1")       # position
+    delete_keys_mor(
+        spark, t, spark.range(30, 40).select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )                                                    # equality
+    got = {r["doc_id"] for r in read_snapshot(spark, t).collect()}
+    assert got == {
+        i for i in range(60) if i % 10 != 1 and not (30 <= i < 40)
+    }
