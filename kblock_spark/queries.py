@@ -4932,7 +4932,9 @@ def geo_k_oracle(spark, sf_dir):
     from .pipeline import compute_k
 
     blocks, bldgs, streets = _k_oracle_fixture(spark)
-    k = compute_k(blocks, bldgs.drop("url"), streets)
+    # 8 fixture blocks: the default nparts (4x parallelism = 128)
+    # would pay 128 empty-task overheads per run
+    k = compute_k(blocks, bldgs.drop("url"), streets, nparts=8)
     return k.select(
         "block_id",
         F.col("building_count").cast("bigint").alias("n_bldgs"),
@@ -4949,7 +4951,7 @@ def geo_layers_oracle(spark, sf_dir):
     from .pipeline import compute_layers
 
     blocks, bldgs, streets = _k_oracle_fixture(spark)
-    lay = compute_layers(blocks, bldgs, streets)
+    lay = compute_layers(blocks, bldgs, streets, nparts=8)
     return lay.select(
         "block_id",
         "url",
