@@ -3712,6 +3712,61 @@ FROM documents
 """
 
 
+def s11_stream_table_source(spark, sf_dir):
+    """The snapshot table as a STREAMING SOURCE (Spark 4 Python
+    DataSource API, io/table_source.py — the Iceberg streaming-read
+    analogue): offsets are snapshot ids, each micro-batch emits
+    exactly the files its snapshots ADDED, reads are Arrow record
+    batches. The fixture drives the full delta contract: two appends,
+    a delete-mor (adds nothing — skipped), and a merge-on-read upsert
+    (its added files are a valid CDC delta of new/updated rows).
+    Oracle: all appended rows plus the upsert batch, reconstructed in
+    closed form."""
+    from .io.table_source import register_table_source
+    from .io.tableformat import (
+        append_snapshot,
+        delete_where_mor,
+        merge_into_mor,
+    )
+
+    register_table_source(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    base = _scratch("tbl_src_")
+    t, out, ck = f"{base}/tbl", f"{base}/out", f"{base}/ck"
+    append_snapshot(docs.where(F.col("doc_id") % 2 == 0), t)
+    append_snapshot(docs.where(F.col("doc_id") % 2 == 1), t)
+    delete_where_mor(spark, t, "doc_id % 5 = 2")
+    upd = docs.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit("zz").alias("lang"), "source",
+        (F.col("n_chars") + 77).alias("n_chars"),
+    )
+    merge_into_mor(spark, t, upd, "doc_id")
+    stream = spark.readStream.format("kblock_table").option("path", t).load()
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+S11_SQL = """
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars FROM documents
+UNION ALL
+SELECT doc_id, 'zz' AS lang, source, (n_chars + 77)::BIGINT AS n_chars
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+
 def media_features(spark, sf_dir):
     """Multimodal decode plumbing under a hard oracle (round 6): the
     synth container payload is a closed-form md5-block byte stream
@@ -5052,7 +5107,10 @@ REGISTRY: dict = {
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     # text / dedup
-    "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
+    # the snapshot table as a streaming source via the Spark 4
+    # Python DataSource API (round 6; rotated in for d06, 5x green
+    # drivers r1-r5)
+    "s11_stream_table_source": (s11_stream_table_source, S11_SQL),
     "d06b_dropped_shingle_stats": (d06b_dropped_shingle_stats, D06B_SQL),
     "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
     # the spark.sql surface proof (rotated in for d08, 3x green)
@@ -5151,6 +5209,7 @@ REGISTRY: dict = {
     "d10_dup_components": (d10_dup_components, D10_SQL),
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
+    "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
