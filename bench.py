@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "tbl_mor_scan",
     "tbl_spec_scan",
     "media_features",
+    "s10_stream_upsert",
+    "s11_stream_table_source",
 ]
 
 GEO_NX = GEO_NY = 8
