@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "media_features",
     "s10_stream_upsert",
     "s11_stream_table_source",
+    "d26_sequence_packing",
 ]
 
 GEO_NX = GEO_NY = 8

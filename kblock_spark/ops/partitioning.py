@@ -108,6 +108,58 @@ def weighted_buckets(
     )
 
 
+def running_offset(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str,
+    out_col: str = "offset",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of integer ``weight_col`` in
+    ``order_col`` order (``order_col`` must be unique): row i gets the
+    sum of all weights strictly before it — the global token offset a
+    sequence-packing planner needs.
+
+    Same distributed two-pass prefix sum as :func:`weighted_buckets`
+    (per-range local window + broadcast range offsets; no
+    single-partition exchange at any size), but BIGINT-exact: integer
+    sums are associative regardless of partitioning, so the result is
+    bit-stable under any plan."""
+    spark = df.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    w = F.col(weight_col).cast("bigint")
+    probs = [i / parts for i in range(1, parts)]
+    bounds = sorted(
+        set(df.stat.approxQuantile(order_col, probs, 0.01))
+    ) if probs else []
+    coarse = F.lit(0)
+    for b in bounds:
+        coarse = coarse + (
+            F.col(order_col).cast("double") > F.lit(float(b))
+        ).cast("int")
+    d = df.withColumn("__rid", coarse)
+    partials = d.groupBy("__rid").agg(F.sum(w).alias("__psum")).collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(partials, key=lambda r: r["__rid"]):
+        offsets[r["__rid"]] = acc
+        acc += int(r["__psum"] or 0)
+    wloc = (
+        Window.partitionBy("__rid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if not offsets:
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    off_map = F.create_map(
+        *[x for rid, off in offsets.items() for x in (F.lit(rid), F.lit(off))]
+    )
+    cum = F.element_at(off_map, F.col("__rid")).cast("bigint") + F.sum(w).over(
+        wloc
+    )
+    return d.withColumn(out_col, cum - w).drop("__rid")
+
+
 # ------------------------------------------------ murmur3 token placement
 
 def _rotl32(x: int, r: int) -> int:

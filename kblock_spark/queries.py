@@ -3637,6 +3637,65 @@ def s09_stream_corpus_pipeline(spark, sf_dir):
     )
 
 
+# d26 — training-window sequence packing (the GPT-style concat-pack
+# planner): documents are concatenated in deterministic doc_id order
+# and split into fixed _PACK_W-token context windows; each doc's
+# window is the one holding its first token. Per window: docs
+# starting there, their token mass, and how many straddle the window
+# boundary (the packing-efficiency signal a training pipeline tunes
+# separator/truncation policy on). The global token offset is the
+# distributed two-pass prefix sum (ops/partitioning.running_offset —
+# per-range local windows + broadcast range offsets; no
+# single-partition exchange at any corpus size), BIGINT-exact so the
+# result is bit-stable under any partitioning.
+
+_PACK_W = 2048
+
+
+def d26_sequence_packing(spark, sf_dir):
+    from .ops.partitioning import running_offset
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    off = running_offset(d, "n_toks", "doc_id", "off")
+    win = F.expr(f"off DIV {_PACK_W}")
+    end_win = F.expr(f"(off + n_toks - 1) DIV {_PACK_W}")
+    return (
+        off.select(
+            win.alias("window_id"),
+            "n_toks",
+            (end_win != win).cast("int").alias("split"),
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("split").cast("bigint").alias("n_boundary_docs"),
+        )
+    )
+
+
+D26_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n AS off
+  FROM t)
+SELECT (off // {_PACK_W})::BIGINT AS window_id,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n)::BIGINT AS n_tokens,
+       SUM(CASE WHEN (off + n - 1) // {_PACK_W} <> off // {_PACK_W}
+                THEN 1 ELSE 0 END)::BIGINT AS n_boundary_docs
+FROM c GROUP BY 1
+"""
+
+
 def s10_stream_upsert(spark, sf_dir):
     """Streaming MERGE-ON-READ upsert sink (the Iceberg CDC pattern,
     io/tableformat.streaming_upsert_sink): three "crawls" of the same
@@ -5112,7 +5171,9 @@ REGISTRY: dict = {
     # drivers r1-r5)
     "s11_stream_table_source": (s11_stream_table_source, S11_SQL),
     "d06b_dropped_shingle_stats": (d06b_dropped_shingle_stats, D06B_SQL),
-    "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
+    # training-window sequence packing via the distributed prefix
+    # sum (round 6; rotated in for d07, 5x green drivers r1-r5)
+    "d26_sequence_packing": (d26_sequence_packing, D26_SQL),
     # the spark.sql surface proof (rotated in for d08, 3x green)
     "q33_sql_surface": (q33_sql_surface, Q33_SQL),
     # fuzzy-dedup corpus pipeline (round 6: d07+d10+keeper composed
@@ -5210,6 +5271,7 @@ REGISTRY: dict = {
     "d11_repetition_filter": (d11_repetition_filter, D11_SQL),
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
     "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
+    "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),
