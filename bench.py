@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "s10_stream_upsert",
     "s11_stream_table_source",
     "d26_sequence_packing",
+    "tbl_wap_scan",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -120,58 +120,105 @@ def _file_stats(fpath: str, stat_cols: list[str]) -> dict:
 _STALE_CLAIM_S = 300.0
 
 
-def _commit(path: str, manifest: dict, expected_parent: int | None) -> int:
+def _ptr_file(path: str, ref: str) -> str:
+    return os.path.join(
+        _meta_dir(path), "current" if ref == "main" else f"ref-{ref}"
+    )
+
+
+def ref_head(path: str, ref: str = "main") -> int | None:
+    """Head snapshot id of a ref (``main`` = the ``current`` pointer,
+    anything else = a branch created by :func:`create_branch`)."""
+    try:
+        with open(_ptr_file(path, ref)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _commit(
+    path: str, manifest: dict, expected_parent: int | None, ref: str = "main"
+) -> int:
     """Claim the next snapshot's manifest file exclusively, then
-    atomically swap ``current``.
+    atomically swap the ref pointer (``current`` for main, a
+    ``ref-<name>`` file for a branch).
 
     The manifest file doubles as the commit LOCK: it is created via
     ``os.link`` from a unique temp file (atomic-exclusive, like
     ``open(..., 'x')`` but with the content already durable), so two
-    writers racing on the same parent can never both reach the
+    writers racing on the same ref can never both reach the
     pointer swap — the loser's link fails with ``FileExistsError``
     and raises :class:`CommitConflict` **before anything existing is
     overwritten**. This closes the window where a loser that passed
     the entry check clobbered the winner's already-committed manifest
     and then re-based on its own clobbered copy, silently dropping
     the winner's files. A claim whose pointer swap never happened
-    (crashed writer) is broken after :data:`_STALE_CLAIM_S` seconds."""
+    (crashed writer) is broken after :data:`_STALE_CLAIM_S` seconds.
+
+    Snapshot ids are GLOBAL across refs (claiming snap-<sid>.json is
+    the allocation): when a candidate sid is already taken by a
+    commit on a DIFFERENT ref, this writer simply tries the next id —
+    only a same-ref claim is a genuine conflict. Chains stay intact
+    because parenthood is the manifest's ``parent_id``, not id
+    contiguity."""
     os.makedirs(_meta_dir(path), exist_ok=True)
-    if current_snapshot_id(path) != expected_parent:
+    if ref_head(path, ref) != expected_parent:
         raise CommitConflict(
-            f"table {path} advanced past snapshot {expected_parent}"
+            f"table {path} ref {ref!r} advanced past {expected_parent}"
         )
     sid = (expected_parent or 0) + 1
-    manifest = {
-        **manifest,
-        "snapshot_id": sid,
-        "parent_id": expected_parent,
-        "ts": time.time(),
-    }
-    # sequence stamping: files added by THIS commit get seq = sid, and
-    # a fresh equality-delete entry gets its commit's seq — the
-    # scoping Iceberg v2 uses so an eq delete shadows only rows of
-    # files committed strictly BEFORE it (file.seq < delete.seq)
-    added = set(manifest.get("added") or [])
-    for e in manifest.get("files", []):
-        if e["path"] in added and "seq" not in e:
-            e["seq"] = sid
-    for e in manifest.get("delete_files") or []:
-        if e.get("kind") == "eq" and "seq" not in e:
-            e["seq"] = sid
-    snap = _snap_path(path, sid)
     tmp = os.path.join(_meta_dir(path), f".snap.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
     try:
-        try:
-            os.link(tmp, snap)  # atomic claim — never overwrites
-        except FileExistsError:
-            # either a racing writer that will win, or a crashed
-            # writer's debris: break ONLY provably-stale claims
+        while True:
+            stamped = {
+                **manifest,
+                "snapshot_id": sid,
+                "parent_id": expected_parent,
+                "ref": ref,
+                "ts": time.time(),
+            }
+            # sequence stamping: files added by THIS commit get
+            # seq = sid, and a fresh equality-delete entry gets its
+            # commit's seq — the scoping Iceberg v2 uses so an eq
+            # delete shadows only rows of files committed strictly
+            # BEFORE it (file.seq < delete.seq)
+            added = set(stamped.get("added") or [])
+            stamped["files"] = [
+                {**e, "seq": sid}
+                if e["path"] in added and "seq" not in e
+                else e
+                for e in stamped.get("files", [])
+            ]
+            if stamped.get("delete_files"):
+                stamped["delete_files"] = [
+                    {**e, "seq": sid}
+                    if e.get("kind") == "eq" and "seq" not in e
+                    else e
+                    for e in stamped["delete_files"]
+                ]
+            snap = _snap_path(path, sid)
+            with open(tmp, "w") as f:
+                json.dump(stamped, f, indent=1)
+            try:
+                os.link(tmp, snap)  # atomic claim — never overwrites
+                break
+            except FileExistsError:
+                pass
+            # taken: a racing same-ref writer (conflict), another
+            # ref's committed snapshot (advance to the next id), or a
+            # crashed writer's stale claim (break it)
+            try:
+                with open(snap) as f:
+                    other_ref = json.load(f).get("ref", "main")
+            except (FileNotFoundError, json.JSONDecodeError):
+                other_ref = ref  # mid-write/vanished: treat as racer
+            if other_ref != ref:
+                sid += 1
+                continue
             stale = False
             try:
                 stale = (
-                    current_snapshot_id(path) == expected_parent
+                    ref_head(path, ref) == expected_parent
                     and time.time() - os.path.getmtime(snap) > _STALE_CLAIM_S
                 )
             except FileNotFoundError:
@@ -183,22 +230,23 @@ def _commit(path: str, manifest: dict, expected_parent: int | None) -> int:
                 ) from None
             os.remove(snap)
             os.link(tmp, snap)
+            break
     finally:
         os.remove(tmp)
     # the swap is the commit point: os.replace is atomic on POSIX.
-    # Holding the sid claim means no competing writer on the same
-    # parent can reach this point, so the swap cannot clobber a
-    # concurrent commit; the recheck is defense in depth.
-    ptr = os.path.join(_meta_dir(path), f".current.{uuid.uuid4().hex}")
+    # Holding the sid claim means no competing same-ref writer can
+    # reach this point, so the swap cannot clobber a concurrent
+    # commit; the recheck is defense in depth.
+    ptr = os.path.join(_meta_dir(path), f".ptr.{uuid.uuid4().hex}")
     with open(ptr, "w") as f:
         f.write(str(sid))
-    if current_snapshot_id(path) != expected_parent:
+    if ref_head(path, ref) != expected_parent:
         os.remove(ptr)
         os.remove(snap)  # release the claim we own
         raise CommitConflict(
-            f"table {path} advanced past snapshot {expected_parent}"
+            f"table {path} ref {ref!r} advanced past {expected_parent}"
         )
-    os.replace(ptr, os.path.join(_meta_dir(path), "current"))
+    os.replace(ptr, _ptr_file(path, ref))
     return sid
 
 
@@ -278,6 +326,7 @@ def append_snapshot(
     stat_cols: list[str] | None = None,
     batch_id: int | None = None,
     commit_retries: int = 3,
+    ref: str = "main",
 ) -> int:
     """Commit ``df`` as an APPEND snapshot → new snapshot id.
 
@@ -296,9 +345,13 @@ def append_snapshot(
     re-write the loser's data. ``commit_retries=0`` restores
     fail-fast behavior; :class:`CommitConflict` is raised once
     retries are exhausted. Stats columns are resolved once at write
-    time (they are baked into the file entries)."""
+    time (they are baked into the file entries).
+
+    ``ref`` commits to a BRANCH head instead of ``current`` — the
+    write side of the write-audit-publish pattern
+    (:func:`create_branch` / :func:`publish_branch`)."""
     schema = df.schema.simpleString()
-    parent0 = current_snapshot_id(path)
+    parent0 = ref_head(path, ref)
     spec: list[dict] = []
     spec_id = 0
     if parent0 is not None:
@@ -310,7 +363,7 @@ def append_snapshot(
     stat_cols = stat_cols or []
     new = _write_data_files(df, path, stat_cols, spec=spec, spec_id=spec_id)
     for attempt in range(commit_retries + 1):
-        parent = current_snapshot_id(path)
+        parent = ref_head(path, ref)
         base: list[dict] = []
         dels: list[dict] = []
         evolved = False
@@ -343,7 +396,7 @@ def append_snapshot(
         if batch_id is not None:
             manifest["batch_id"] = int(batch_id)
         try:
-            return _commit(path, manifest, parent)
+            return _commit(path, manifest, parent, ref=ref)
         except CommitConflict:
             if attempt == commit_retries:
                 raise
@@ -403,6 +456,92 @@ def set_partition_spec(path: str, spec: list[dict]) -> int:
     if batch is not None:
         manifest["batch_id"] = batch
     return _commit(path, manifest, cur)
+
+
+def _all_refs(path: str) -> list[str]:
+    """Every live ref name: ``main`` plus any ``ref-*`` branch files."""
+    refs = ["main"]
+    try:
+        names = os.listdir(_meta_dir(path))
+    except FileNotFoundError:
+        return refs
+    refs.extend(
+        n[4:] for n in sorted(names)
+        if n.startswith("ref-") and not n.startswith("ref-.")
+    )
+    return refs
+
+
+def create_branch(path: str, name: str, at: int | None = None) -> int:
+    """Create a branch pointing at ``at`` (default: current main head)
+    — the start of the WRITE-AUDIT-PUBLISH pattern (Iceberg's
+    ``spark.wap.branch``): writers append to the branch, audits read
+    it, and :func:`publish_branch` fast-forwards main atomically, so
+    main's readers never see unaudited data. Metadata-only: one
+    pointer file, no snapshot, no data."""
+    if name == "main" or not name.isidentifier():
+        raise ValueError(f"invalid branch name {name!r}")
+    base = current_snapshot_id(path) if at is None else int(at)
+    if base is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    ptr = _ptr_file(path, name)
+    tmp = ptr + f".{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(base))
+    try:
+        os.link(tmp, ptr)  # exclusive: an existing branch is an error
+    except FileExistsError:
+        raise ValueError(f"branch {name!r} already exists") from None
+    finally:
+        os.remove(tmp)
+    return base
+
+
+def _is_ancestor(path: str, ancestor: int, sid: int | None) -> bool:
+    while sid is not None:
+        if sid == ancestor:
+            return True
+        m = _read_manifest_expired_ok(path, sid)
+        sid = m.get("parent_id") if m is not None else None
+    return False
+
+
+def publish_branch(path: str, name: str, drop: bool = True) -> int:
+    """PUBLISH an audited branch: fast-forward main to the branch
+    head, atomically. Requires main's current head to be an ancestor
+    of the branch head (i.e. main did not advance independently while
+    the audit ran) — otherwise :class:`CommitConflict`, exactly
+    Iceberg's ``fast_forward('main', branch)`` contract. The branch
+    pointer is removed after publishing unless ``drop=False``."""
+    head = ref_head(path, name)
+    if head is None:
+        raise FileNotFoundError(f"no branch {name!r} in {path}")
+    cur = current_snapshot_id(path)
+    if cur is None or not _is_ancestor(path, cur, head):
+        raise CommitConflict(
+            f"main ({cur}) is not an ancestor of branch {name!r} head "
+            f"({head}); publish would lose main's commits"
+        )
+    tmp = os.path.join(_meta_dir(path), f".ptr.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(head))
+    if current_snapshot_id(path) != cur:
+        os.remove(tmp)
+        raise CommitConflict(f"table {path} advanced during publish")
+    os.replace(tmp, _ptr_file(path, "main"))
+    if drop:
+        drop_branch(path, name)
+    return head
+
+
+def drop_branch(path: str, name: str) -> None:
+    """Delete a branch pointer (its snapshots stay until
+    :func:`expire_snapshots`; :func:`remove_orphan_files` treats live
+    branches as roots)."""
+    try:
+        os.remove(_ptr_file(path, name))
+    except FileNotFoundError:
+        pass
 
 
 def last_committed_batch(path: str) -> int | None:
@@ -620,6 +759,7 @@ def read_snapshot(
     path: str,
     snapshot_id: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    ref: str = "main",
 ) -> DataFrame:
     """Read a snapshot (time travel via ``snapshot_id``), optionally
     file-pruned. An empty post-prune plan still returns the right
@@ -629,7 +769,13 @@ def read_snapshot(
     widened schemas (columns added over time), the read merges parquet
     footers so old files surface the new columns as NULL — Iceberg's
     add-column semantics. The merge option is only paid when the
-    manifest records a schema change (``schema_evolved``)."""
+    manifest records a schema change (``schema_evolved``). ``ref``
+    reads a branch head (audit reads in the write-audit-publish
+    flow)."""
+    if snapshot_id is None and ref != "main":
+        snapshot_id = ref_head(path, ref)
+        if snapshot_id is None:
+            raise FileNotFoundError(f"no branch {ref!r} in {path}")
     m = read_manifest(path, snapshot_id)
     reader = spark.read
     if m.get("schema_evolved"):
@@ -1119,16 +1265,19 @@ def remove_orphan_files(path: str, older_than_s: float = 0.0) -> list[str]:
     removed whole; dirs containing a ``_temporary`` in-flight marker
     are never touched."""
     referenced: set[str] = set()
-    sid = current_snapshot_id(path)
-    while sid is not None:
-        m = _read_manifest_expired_ok(path, sid)
-        if m is None:
-            break  # expired ancestors reference nothing live
-        referenced.update(e["path"] for e in m["files"])
-        # position-delete files are live references too: vacuuming
-        # one would resurrect its deleted rows
-        referenced.update(e["path"] for e in m.get("delete_files") or [])
-        sid = m.get("parent_id")
+    for r in _all_refs(path):
+        sid = ref_head(path, r)
+        while sid is not None:
+            m = _read_manifest_expired_ok(path, sid)
+            if m is None:
+                break  # expired ancestors reference nothing live
+            referenced.update(e["path"] for e in m["files"])
+            # position-delete files are live references too: vacuuming
+            # one would resurrect its deleted rows
+            referenced.update(
+                e["path"] for e in m.get("delete_files") or []
+            )
+            sid = m.get("parent_id")
     now = time.time()
     deleted: list[str] = []
     data_root = os.path.join(path, "data")
@@ -1501,6 +1650,17 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
             break  # a previous expire already cut the chain here
         keep_ids.append(sid)
         sid = m.get("parent_id")
+    # live branches are roots: their whole chains stay readable
+    for r in _all_refs(path):
+        if r == "main":
+            continue
+        sid = ref_head(path, r)
+        while sid is not None and sid not in keep_ids:
+            m = _read_manifest_expired_ok(path, sid)
+            if m is None:
+                break
+            keep_ids.append(sid)
+            sid = m.get("parent_id")
     referenced = set()
     for k in keep_ids:
         km = read_manifest(path, k)

@@ -4310,6 +4310,48 @@ WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 9 = 5)
 """
 
 
+def tbl_wap_scan(spark, sf_dir):
+    """Write-audit-publish under a hard oracle (Iceberg's
+    ``spark.wap.branch`` flow, io/tableformat.create_branch /
+    publish_branch): a second crawl lands on an AUDIT branch; main's
+    pre-publish read sees only the first crawl (isolation), the
+    publish fast-forwards main atomically, and the post-publish read
+    sees everything. Both reads plan their file lists at call time
+    from their manifests, so the pre/post pair in one result set is
+    the isolation proof."""
+    from .io.tableformat import (
+        append_snapshot,
+        create_branch,
+        publish_branch,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    path = _scratch("tbl_wap_")
+    append_snapshot(docs.where(F.col("doc_id") % 2 == 0), path)
+    create_branch(path, "audit")
+    append_snapshot(docs.where(F.col("doc_id") % 2 == 1), path, ref="audit")
+    pre = read_snapshot(spark, path).select(
+        F.lit("pre").alias("stage"), "doc_id", "lang", "n_chars"
+    )
+    publish_branch(path, "audit")
+    post = read_snapshot(spark, path).select(
+        F.lit("post").alias("stage"), "doc_id", "lang", "n_chars"
+    )
+    return pre.unionByName(post)
+
+
+TBL_WAP_SQL = """
+SELECT 'pre' AS stage, doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'post' AS stage, doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+"""
+
+
 def tbl_spec_scan(spark, sf_dir):
     """Partition-spec evolution under a hard oracle: the table starts
     unpartitioned, evolves to identity(lang) (metadata-only commit —
@@ -5170,7 +5212,9 @@ REGISTRY: dict = {
     # Python DataSource API (round 6; rotated in for d06, 5x green
     # drivers r1-r5)
     "s11_stream_table_source": (s11_stream_table_source, S11_SQL),
-    "d06b_dropped_shingle_stats": (d06b_dropped_shingle_stats, D06B_SQL),
+    # write-audit-publish branches (round 6; rotated in for d06b,
+    # 3x green drivers r3-r5)
+    "tbl_wap_scan": (tbl_wap_scan, TBL_WAP_SQL),
     # training-window sequence packing via the distributed prefix
     # sum (round 6; rotated in for d07, 5x green drivers r1-r5)
     "d26_sequence_packing": (d26_sequence_packing, D26_SQL),
@@ -5272,6 +5316,7 @@ REGISTRY: dict = {
     "d12_winnowing_fingerprints": (d12_winnowing_fingerprints, D12_SQL),
     "d06_ngram_jaccard_pairs": (d06_ngram_jaccard_pairs, D06_SQL),
     "d07_minhash_lsh_pairs": (d07_minhash_lsh_pairs, D07_SQL),
+    "d06b_dropped_shingle_stats": (d06b_dropped_shingle_stats, D06B_SQL),
     "d09_regex_tokens": (d09_regex_tokens, D09_SQL),
     "d01_token_count": (d01_token_count, D01_SQL),
     "d02_quality_score": (d02_quality_score, D02_SQL),

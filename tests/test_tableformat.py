@@ -677,13 +677,13 @@ def test_append_retries_metadata_only_on_lost_race(spark, tmp_path, monkeypatch)
     orig_commit = tf._commit
     state = {"raced": False}
 
-    def racy_commit(path, manifest, expected_parent):
+    def racy_commit(path, manifest, expected_parent, ref="main"):
         if not state["raced"] and expected_parent == 1:
             state["raced"] = True
             # a competing writer (B) lands between A's plan and A's
             # swap; B's own commit passes through (raced already set)
             tf.append_snapshot(_df(spark, 500, 520), path)
-        return orig_commit(path, manifest, expected_parent)
+        return orig_commit(path, manifest, expected_parent, ref=ref)
 
     monkeypatch.setattr(tf, "_commit", racy_commit)
     n_files_before = sum(
@@ -705,7 +705,7 @@ def test_append_retries_metadata_only_on_lost_race(spark, tmp_path, monkeypatch)
     n_added_by_both = n_files_after - n_files_before
     assert len(m3["added"]) + len(read_manifest(t, 2)["added"]) == n_added_by_both
     # fail-fast mode still raises
-    def always_racy(path, manifest, expected_parent):
+    def always_racy(path, manifest, expected_parent, ref="main"):
         raise CommitConflict("simulated")
 
     monkeypatch.setattr(tf, "_commit", always_racy)
