@@ -68,6 +68,14 @@ def hll_registers(
     all-zero word → ``wbits + 1``). The groupBy aggregates MAX(rho)
     map-side before the shuffle — at scale the exchange carries
     ``≤ groups × m`` rows, not token occurrences.
+
+    The default ``p=6`` (m=64 registers, ~13% relative error) is
+    chosen for the ORACLE design: the registers themselves are
+    compared bit-exactly against SQL, so the estimate's variance is
+    irrelevant to correctness. A production deployment sizing for
+    estimate ACCURACY would raise ``p`` to 12-14 (m=4096-16384,
+    1-2% error) — the algebra, shuffle shape and merge theorem are
+    unchanged, only the per-group register count grows.
     """
     m = 1 << p
     wbits = HASH_BITS - p
