@@ -136,6 +136,15 @@ SECTIONS = [
         lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d23_frequent_tokens(s, SF),
     ),
     (
+        "d26 — training-window sequence packing",
+        "The global token offset is the two-pass prefix sum: one "
+        "map-side-combining aggregate for per-range partials "
+        "(collected, <= #partitions rows), then per-range local "
+        "windows — NO single-partition Window/Exchange anywhere in "
+        "the plan.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d26_sequence_packing(s, SF),
+    ),
+    (
         "d25 — fuzzy-dedup corpus pipeline",
         "d22's stages plus MinHash-LSH + connected components: the "
         "LSH candidate join is band-bucket-keyed (SortMergeJoin on "
