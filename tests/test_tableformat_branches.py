@@ -81,3 +81,29 @@ def test_branch_name_validation_and_duplicates(spark, tmp_path):
     create_branch(t, "a1")
     with pytest.raises(ValueError, match="already exists"):
         create_branch(t, "a1")
+
+
+def test_concurrent_main_and_branch_commits_get_distinct_sids(spark, tmp_path):
+    """Snapshot ids are allocated globally by the manifest claim: a
+    branch commit that would collide with a main commit's id advances
+    to the next free id instead of conflicting (and vice versa);
+    both chains stay intact via parent_id."""
+    from kblock_spark.io.tableformat import read_manifest
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)              # sid 1 (main)
+    create_branch(t, "audit")                          # at 1
+    s_main = append_snapshot(_df(spark, 10, 20), t)    # sid 2 (main)
+    s_br = append_snapshot(_df(spark, 20, 30), t, ref="audit")
+    assert s_main != s_br
+    assert read_manifest(t, s_br)["parent_id"] == 1
+    assert read_manifest(t, s_main)["parent_id"] == 1
+    assert read_snapshot(spark, t).count() == 20
+    assert read_snapshot(spark, t, ref="audit").count() == 20
+    # interleave more commits on both refs: ids never collide
+    s2 = append_snapshot(_df(spark, 30, 35), t, ref="audit")
+    s3 = append_snapshot(_df(spark, 40, 45), t)
+    assert len({1, s_main, s_br, s2, s3}) == 5
+    # diverged → publish refuses (main has its own commits)
+    with pytest.raises(CommitConflict):
+        publish_branch(t, "audit")
