@@ -36,6 +36,8 @@ import os
 import time
 import uuid
 
+from urllib.parse import unquote
+
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
@@ -87,7 +89,10 @@ def _file_stats(fpath: str, stat_cols: list[str]) -> dict:
     metadata-only reads (no data pages), the source of the same stats
     Iceberg stores in its manifests."""
     md = pq.ParquetFile(fpath).metadata
-    stats: dict = {"rows": md.num_rows}
+    # byte size rides along for admission control (the streaming
+    # source's maxBytesPerTrigger pacing) — same role as Iceberg's
+    # file_size_in_bytes manifest field
+    stats: dict = {"rows": md.num_rows, "bytes": os.path.getsize(fpath)}
     if stat_cols:
         name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         for c in stat_cols:
@@ -228,8 +233,59 @@ def _commit(
                     f"snapshot {sid} of {path} already claimed by a "
                     "concurrent writer"
                 ) from None
-            os.remove(snap)
-            os.link(tmp, snap)
+            # Breaking a stale claim must itself be exclusive: two
+            # breakers interleaving remove→link could delete each
+            # other's freshly relinked claim (one of them would then
+            # swap the pointer onto the other's manifest). A break
+            # MARKER (os.link, atomic-exclusive like the claim
+            # itself) serializes breakers; staleness is re-verified
+            # under the marker because the claimant may have finished
+            # its swap, or a previous breaker may have already
+            # replaced the claim, between our check and our link.
+            brk = snap + ".break"
+            try:
+                os.link(tmp, brk)
+            except FileExistsError:
+                # another breaker owns the break right; if IT crashed,
+                # its marker goes stale and is cleared the same way
+                try:
+                    if time.time() - os.path.getmtime(brk) > _STALE_CLAIM_S:
+                        os.remove(brk)
+                except FileNotFoundError:
+                    pass
+                raise CommitConflict(
+                    f"stale claim on snapshot {sid} of {path} is being "
+                    "broken by a concurrent writer"
+                ) from None
+            try:
+                try:
+                    still_stale = (
+                        ref_head(path, ref) == expected_parent
+                        and time.time() - os.path.getmtime(snap)
+                        > _STALE_CLAIM_S
+                    )
+                except FileNotFoundError:
+                    still_stale = False
+                if not still_stale:
+                    raise CommitConflict(
+                        f"snapshot {sid} of {path} already claimed by a "
+                        "concurrent writer"
+                    ) from None
+                os.remove(snap)
+                try:
+                    os.link(tmp, snap)
+                except FileExistsError:
+                    # a racer claimed the freed slot first — a raw
+                    # FileExistsError here escaped the retry loop
+                    raise CommitConflict(
+                        f"snapshot {sid} of {path} re-claimed by a "
+                        "concurrent writer"
+                    ) from None
+            finally:
+                try:
+                    os.remove(brk)
+                except FileNotFoundError:
+                    pass
             break
     finally:
         os.remove(tmp)
@@ -306,7 +362,13 @@ def _write_data_files(
             for seg in os.path.relpath(root, sub).split(os.sep):
                 if "=" in seg:
                     k, v = seg.split("=", 1)
-                    part[k.removeprefix("__p_")] = v
+                    # Spark %-escapes special chars in hive dir values
+                    # (Hive escapePathName: '=', ':', '%', ...); the
+                    # manifest must record the REAL value or identity
+                    # pruning compares the escaped form against the
+                    # predicate bounds and silently skips matching
+                    # files
+                    part[k.removeprefix("__p_")] = unquote(v)
         for name in sorted(names):
             if not name.endswith(".parquet"):
                 continue
@@ -485,7 +547,10 @@ def create_branch(path: str, name: str, at: int | None = None) -> int:
     if base is None:
         raise FileNotFoundError(f"no current snapshot in {path}")
     ptr = _ptr_file(path, name)
-    tmp = ptr + f".{uuid.uuid4().hex}"
+    # dot-prefixed temp: a plain "ref-<name>.<uuid>" temp would be
+    # listed by _all_refs as a phantom branch (and momentarily
+    # treated as a GC root by expire/vacuum) during the link window
+    tmp = os.path.join(_meta_dir(path), f".ref-{name}.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(str(base))
     try:
@@ -506,32 +571,120 @@ def _is_ancestor(path: str, ancestor: int, sid: int | None) -> bool:
     return False
 
 
-def publish_branch(path: str, name: str, drop: bool = True) -> int:
-    """PUBLISH an audited branch: fast-forward main to the branch
-    head, atomically. Requires main's current head to be an ancestor
-    of the branch head (i.e. main did not advance independently while
-    the audit ran) — otherwise :class:`CommitConflict`, exactly
-    Iceberg's ``fast_forward('main', branch)`` contract. The branch
-    pointer is removed after publishing unless ``drop=False``."""
+def publish_branch(
+    path: str,
+    name: str,
+    drop: bool = True,
+    cherry_pick: bool = True,
+    commit_retries: int = 3,
+) -> int:
+    """PUBLISH an audited branch. When main's current head is an
+    ancestor of the branch head (main did not advance during the
+    audit) this is an atomic fast-forward — Iceberg's
+    ``fast_forward('main', branch)``. When main DID advance and
+    ``cherry_pick`` is on (the default), the branch's snapshots are
+    RE-BASED onto the new main head as fresh append commits — the
+    metadata-only re-base the production WAP flow needs so a
+    concurrent writer doesn't wedge every audit-then-publish cycle.
+
+    Cherry-picking is sound only for APPEND snapshots: a branch
+    append's files are brand new, so they commute with anything main
+    did meanwhile (appends, deletes, compactions — none can touch
+    files they never saw). Any non-append snapshot in the branch
+    segment raises :class:`CommitConflict` (its effect is anchored to
+    the fork-time table state). Re-based file entries are re-stamped
+    with their NEW commit's sequence (Iceberg cherry-pick semantics:
+    published rows are not shadowed by equality deletes that landed
+    on main while the audit ran). ``cherry_pick=False`` restores the
+    strict fast-forward-only contract. The branch pointer is removed
+    after publishing unless ``drop=False``. Returns main's new head
+    snapshot id."""
     head = ref_head(path, name)
     if head is None:
         raise FileNotFoundError(f"no branch {name!r} in {path}")
     cur = current_snapshot_id(path)
-    if cur is None or not _is_ancestor(path, cur, head):
+    if cur is not None and _is_ancestor(path, cur, head):
+        tmp = os.path.join(_meta_dir(path), f".ptr.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(head))
+        if current_snapshot_id(path) != cur:
+            os.remove(tmp)
+            # lost the fast-forward window: fall through to the
+            # cherry-pick path below instead of wedging
+            if not cherry_pick:
+                raise CommitConflict(
+                    f"table {path} advanced during publish"
+                )
+        else:
+            os.replace(tmp, _ptr_file(path, "main"))
+            if drop:
+                drop_branch(path, name)
+            return head
+    if not cherry_pick or cur is None:
         raise CommitConflict(
             f"main ({cur}) is not an ancestor of branch {name!r} head "
             f"({head}); publish would lose main's commits"
         )
-    tmp = os.path.join(_meta_dir(path), f".ptr.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(head))
-    if current_snapshot_id(path) != cur:
-        os.remove(tmp)
-        raise CommitConflict(f"table {path} advanced during publish")
-    os.replace(tmp, _ptr_file(path, "main"))
+    # branch segment = snapshots on the branch above the fork point
+    # (the first ancestor of the branch head that is also on main)
+    segment: list[tuple[int, dict]] = []
+    sid: int | None = head
+    while sid is not None and not _is_ancestor(path, sid, cur):
+        sm = _read_manifest_expired_ok(path, sid)
+        if sm is None:
+            raise ValueError(
+                f"branch {name!r} snapshot {sid} has been expired; "
+                "the segment cannot be replayed"
+            )
+        segment.append((sid, sm))
+        sid = sm.get("parent_id")
+    segment.reverse()  # oldest first: replay in commit order
+    for s_sid, sm in segment:
+        if sm.get("operation") != "append":
+            raise CommitConflict(
+                f"branch snapshot {s_sid} is "
+                f"{sm.get('operation')!r}; only append snapshots can "
+                "be cherry-picked onto an advanced main"
+            )
+    last = cur
+    for s_sid, sm in segment:
+        added = set(sm.get("added") or [])
+        # strip the branch-time seq so _commit re-stamps with the new
+        # commit's sequence (see docstring)
+        add_entries = [
+            {k: v for k, v in e.items() if k != "seq"}
+            for e in sm["files"]
+            if e["path"] in added
+        ]
+        for attempt in range(commit_retries + 1):
+            parent = current_snapshot_id(path)
+            pm = read_manifest(path, parent)
+            evolved = (
+                bool(pm.get("schema_evolved"))
+                or bool(sm.get("schema_evolved"))
+                or pm.get("schema") != sm.get("schema")
+            )
+            manifest = {
+                "operation": "append",
+                "cherry_picked_from": s_sid,
+                "schema": sm.get("schema"),
+                "stat_cols": pm.get("stat_cols") or sm.get("stat_cols") or [],
+                "schema_evolved": evolved,
+                "files": pm["files"] + add_entries,
+                "added": sorted(added),
+            }
+            if pm.get("delete_files"):
+                manifest["delete_files"] = pm["delete_files"]
+            _carry_spec(manifest, pm)
+            try:
+                last = _commit(path, manifest, parent)
+                break
+            except CommitConflict:
+                if attempt == commit_retries:
+                    raise
     if drop:
         drop_branch(path, name)
-    return head
+    return last
 
 
 def drop_branch(path: str, name: str) -> None:
@@ -542,6 +695,75 @@ def drop_branch(path: str, name: str) -> None:
         os.remove(_ptr_file(path, name))
     except FileNotFoundError:
         pass
+
+
+def _tag_file(path: str, name: str) -> str:
+    return os.path.join(_meta_dir(path), f"tag-{name}")
+
+
+def create_tag(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Pin a NAMED, IMMUTABLE reference to a snapshot — Iceberg tags,
+    the read-only half of the ref surface (branches move with commits,
+    tags never do). A tag is a GC root: :func:`expire_snapshots` and
+    :func:`remove_orphan_files` keep a tagged snapshot's chain and
+    files alive however far main advances, so ``read_snapshot(...,
+    ref="v1-audit-passed")`` works forever — the release-pinning
+    pattern (tag the snapshot a model was trained from; reproduce the
+    exact corpus years later). Metadata-only: one pointer file.
+    Returns the pinned snapshot id."""
+    if not name.isidentifier() and not name.replace("-", "_").isidentifier():
+        raise ValueError(f"invalid tag name {name!r}")
+    sid = current_snapshot_id(path) if snapshot_id is None else int(snapshot_id)
+    if sid is None:
+        raise FileNotFoundError(f"no current snapshot in {path}")
+    read_manifest(path, sid)  # must exist (raises otherwise)
+    if ref_head(path, name) is not None:
+        raise ValueError(f"a branch named {name!r} already exists")
+    tag = _tag_file(path, name)
+    tmp = os.path.join(_meta_dir(path), f".tag-{name}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(sid))
+    try:
+        os.link(tmp, tag)  # exclusive: tags are immutable
+    except FileExistsError:
+        raise ValueError(f"tag {name!r} already exists") from None
+    finally:
+        os.remove(tmp)
+    return sid
+
+
+def drop_tag(path: str, name: str) -> None:
+    """Remove a tag pointer (the snapshot stays until untagged AND
+    expired)."""
+    try:
+        os.remove(_tag_file(path, name))
+    except FileNotFoundError:
+        pass
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """Live tags as ``{name: snapshot_id}``."""
+    out: dict[str, int] = {}
+    try:
+        names = os.listdir(_meta_dir(path))
+    except FileNotFoundError:
+        return out
+    for n in sorted(names):
+        if n.startswith("tag-") and not n.startswith("tag-."):
+            try:
+                with open(os.path.join(_meta_dir(path), n)) as f:
+                    out[n[4:]] = int(f.read().strip())
+            except (FileNotFoundError, ValueError):
+                continue  # racing create/drop or debris
+    return out
+
+
+def _resolve_ref(path: str, ref: str) -> int | None:
+    """Snapshot id a ref name points at: main / branch / tag."""
+    sid = ref_head(path, ref)
+    if sid is None and ref != "main":
+        sid = list_tags(path).get(ref)
+    return sid
 
 
 def last_committed_batch(path: str) -> int | None:
@@ -773,9 +995,9 @@ def read_snapshot(
     reads a branch head (audit reads in the write-audit-publish
     flow)."""
     if snapshot_id is None and ref != "main":
-        snapshot_id = ref_head(path, ref)
+        snapshot_id = _resolve_ref(path, ref)
         if snapshot_id is None:
-            raise FileNotFoundError(f"no branch {ref!r} in {path}")
+            raise FileNotFoundError(f"no branch or tag {ref!r} in {path}")
     m = read_manifest(path, snapshot_id)
     reader = spark.read
     if m.get("schema_evolved"):
@@ -828,28 +1050,44 @@ def _address_and_filter(
     dels = (m or {}).get("delete_files") or []
     pos = [e for e in dels if e.get("kind") != "eq"]
     eq = [e for e in dels if e.get("kind") == "eq"]
+    def _norm(col):
+        # plain absolute path from a file URI: the runtime's rendering
+        # of _metadata.file_path (file:/x vs file:///x) is not
+        # contractual, and a join miss would silently resurrect
+        # deleted rows — normalize BOTH sides of every address join
+        return F.regexp_replace(
+            F.regexp_replace(col, "^file:", ""), "^/+", "/"
+        )
+
     if pos:
         ddf = spark.read.parquet(
             *[os.path.join(path, e["path"]) for e in pos]
         )
         df = df.join(
             F.broadcast(ddf),
-            (F.col("__fp") == ddf["file_path"])
+            (_norm(F.col("__fp")) == _norm(ddf["file_path"]))
             & (F.col("__pos") == ddf["pos"]),
             "left_anti",
         )
     if eq:
         # per-row file sequence via a broadcast (file_path, seq) map
-        # derived from the manifest ("file:" + abspath is the
-        # _metadata.file_path form; missing seq = pre-feature file =
-        # 0, conservatively shadowed by every eq delete)
+        # derived from the manifest (missing seq = pre-feature file =
+        # 0, conservatively shadowed by every eq delete). Both join
+        # sides are normalized to the plain ABSOLUTE PATH — the
+        # runtime renders _metadata.file_path as a URI whose exact
+        # shape (file:/x vs file:///x) is not contractual, and a
+        # silent join miss here would coalesce __fseq to 0 and
+        # wrongly shadow rows appended AFTER the delete
         seq_rows = [
-            ("file:" + os.path.join(path, e["path"]), int(e.get("seq") or 0))
+            (
+                os.path.abspath(os.path.join(path, e["path"])),
+                int(e.get("seq") or 0),
+            )
             for e in (m or {}).get("files") or []
         ]
         seq_df = spark.createDataFrame(seq_rows, "__sfp string, __fseq long")
         df = df.join(
-            F.broadcast(seq_df), df["__fp"] == seq_df["__sfp"], "left"
+            F.broadcast(seq_df), _norm(df["__fp"]) == seq_df["__sfp"], "left"
         ).drop("__sfp")
         for col in sorted({e["col"] for e in eq}):
             parts = []
@@ -1265,8 +1503,9 @@ def remove_orphan_files(path: str, older_than_s: float = 0.0) -> list[str]:
     removed whole; dirs containing a ``_temporary`` in-flight marker
     are never touched."""
     referenced: set[str] = set()
-    for r in _all_refs(path):
-        sid = ref_head(path, r)
+    roots = [ref_head(path, r) for r in _all_refs(path)]
+    roots.extend(list_tags(path).values())  # tags are GC roots too
+    for sid in roots:
         while sid is not None:
             m = _read_manifest_expired_ok(path, sid)
             if m is None:
@@ -1357,9 +1596,21 @@ def snapshot_diff(
     # own delete set, and unchanged rows hash-cancel as usual).
     da = ma.get("delete_files") or []
     db = mb.get("delete_files") or []
+    d_by = {e["path"]: e for e in da} | {e["path"]: e for e in db}
     changed_dels = {e["path"] for e in da} ^ {e["path"] for e in db}
     touched: set[str] = set()
+    eq_min_seq: int | None = None
     for dp in sorted(changed_dels):
+        if d_by[dp].get("kind") == "eq":
+            # equality-delete files hold only the KEY column — there
+            # is no file_path to map to touched files (an eq delete
+            # shadows rows of EVERY data file whose commit seq
+            # precedes its own). Conservatively re-scan all common
+            # files that seq-qualify; each side applies its own
+            # delete set and unchanged rows hash-cancel as usual.
+            s = int(d_by[dp].get("seq") or 0)
+            eq_min_seq = s if eq_min_seq is None else min(eq_min_seq, s)
+            continue
         col = pq.read_table(
             os.path.join(path, dp), columns=["file_path"]
         ).column("file_path")
@@ -1368,6 +1619,16 @@ def snapshot_diff(
             for fp in set(col.to_pylist())
         )
     re_scan = touched & pa & pb
+    if eq_min_seq is not None:
+        # missing seq = pre-feature file = 0, shadowed by every eq
+        # delete → re-scanned
+        seq_of = {
+            e["path"]: int(e.get("seq") or 0)
+            for e in list(ma["files"]) + list(mb["files"])
+        }
+        re_scan |= {
+            p for p in pa & pb if seq_of.get(p, 0) < eq_min_seq
+        }
     only_a = sorted((pa - pb) | re_scan)
     only_b = sorted((pb - pa) | re_scan)
     schema_src = spark.read.parquet(
@@ -1650,11 +1911,14 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
             break  # a previous expire already cut the chain here
         keep_ids.append(sid)
         sid = m.get("parent_id")
-    # live branches are roots: their whole chains stay readable
-    for r in _all_refs(path):
-        if r == "main":
-            continue
-        sid = ref_head(path, r)
+    # live branches AND tags are roots: their whole chains stay
+    # readable (a tag is the release-pinning contract — see
+    # :func:`create_tag`)
+    roots = [
+        ref_head(path, r) for r in _all_refs(path) if r != "main"
+    ]
+    roots.extend(list_tags(path).values())
+    for sid in roots:
         while sid is not None and sid not in keep_ids:
             m = _read_manifest_expired_ok(path, sid)
             if m is None:

@@ -3696,21 +3696,20 @@ FROM c GROUP BY 1
 """
 
 
-def s10_stream_upsert(spark, sf_dir):
-    """Streaming MERGE-ON-READ upsert sink (the Iceberg CDC pattern,
-    io/tableformat.streaming_upsert_sink): three "crawls" of the same
-    url space arrive as three micro-batches (maxFilesPerTrigger=1,
-    mtime-ordered); each batch position-deletes its matched keys and
-    appends its rows in ONE merge-mor commit — the table always holds
-    the latest value per key, nothing is rewritten, every historical
-    state stays time-travelable, and a replayed batch no-ops via the
-    manifest batch id. Oracle: the last-crawl-wins reconstruction in
-    closed form (crawl 2 ⊃ crawl 1 ⊃ crawl 0 by doc_id divisibility)."""
+def _upsert_crawl_table(spark, sf_dir):
+    """Shared s10/s12 fixture: three "crawls" of the same url space
+    arrive as three mtime-ordered micro-batches and are folded into a
+    snapshot table by the streaming MOR upsert sink
+    (io/tableformat.streaming_upsert_sink) — each batch
+    position-deletes its matched keys and appends its rows in ONE
+    merge-mor commit. Returns the table path; the final state is the
+    last-crawl-wins reconstruction (crawl 2 ⊃ crawl 1 ⊃ crawl 0 by
+    doc_id divisibility) = S10_SQL."""
     import os
     import shutil
     import time as _time
 
-    from .io.tableformat import read_snapshot, streaming_upsert_sink
+    from .io.tableformat import streaming_upsert_sink
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     base = _scratch("kblock_supsert_")
@@ -3754,6 +3753,19 @@ def s10_stream_upsert(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+    return tbl
+
+
+def s10_stream_upsert(spark, sf_dir):
+    """Streaming MERGE-ON-READ upsert sink (the Iceberg CDC pattern):
+    see :func:`_upsert_crawl_table` — the table always holds the
+    latest value per key, nothing is rewritten, every historical
+    state stays time-travelable, and a replayed batch no-ops via the
+    manifest batch id. Oracle: the last-crawl-wins reconstruction in
+    closed form."""
+    from .io.tableformat import read_snapshot
+
+    tbl = _upsert_crawl_table(spark, sf_dir)
     return read_snapshot(spark, tbl).select(
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
     )
@@ -3824,6 +3836,49 @@ UNION ALL
 SELECT doc_id, 'zz' AS lang, source, (n_chars + 77)::BIGINT AS n_chars
 FROM documents WHERE doc_id % 13 = 0
 """
+
+
+def s12_stream_after_upsert(spark, sf_dir):
+    """s10 + s11 composed end-to-end (round 7): a stream reads FROM a
+    table that a streaming MOR upsert sink is maintaining, and the
+    append-only change feed folds back to the table's merge-on-read
+    state. The kblock_table source stamps each row with the snapshot
+    that added it (withSnapshotId — the change-feed ordering key);
+    merge-mor added files are the upserted rows, so "latest snapshot
+    wins per key" reconstructs exactly what the batch MOR scan reads.
+    Oracle: S10_SQL verbatim — the proof that stream-read-after-upsert
+    equals the batch scan (which S10 oracles against DuckDB)."""
+    from .io.table_source import register_table_source
+
+    register_table_source(spark)
+    tbl = _upsert_crawl_table(spark, sf_dir)
+    base = _scratch("kblock_s12_")
+    out, ck = f"{base}/out", f"{base}/ck"
+    stream = (
+        spark.readStream.format("kblock_table")
+        .option("path", tbl)
+        .option("withSnapshotId", "true")
+        .load()
+    )
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    feed = spark.read.parquet(out)
+    w = Window.partitionBy("doc_id").orderBy(F.col("_snapshot_id").desc())
+    return (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(
+            "doc_id", "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
 
 
 def media_features(spark, sf_dir):
@@ -5234,6 +5289,10 @@ REGISTRY: dict = {
     # streaming merge-on-read upsert sink, the Iceberg CDC pattern
     # (round 6; rotated in for d12, 4x green drivers r2-r5)
     "s10_stream_upsert": (s10_stream_upsert, S10_SQL),
+    # round 7: stream FROM the MOR-upserted table — the snapshot-id-
+    # stamped change feed folds back to the batch MOR scan state
+    # (oracle = S10_SQL verbatim)
+    "s12_stream_after_upsert": (s12_stream_after_upsert, S10_SQL),
     # exact heavy hitters (rotated in for d13, 3x green r2-r4)
     "d23_frequent_tokens": (d23_frequent_tokens, D23_SQL),
     # URL canonicalization (rotated in for d15, 3x green r2-r4)

@@ -42,17 +42,21 @@ def test_write_audit_publish_flow(spark, tmp_path):
     assert ref_head(t, "audit") is None  # dropped after publish
 
 
-def test_publish_refuses_diverged_main(spark, tmp_path):
+def test_publish_refuses_diverged_main_when_strict(spark, tmp_path):
     t = str(tmp_path / "tbl")
     append_snapshot(_df(spark, 0, 10), t)
     create_branch(t, "audit")
     append_snapshot(_df(spark, 10, 20), t, ref="audit")
     append_snapshot(_df(spark, 90, 95), t)  # main advances on its own
     with pytest.raises(CommitConflict, match="not an ancestor"):
-        publish_branch(t, "audit")
-    # both lines still intact
+        publish_branch(t, "audit", cherry_pick=False)
+    # both lines still intact after the strict refusal
     assert read_snapshot(spark, t).count() == 15
     assert read_snapshot(spark, t, ref="audit").count() == 20
+    # the default publish cherry-picks the branch onto the new head
+    publish_branch(t, "audit")
+    got = {r["doc_id"] for r in read_snapshot(spark, t).collect()}
+    assert got == set(range(20)) | set(range(90, 95))
 
 
 def test_gc_treats_branches_as_roots(spark, tmp_path):
@@ -104,6 +108,121 @@ def test_concurrent_main_and_branch_commits_get_distinct_sids(spark, tmp_path):
     s2 = append_snapshot(_df(spark, 30, 35), t, ref="audit")
     s3 = append_snapshot(_df(spark, 40, 45), t)
     assert len({1, s_main, s_br, s2, s3}) == 5
-    # diverged → publish refuses (main has its own commits)
+    # diverged → strict publish refuses (main has its own commits)
     with pytest.raises(CommitConflict):
-        publish_branch(t, "audit")
+        publish_branch(t, "audit", cherry_pick=False)
+
+
+def test_cherry_pick_publish_preserves_both_lines(spark, tmp_path):
+    """Round-7: publish onto an advanced main re-bases the branch's
+    append snapshots as fresh commits — no data file is rewritten,
+    history shows the cherry-picks, and the isolation guarantee (no
+    unaudited data on main before publish) still holds."""
+    from kblock_spark.io.tableformat import read_manifest
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)  # main sid 1
+    create_branch(t, "audit")
+    append_snapshot(_df(spark, 10, 20), t, ref="audit")
+    append_snapshot(_df(spark, 20, 30), t, ref="audit")
+    append_snapshot(_df(spark, 50, 55), t)  # main advances mid-audit
+    branch_files = {
+        e["path"] for e in read_manifest(t, ref_head(t, "audit"))["files"]
+    }
+    head = publish_branch(t, "audit")
+    assert current_snapshot_id(t) == head
+    got = {r["doc_id"] for r in read_snapshot(spark, t).collect()}
+    assert got == set(range(30)) | set(range(50, 55))
+    m = read_manifest(t)
+    # re-base reused the branch's data files verbatim
+    assert branch_files - {e["path"] for e in m["files"]} <= {
+        e["path"] for e in read_manifest(t, 1)["files"]
+    }
+    assert "cherry_picked_from" in m
+    assert ref_head(t, "audit") is None
+
+
+def test_cherry_pick_publish_survives_commit_race(spark, tmp_path, monkeypatch):
+    """A competing append landing DURING the cherry-pick publish is
+    absorbed by the commit retry, not lost and not wedging."""
+    from kblock_spark.io import tableformat as tf
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+    create_branch(t, "audit")
+    append_snapshot(_df(spark, 10, 20), t, ref="audit")
+    append_snapshot(_df(spark, 50, 55), t)  # diverged before publish
+    real = tf._commit
+    raced = {"done": False}
+
+    def racing(path, manifest, expected_parent, ref="main"):
+        if not raced["done"] and manifest.get("cherry_picked_from"):
+            raced["done"] = True  # set FIRST: the injected append
+            # recurses into this wrapper and must pass through
+            append_snapshot(_df(spark, 60, 65), t)
+        return real(path, manifest, expected_parent, ref=ref)
+
+    monkeypatch.setattr(tf, "_commit", racing)
+    publish_branch(t, "audit")
+    got = {r["doc_id"] for r in read_snapshot(spark, t).collect()}
+    assert got == (
+        set(range(20)) | set(range(50, 55)) | set(range(60, 65))
+    )
+
+
+def test_cherry_picked_rows_not_shadowed_by_concurrent_eq_delete(
+    spark, tmp_path
+):
+    """Equality deletes landing on main during the audit must not
+    shadow the branch's rows once published: the re-based file
+    entries are re-stamped with their NEW commit sequence (Iceberg
+    cherry-pick semantics)."""
+    from kblock_spark.io.tableformat import delete_keys_mor
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 20).coalesce(1), t)  # seq 1
+    create_branch(t, "audit")
+    append_snapshot(_df(spark, 100, 110).coalesce(1), t, ref="audit")
+    keys = spark.createDataFrame([(5,), (105,)], "doc_id long")
+    delete_keys_mor(spark, t, keys, "doc_id")  # main eq delete
+    publish_branch(t, "audit")
+    got = {r["doc_id"] for r in read_snapshot(spark, t).collect()}
+    # 5 (pre-delete file) is shadowed; 105 (published after) survives
+    assert got == (set(range(20)) - {5}) | set(range(100, 110))
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path):
+    """Round-7: named tags — immutable refs, readable by name, GC
+    roots for expire/vacuum, release-pinning semantics."""
+    from kblock_spark.io.tableformat import (
+        create_tag,
+        drop_tag,
+        expire_snapshots,
+        list_tags,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)  # sid 1
+    create_tag(t, "v1")
+    append_snapshot(_df(spark, 10, 30), t)  # sid 2
+    append_snapshot(_df(spark, 30, 60), t)  # sid 3
+    assert list_tags(t) == {"v1": 1}
+    assert read_snapshot(spark, t, ref="v1").count() == 10
+    # tags are immutable and namespace-checked
+    with pytest.raises(ValueError, match="already exists"):
+        create_tag(t, "v1", 2)
+    create_branch(t, "wip")
+    with pytest.raises(ValueError, match="branch named"):
+        create_tag(t, "wip", 2)
+    drop_branch(t, "wip")
+    # expiry keeps the tagged chain alive
+    expire_snapshots(t, keep_last=1)
+    assert read_snapshot(spark, t, ref="v1").count() == 10
+    assert read_snapshot(spark, t).count() == 60
+    remove_orphan_files(t)
+    assert read_snapshot(spark, t, ref="v1").count() == 10
+    # dropping the tag releases it for the next expiry
+    drop_tag(t, "v1")
+    expire_snapshots(t, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, ref="v1")
