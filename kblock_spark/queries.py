@@ -2980,6 +2980,299 @@ def geo_combine_full(spark, sf_dir):
     )
 
 
+# ---- geo_combine_oracle (round 7): the 87-column combine surface
+# under a HARD cross-engine oracle. geo_combine_full (above) pins the
+# end-to-end geometry pipeline with a frozen golden; THIS entry
+# oracles the combine stage's entire column pipeline — chained
+# left joins, na flags, the k=1 fill, zero-fills, guarded
+# ratios/logs, k buckets/labels, and all 30 building-area bin pivots
+# — by feeding the REAL ops/combine.combine_full SQL-reproducible
+# inputs derived from doc_id arithmetic (the geometry upstream that
+# produces those inputs carries its own oracles: geo_blocks_oracle,
+# geo_k_oracle, geo_pip_oracle, geo_zonal_oracle).
+#
+# Cross-engine determinism: every input value is integer-derived and
+# cast to double once, so joins/sums/ratios are bit-identical IEEE
+# ops on identical operands; building areas are chosen strictly
+# INTERIOR to the 15 log10 bins (one per bin + the <=1.0 guard case),
+# so bin membership cannot flip on a 1-ulp log10 difference — the
+# oracle maps areas to bins in closed form; float outputs are
+# quantized e6 to BIGINT on both engines (the geo_zonal recipe).
+
+_COMBINE_AREAS = [
+    0.0, 3.0, 7.0, 12.0, 20.0, 40.0, 70.0, 120.0, 250.0, 400.0,
+    700.0, 1200.0, 2500.0, 4000.0, 7000.0, 12000.0,
+]
+# bin index (1-based) each area falls in: 0.0 hits the <=1.0 guard
+# (log10 -> 0.0 -> bin 1); the rest land mid-bin 1..15
+_COMBINE_AREA_BIN = [1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+_COMBINE_STR_COLS = {
+    "block_id", "block_geohash", "parcel_layers", "k_labels",
+    "k_labels_detailed", "gadm_code", "country_code", "country_name",
+    "continent", "area_type", "class_urban_hierarchy",
+    "class_urban_periurban_nonurban", "class_urban_nonurban",
+    "urban_id", "urban_center_name", "urban_country_code",
+    "urban_country_name", "conurbation_id",
+    "conurbation_area_name_short", "conurbation_country_code",
+    "conurbation_country_name", "agglosid", "agglosname", "metropole",
+    "urban_layer_code",
+}
+_COMBINE_INT_COLS = {
+    "building_count", "parcel_count", "k_complexity",
+    "on_network_street_length_na", "off_network_street_length_na",
+}
+
+
+def geo_combine_oracle(spark, sf_dir):
+    from .ops.combine import COMBINE_FULL_COLS, combine_full
+
+    doc = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(doc < 240)
+    bid = F.concat(F.lit("B"), doc.cast("string")).alias("block_id")
+    blocks = d.select(
+        bid,
+        F.concat(F.lit("gh"), (doc % 32).cast("string")).alias("block_geohash"),
+        F.concat(F.lit("AAA."), (doc % 7).cast("string")).alias("gadm_code"),
+        F.lit("AAA").alias("country_code"),
+        ((doc % 50) * 2500 + 500).cast("double").alias("block_area"),
+        ((doc % 40) * 100 + 80).cast("double").alias("block_perimeter"),
+    )
+    # complexity row missing for doc_id%5==0: exercises the k->1 fill,
+    # na flags, and street-length zero-fills
+    cx = d.where(doc % 5 != 0).select(
+        bid,
+        (1 + doc % 12).cast("bigint").alias("k_complexity"),
+        (doc % 9).cast("bigint").alias("building_count"),
+        F.concat(F.lit("L"), (doc % 3).cast("string")).alias("building_layers"),
+        ((doc * 13) % 1000).cast("double").alias("on_network_street_length"),
+        ((doc * 7) % 800).cast("double").alias("off_network_street_length"),
+        ((doc * 11) % 400).cast("double").alias("nearest_external_street"),
+    )
+    areas = F.array(*[F.lit(v) for v in _COMBINE_AREAS])
+    bld = (
+        d.withColumn("nb", (doc % 9).cast("int"))
+        .where("nb >= 1")
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.col("nb"))))
+        .select(
+            bid,
+            F.element_at(
+                areas, ((doc + F.col("j")) % 16 + 1).cast("int")
+            ).alias("building_area"),
+        )
+    )
+    ls = d.where(doc % 3 != 1).select(
+        bid,
+        ((doc * 37) % 5000).cast("double").alias("population"),
+        ((doc * 37) % 5000 + 7).cast("double").alias("population_un"),
+    )
+    wp = d.where(doc % 4 != 2).select(
+        bid,
+        ((doc * 53) % 6000).cast("double").alias("population"),
+        ((doc * 53) % 6000 + 11).cast("double").alias("population_un"),
+    )
+    xwalk = d.select(
+        bid,
+        F.lit("Aaaland").alias("country_name"),
+        F.lit("Africa").alias("continent"),
+        F.when(doc % 3 == 0, "Urban")
+        .when(doc % 3 == 1, "Peri-urban")
+        .otherwise("Non-urban")
+        .alias("area_type"),
+        F.concat(F.lit("h"), (doc % 4).cast("string")).alias("class_urban_hierarchy"),
+        F.concat(F.lit("pu"), (doc % 3).cast("string")).alias(
+            "class_urban_periurban_nonurban"
+        ),
+        F.concat(F.lit("un"), (doc % 2).cast("string")).alias("class_urban_nonurban"),
+        F.concat(F.lit("u"), (doc % 6).cast("string")).alias("urban_id"),
+        F.concat(F.lit("City"), (doc % 6).cast("string")).alias("urban_center_name"),
+        F.lit("AAA").alias("urban_country_code"),
+        F.lit("Aaaland").alias("urban_country_name"),
+        F.concat(F.lit("c"), (doc % 4).cast("string")).alias("conurbation_id"),
+        F.concat(F.lit("Conur"), (doc % 4).cast("string")).alias(
+            "conurbation_area_name_short"
+        ),
+        F.lit("AAA").alias("conurbation_country_code"),
+        F.lit("Aaaland").alias("conurbation_country_name"),
+        F.concat(F.lit("ag"), (doc % 5).cast("string")).alias("agglosid"),
+        F.concat(F.lit("Agglo"), (doc % 5).cast("string")).alias("agglosname"),
+        F.when(doc % 2 == 0, "yes").otherwise("no").alias("metropole"),
+        F.concat(F.lit("ulc"), (doc % 8).cast("string")).alias("urban_layer_code"),
+    )
+    out = combine_full(blocks, cx, bld, ls, wp, xwalk)
+    sel = []
+    for c in COMBINE_FULL_COLS:
+        col = F.col(f"`{c}`")
+        if c in _COMBINE_STR_COLS:
+            sel.append(col.alias(c))
+        elif c in _COMBINE_INT_COLS or c.startswith("bldg_area_count_bin_"):
+            sel.append(col.cast("bigint").alias(c))
+        else:
+            sel.append(F.round(col * 1e6).cast("bigint").alias(f"{c}_e6"))
+    return out.select(*sel)
+
+
+def _combine_oracle_sql() -> str:
+    from .ops.combine import BIN_AREA_LABELS
+
+    areas = "[" + ", ".join(str(v) for v in _COMBINE_AREAS) + "]"
+    bins = "[" + ", ".join(str(v) for v in _COMBINE_AREA_BIN) + "]"
+    cnt = ",\n  ".join(
+        f'SUM(CASE WHEN bin_idx = {i + 1} THEN 1 ELSE 0 END)::BIGINT AS c{i + 1:02d}'
+        for i in range(15)
+    )
+    m2 = ",\n  ".join(
+        f"SUM(CASE WHEN bin_idx = {i + 1} THEN area ELSE 0.0 END) AS m{i + 1:02d}"
+        for i in range(15)
+    )
+    cnt_out = ",\n  ".join(
+        f'COALESCE(bn.c{i + 1:02d}, 0)::BIGINT AS '
+        f'"bldg_area_count_bin_{lab}"'
+        for i, lab in enumerate(BIN_AREA_LABELS)
+    )
+    m2_out = ",\n  ".join(
+        f"round(COALESCE(bn.m{i + 1:02d}, 0.0) * 1e6)::BIGINT AS "
+        f'"bldg_area_m2_bin_{lab}_e6"'
+        for i, lab in enumerate(BIN_AREA_LABELS)
+    )
+    pop_metrics = []
+    for src in ("landscan", "worldpop"):
+        un = f"j.{src}_un"
+        pop_metrics.append(
+            f"""
+  round({un} * 1e6)::BIGINT AS {src}_population_un_e6,
+  round(j.{src}_pop * 1e6)::BIGINT AS {src}_population_e6,
+  round((CASE WHEN {un} > 1.0 THEN log10({un}) ELSE 0.0 END) * 1e6)::BIGINT
+    AS {src}_population_un_log_e6,
+  round((CASE WHEN j.hect <> 0 THEN {un} / j.hect ELSE 0.0 END) * 1e6)::BIGINT
+    AS {src}_population_un_density_hectare_e6,
+  round((CASE WHEN (CASE WHEN j.hect <> 0 THEN {un} / j.hect ELSE 0.0 END) > 1.0
+              THEN log10(CASE WHEN j.hect <> 0 THEN {un} / j.hect ELSE 0.0 END)
+              ELSE 0.0 END) * 1e6)::BIGINT
+    AS {src}_population_un_density_hectare_log_e6,
+  round((CASE WHEN j.barea <> 0 THEN {un} / j.barea ELSE 0.0 END) * 1e6)::BIGINT
+    AS {src}_population_un_per_building_area_m2_e6,
+  round((CASE WHEN j.bc <> 0 THEN {un} / j.bc ELSE 0.0 END) * 1e6)::BIGINT
+    AS {src}_population_un_per_building_e6,
+  round((j.k * {un}) * 1e6)::BIGINT AS k_complexity_weighted_{src}_un_e6"""
+        )
+    pop_sql = ",".join(pop_metrics)
+    return f"""
+WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+blk AS (
+  SELECT doc_id,
+         'B' || doc_id::VARCHAR AS block_id,
+         'gh' || (doc_id % 32)::VARCHAR AS block_geohash,
+         'AAA.' || (doc_id % 7)::VARCHAR AS gadm_code,
+         'AAA' AS country_code,
+         ((doc_id % 50) * 2500 + 500)::DOUBLE AS area_m2,
+         ((doc_id % 40) * 100 + 80)::DOUBLE AS perim
+  FROM base),
+cx AS (
+  SELECT doc_id,
+         (1 + doc_id % 12)::BIGINT AS k,
+         (doc_id % 9)::BIGINT AS bc,
+         'L' || (doc_id % 3)::VARCHAR AS parcel_layers,
+         ((doc_id * 13) % 1000)::DOUBLE AS on_net,
+         ((doc_id * 7) % 800)::DOUBLE AS off_net,
+         ((doc_id * 11) % 400)::DOUBLE AS nearest
+  FROM base WHERE doc_id % 5 <> 0),
+bld AS (
+  SELECT b.doc_id,
+         list_extract({areas}, ((b.doc_id + t.j) % 16 + 1)::INT) AS area,
+         list_extract({bins}, ((b.doc_id + t.j) % 16 + 1)::INT) AS bin_idx
+  FROM base b, range(1, 9) t(j) WHERE t.j <= b.doc_id % 9),
+bsum AS (SELECT doc_id, SUM(area) AS barea FROM bld GROUP BY 1),
+bn AS (
+  SELECT doc_id,
+  {cnt},
+  {m2}
+  FROM bld GROUP BY 1),
+ls AS (SELECT doc_id, ((doc_id * 37) % 5000)::DOUBLE AS pop,
+              ((doc_id * 37) % 5000 + 7)::DOUBLE AS un
+       FROM base WHERE doc_id % 3 <> 1),
+wp AS (SELECT doc_id, ((doc_id * 53) % 6000)::DOUBLE AS pop,
+              ((doc_id * 53) % 6000 + 11)::DOUBLE AS un
+       FROM base WHERE doc_id % 4 <> 2),
+j AS (
+  SELECT blk.*,
+         CASE WHEN cx.on_net IS NULL THEN 1 ELSE 0 END AS on_na,
+         CASE WHEN cx.off_net IS NULL THEN 1 ELSE 0 END AS off_na,
+         COALESCE(cx.k, 1)::BIGINT AS k,
+         COALESCE(cx.bc, 0)::BIGINT AS bc,
+         cx.parcel_layers,
+         COALESCE(cx.on_net, 0.0) AS on_net,
+         COALESCE(cx.off_net, 0.0) AS off_net,
+         COALESCE(cx.nearest, 0.0) AS nearest,
+         COALESCE(bsum.barea, 0.0) AS barea,
+         COALESCE(ls.pop, 0.0) AS landscan_pop,
+         COALESCE(ls.un, 0.0) AS landscan_un,
+         COALESCE(wp.pop, 0.0) AS worldpop_pop,
+         COALESCE(wp.un, 0.0) AS worldpop_un,
+         blk.area_m2 * 0.0001 AS hect
+  FROM blk
+  LEFT JOIN cx USING (doc_id)
+  LEFT JOIN bsum USING (doc_id)
+  LEFT JOIN ls USING (doc_id)
+  LEFT JOIN wp USING (doc_id))
+SELECT
+  j.block_id, j.block_geohash,
+  round(j.area_m2 * 1e6)::BIGINT AS block_area_m2_e6,
+  round(j.hect * 1e6)::BIGINT AS block_hectares_e6,
+  round((j.area_m2 * 1e-6) * 1e6)::BIGINT AS block_area_km2_e6,
+  round(j.perim * 1e6)::BIGINT AS block_perimeter_meters_e6,
+  round(j.barea * 1e6)::BIGINT AS building_area_m2_e6,
+  j.bc AS building_count,
+  round((CASE WHEN j.bc <> 0 THEN j.barea / j.bc ELSE 0.0 END) * 1e6)::BIGINT
+    AS average_building_area_m2_e6,
+  round((CASE WHEN j.area_m2 <> 0 THEN j.barea / j.area_m2 ELSE 0.0 END) * 1e6)::BIGINT
+    AS building_to_block_area_ratio_e6,
+  j.bc AS parcel_count,
+  round((CASE WHEN j.bc <> 0 THEN j.area_m2 / j.bc ELSE 0.0 END) * 1e6)::BIGINT
+    AS average_parcel_area_m2_e6,
+  j.parcel_layers,
+  j.k AS k_complexity,
+  CASE WHEN j.nearest >= 200.0 THEN 'Off-network'
+       WHEN j.k >= 10 THEN '10+'
+       ELSE j.k::INT::VARCHAR END AS k_labels,
+  CASE WHEN j.nearest >= 200.0 THEN 'Off-network'
+       WHEN j.k >= 30 THEN '30+'
+       ELSE j.k::INT::VARCHAR END AS k_labels_detailed,
+  {pop_sql},
+  round(j.on_net * 1e6)::BIGINT AS on_network_street_length_meters_e6,
+  round(j.off_net * 1e6)::BIGINT AS off_network_street_length_meters_e6,
+  round(j.nearest * 1e6)::BIGINT AS nearest_external_street_meters_e6,
+  j.on_na::BIGINT AS on_network_street_length_na,
+  j.off_na::BIGINT AS off_network_street_length_na,
+  j.gadm_code, j.country_code,
+  'Aaaland' AS country_name, 'Africa' AS continent,
+  CASE WHEN doc_id % 3 = 0 THEN 'Urban'
+       WHEN doc_id % 3 = 1 THEN 'Peri-urban'
+       ELSE 'Non-urban' END AS area_type,
+  'h' || (doc_id % 4)::VARCHAR AS class_urban_hierarchy,
+  'pu' || (doc_id % 3)::VARCHAR AS class_urban_periurban_nonurban,
+  'un' || (doc_id % 2)::VARCHAR AS class_urban_nonurban,
+  'u' || (doc_id % 6)::VARCHAR AS urban_id,
+  'City' || (doc_id % 6)::VARCHAR AS urban_center_name,
+  'AAA' AS urban_country_code,
+  'Aaaland' AS urban_country_name,
+  'c' || (doc_id % 4)::VARCHAR AS conurbation_id,
+  'Conur' || (doc_id % 4)::VARCHAR AS conurbation_area_name_short,
+  'AAA' AS conurbation_country_code,
+  'Aaaland' AS conurbation_country_name,
+  'ag' || (doc_id % 5)::VARCHAR AS agglosid,
+  'Agglo' || (doc_id % 5)::VARCHAR AS agglosname,
+  CASE WHEN doc_id % 2 = 0 THEN 'yes' ELSE 'no' END AS metropole,
+  'ulc' || (doc_id % 8)::VARCHAR AS urban_layer_code,
+  {cnt_out},
+  {m2_out}
+FROM j LEFT JOIN bn USING (doc_id)
+"""
+
+
+GEO_COMBINE_SQL = _combine_oracle_sql()
+
+
 def e04_lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed ANN (the scale path; deterministic hyperplanes +
     exact rerank — no SQL equivalent, rows-only check; recall vs the
@@ -5347,6 +5640,10 @@ REGISTRY: dict = {
     "geo_overlay_oracle": (geo_overlay_oracle, GEO_OVERLAY_SQL),
     # coverage dissolve under a hard oracle (rotated in for q04)
     "geo_dissolve_oracle": (geo_dissolve_oracle, GEO_DISSOLVE_SQL),
+    # round 7: the 87-column combine surface under a hard oracle —
+    # the real combine_full over SQL-reproducible inputs (retires the
+    # rows-only golden as the combine stage's only check)
+    "geo_combine_oracle": (geo_combine_oracle, GEO_COMBINE_SQL),
     # late round-5 additions, rotated in for d01-d04 (4x green
     # drivers each, r1-r4): mergeable HLL distinct sketch, z-order
     # clustering + multi-dim pruning, Bloom runtime-prefilter join,
