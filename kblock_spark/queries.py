@@ -4700,6 +4700,63 @@ FROM documents
 """
 
 
+def tbl_refs_scan(spark, sf_dir):
+    """Round 7's ref surface under one hard oracle: named TAGS
+    (immutable refs, io/tableformat.create_tag) + CHERRY-PICK publish
+    (publish onto an advanced main — the production WAP flow). The
+    fixture tags the first crawl, audits a second crawl on a branch
+    WHILE main advances with a third crawl (so fast-forward is
+    impossible), publishes via the metadata-only re-base, then reads
+    main (all three crawls) and the tag (exactly the first crawl,
+    frozen through everything that happened after) in one result."""
+    from .io.tableformat import (
+        append_snapshot,
+        create_branch,
+        create_tag,
+        publish_branch,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    path = _scratch("tbl_refs_")
+    append_snapshot(docs.where(F.col("doc_id") % 2 == 0), path)
+    create_tag(path, "v1")
+    create_branch(path, "audit")
+    append_snapshot(docs.where(F.col("doc_id") % 2 == 1), path, ref="audit")
+    # main advances mid-audit: new keys, shifted ids
+    append_snapshot(
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("mm").alias("lang"),
+            (F.col("n_chars") + 5).alias("n_chars"),
+        ),
+        path,
+    )
+    publish_branch(path, "audit")  # cherry-picks onto the new head
+    main = read_snapshot(spark, path).select(
+        F.lit("main").alias("ref"), "doc_id", "lang", "n_chars"
+    )
+    tag = read_snapshot(spark, path, ref="v1").select(
+        F.lit("v1").alias("ref"), "doc_id", "lang", "n_chars"
+    )
+    return main.unionByName(tag)
+
+
+TBL_REFS_SQL = """
+SELECT 'main' AS ref, doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+UNION ALL
+SELECT 'main' AS ref, doc_id + 1000000 AS doc_id, 'mm' AS lang,
+       (n_chars + 5)::BIGINT AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'v1' AS ref, doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
 def tbl_spec_scan(spark, sf_dir):
     """Partition-spec evolution under a hard oracle: the table starts
     unpartitioned, evolves to identity(lang) (metadata-only commit —
@@ -5552,10 +5609,9 @@ UNION ALL SELECT 'E1', 'E1:0:0', 1::BIGINT, 1::BIGINT
 # driver greens); all of them still run in the sf0.001 parity suite
 # and the self-check every round. Rows-only queries close the list.
 REGISTRY: dict = {
-    # relational core
-    "q30_set_ops": (q30_set_ops, Q30_SQL),
-    "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
-    # text / dedup
+    # round 7 rotations: q30/q31 out (4x green drivers r3-r6) for
+    # s12_stream_after_upsert and geo_combine_oracle; e06 out (3x
+    # green r4-r6) for tbl_refs_scan.
     # the snapshot table as a streaming source via the Spark 4
     # Python DataSource API (round 6; rotated in for d06, 5x green
     # drivers r1-r5)
@@ -5563,6 +5619,9 @@ REGISTRY: dict = {
     # write-audit-publish branches (round 6; rotated in for d06b,
     # 3x green drivers r3-r5)
     "tbl_wap_scan": (tbl_wap_scan, TBL_WAP_SQL),
+    # round 7: named tags + cherry-pick publish under one oracle
+    # (rotated in for e06, 3x green drivers r4-r6)
+    "tbl_refs_scan": (tbl_refs_scan, TBL_REFS_SQL),
     # training-window sequence packing via the distributed prefix
     # sum (round 6; rotated in for d07, 5x green drivers r1-r5)
     "d26_sequence_packing": (d26_sequence_packing, D26_SQL),
@@ -5600,7 +5659,6 @@ REGISTRY: dict = {
     # merge-on-read position deletes, the Iceberg v2 cheap-upsert
     # path (round 6; rotated in for e03, 4x green drivers r2-r5)
     "tbl_mor_scan": (tbl_mor_scan, TBL_MOR_SQL),
-    "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
     "e08_semantic_decontamination": (e08_semantic_decontamination, E08_SQL),
     "d16_decontamination": (d16_decontamination, D16_SQL),
     "d17_segment_dedup": (d17_segment_dedup, D17_SQL),
@@ -5664,6 +5722,9 @@ REGISTRY: dict = {
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
+    "q30_set_ops": (q30_set_ops, Q30_SQL),
+    "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
+    "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
