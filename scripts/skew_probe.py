@@ -227,30 +227,44 @@ def main(argv=None):
     }
 
     # ---- AQE skew-join split on the hot key (thresholds scaled to
-    # the probe's volume; at 100 TB the defaults trip on their own).
-    # Keyed by the level-6 quad cell, where the teleported blob is
-    # exactly ONE key.
+    # the probe's shuffle volume — the hot partition here is a few MB
+    # COMPRESSED, where the default 256 MB threshold is sized for
+    # cluster-scale partitions; at 100 TB the defaults trip on their
+    # own). Keyed by the level-6 quad cell, where the teleported blob
+    # is exactly ONE key. Two traps this setup dodges, both of which
+    # silently suppress the split: (a) AQE converting the tiny dim
+    # side to a broadcast join (no shuffle left to split) — disabled
+    # via the adaptive broadcast threshold; (b) Catalyst pruning the
+    # payload column, which compresses the hot partition below any
+    # threshold — the aggregate consumes url so rows stay wide.
     spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
     )
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     keyed = with_quad_cell(pts, level, origin=origin, extent=extent).select(
         (F.col("ix") * 100000 + F.col("iy")).alias("qkey"), "url"
     )
-    dim = keyed.groupBy("qkey").agg(F.count("*").alias("cell_n"))
+    # dim from the (tiny, already-computed) rollup — an INDEPENDENT
+    # plan subtree, so the probe side's exchange is not reused and
+    # the skew rule sees a splittable shuffle read
+    dim = rollup.select(
+        (F.col("ix") * 100000 + F.col("iy")).alias("qkey"),
+        F.col("n_points").alias("cell_n"),
+    )
     t = time.time()
     j = keyed.join(dim, "qkey").groupBy().agg(
-        F.sum("cell_n").alias("s"), F.count("*").alias("n")
+        F.sum("cell_n").alias("s"), F.sum(F.length("url")).alias("n")
     )
     j.collect()
     skew_join_s = round(time.time() - t, 2)
     plan_str = j._jdf.queryExecution().executedPlan().toString()
     out["aqe_skew_join"] = {
         "join_sec": skew_join_s,
-        "skew_split_markers": plan_str.count("skew=true")
-        + plan_str.lower().count("skewed"),
-        "plan_mentions_skew": "skew" in plan_str.lower(),
+        "smj_skew_true": plan_str.count("skew=true"),
+        "skewed_shuffle_reads": plan_str.lower().count("skewed"),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
