@@ -111,6 +111,11 @@ BENCH_QUERIES = [
     "s11_stream_table_source",
     "d26_sequence_packing",
     "tbl_wap_scan",
+    # round 7: stream-after-upsert composition, tags + cherry-pick
+    # publish, the 87-column combine surface oracle
+    "s12_stream_after_upsert",
+    "tbl_refs_scan",
+    "geo_combine_oracle",
 ]
 
 GEO_NX = GEO_NY = 8
