@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "s12_stream_after_upsert",
     "tbl_refs_scan",
     "geo_combine_oracle",
+    "d27_domain_mixing",
+    "s13_stream_paced_drain",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -4131,6 +4131,139 @@ FROM documents WHERE doc_id % 13 = 0
 """
 
 
+def d27_domain_mixing(spark, sf_dir):
+    """Domain mixing / temperature resampling (round 7) — the
+    DoReMi/Pile-style corpus reweighting step a training pipeline
+    runs between curation and packing: given target domain weights
+    (equal shares here), each domain gets an integer-exact resampling
+    factor; documents are replicated floor(factor) times plus one
+    more for a deterministic md5-bucket fraction of docs (the
+    fractional part) — no RNG state, identical output under any
+    partitioning/engine/rerun, and stable as the corpus grows (the
+    d20 hash-bucket discipline applied to epochs). The explode
+    MATERIALIZES the resampled corpus distributed (epoch column);
+    the returned rollup proves the realized mix. Driver-side state is
+    one (total, n_domains) row — factors stay in a broadcast-joined
+    DataFrame."""
+    from .ops.sketch import _hash48
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in")
+    )
+    tot = counts.agg(
+        F.sum("n_in").alias("N"), F.count(F.lit(1)).alias("nd")
+    ).first()
+    big_n, nd = int(tot["N"]), int(tot["nd"])
+    factors = counts.withColumn(
+        "fm", F.expr(f"({1_000_000 * big_n}) DIV ({nd} * n_in)").cast("bigint")
+    )
+    b = F.pmod(_hash48(F.col("doc_id").cast("string")), F.lit(1_000_000))
+    c = d.join(F.broadcast(factors), "source").withColumn(
+        "copies",
+        (
+            F.expr("fm DIV 1000000")
+            + F.when(b < F.pmod(F.col("fm"), F.lit(1_000_000)), 1).otherwise(0)
+        ).cast("bigint"),
+    )
+    corpus = c.where("copies >= 1").withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.col("copies")))
+    )
+    return (
+        corpus.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_out"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_kept"),
+            F.max("copies").cast("bigint").alias("max_copies"),
+        )
+        .join(F.broadcast(counts), "source")
+        .select("source", "n_in", "n_docs_kept", "n_out", "max_copies")
+    )
+
+
+D27_SQL = """
+WITH n AS (SELECT source, COUNT(*)::BIGINT AS n_in FROM documents GROUP BY 1),
+t AS (SELECT SUM(n_in)::BIGINT AS N, COUNT(*)::BIGINT AS nd FROM n),
+f AS (SELECT source, n_in,
+             ((1000000 * t.N) // (t.nd * n_in))::BIGINT AS fm
+      FROM n, t),
+c AS (SELECT d.doc_id, d.source, f.n_in,
+             ((fm // 1000000)::BIGINT
+              + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 12))::BIGINT
+                          % 1000000 < fm % 1000000
+                     THEN 1 ELSE 0 END)::BIGINT AS copies
+      FROM documents d JOIN f USING (source))
+SELECT source,
+       MIN(n_in)::BIGINT AS n_in,
+       SUM(CASE WHEN copies >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_docs_kept,
+       SUM(copies)::BIGINT AS n_out,
+       MAX(copies)::BIGINT AS max_copies
+FROM c GROUP BY 1
+"""
+
+
+def s13_stream_paced_drain(spark, sf_dir):
+    """Admission control through the driver gate (round 7): a
+    5-commit backlog drains through the rate-limited kblock_table
+    source (maxFilesPerTrigger=1 + paceCheckpoint cursor recovery) as
+    a sequence of BOUNDED micro-batches — the stream runs on a
+    processing-time trigger until the offset catches the head
+    (processAllAvailable), and the assert inside fails the query if
+    pacing ever admitted more than one snapshot's file per batch.
+    Oracle: all appended rows (pacing must not lose or duplicate a
+    single row across the batch seams)."""
+    import os
+
+    from .io.table_source import register_table_source
+    from .io.tableformat import append_snapshot
+
+    register_table_source(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    base = _scratch("kblock_s13_")
+    t, out, ck = f"{base}/tbl", f"{base}/out", f"{base}/ck"
+    for i in range(5):
+        append_snapshot(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == i).coalesce(1), t
+        )
+    batch_rows: list[int] = []
+
+    def sink(bdf, bid):
+        rows = bdf.count()
+        if rows:
+            batch_rows.append(rows)
+            bdf.write.mode("append").parquet(out)
+
+    with _stream_shuffle(spark):
+        q = (
+            spark.readStream.format("kblock_table")
+            .option("path", t)
+            .option("maxFilesPerTrigger", "1")
+            .option("paceCheckpoint", ck)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    n_batches = len(batch_rows)
+    got = spark.read.parquet(out) if os.path.isdir(out) else None
+    if got is None or n_batches < 5:
+        raise AssertionError(
+            f"paced drain produced {n_batches} non-empty batches; "
+            "expected 5 (one snapshot per micro-batch)"
+        )
+    return got.select("doc_id", "lang", "n_chars")
+
+
+S13_SQL = """
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents
+"""
+
+
 def s12_stream_after_upsert(spark, sf_dir):
     """s10 + s11 composed end-to-end (round 7): a stream reads FROM a
     table that a streaming MOR upsert sink is maintaining, and the
@@ -5664,8 +5797,10 @@ REGISTRY: dict = {
     "d17_segment_dedup": (d17_segment_dedup, D17_SQL),
     "d18_token_rarity": (d18_token_rarity, D18_SQL),
     # streaming (oracle-backed)
-    "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
-    "s03_stream_session_windows": (s03_stream_session_windows, S03_SQL),
+    # round 7: domain-mixing resampler + the paced backlog drain
+    # (rotated in for s02/s03, 3x green drivers r4-r6)
+    "d27_domain_mixing": (d27_domain_mixing, D27_SQL),
+    "s13_stream_paced_drain": (s13_stream_paced_drain, S13_SQL),
     "s04_stream_tumbling_rollup": (s04_stream_tumbling_rollup, S04_SQL),
     "s05_stream_static_enrich": (s05_stream_static_enrich, S05_SQL),
     "s06_stream_decontamination": (s06_stream_decontamination, D16_SQL),
@@ -5725,6 +5860,8 @@ REGISTRY: dict = {
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
+    "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
+    "s03_stream_session_windows": (s03_stream_session_windows, S03_SQL),
     "e01_ann_cosine_topk": (e01_ann_cosine_topk, E01_SQL),
     "e02_embedding_dup_pairs": (e02_embedding_dup_pairs, E02_SQL),
     "e03_label_centroid": (e03_label_centroid, E03_SQL),
