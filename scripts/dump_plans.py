@@ -171,6 +171,23 @@ SECTIONS = [
         "shortlist back with the query side broadcast.",
         lambda s: __import__("kblock_spark.queries", fromlist=["x"]).e09_pq_ann_topk(s, SF),
     ),
+    (
+        "geo_combine_oracle — the 87-column combine surface",
+        "Chained per-block-key joins (every dimension side broadcast "
+        "or co-keyed), the 30 bin pivots as ONE conditional "
+        "aggregation with map-side combine, na flags + guarded "
+        "ratios/logs as pure Catalyst projections — no UDF, no "
+        "cartesian, one shuffle key end to end.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).geo_combine_oracle(s, SF),
+    ),
+    (
+        "d27 — domain-mixing resampler",
+        "The per-domain factor table rides a BroadcastHashJoin onto "
+        "the corpus scan; epoch replication is a generator explode "
+        "(no shuffle); the only exchange is the final per-domain "
+        "rollup — resampling itself is map-side at any corpus size.",
+        lambda s: __import__("kblock_spark.queries", fromlist=["x"]).d27_domain_mixing(s, SF),
+    ),
 ]
 
 
