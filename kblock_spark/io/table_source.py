@@ -42,6 +42,12 @@ reader falls back to the unpaced first batch. After the first batch,
 every ``partitions`` call re-synchronizes the cursor, so pacing is
 always in force from the second batch onward regardless.
 
+``ref=<name>`` streams a BRANCH (or tag) head instead of main — the
+read side of write-audit-publish (audit jobs stream the branch as
+crawls land on it, main's consumers never see unpublished data); a
+tag ref is a frozen endpoint: the stream drains up to the tagged
+snapshot and then idles.
+
 ``withSnapshotId=true`` appends a ``_snapshot_id`` BIGINT column
 stamping every row with the snapshot that added it — the change-feed
 ordering key a downstream upsert fold needs (latest snapshot wins per
@@ -82,12 +88,22 @@ def make_table_source():
         InputPartition,
     )
 
-    def _current_sid(path):
-        try:
-            with open(os.path.join(path, "metadata", "current")) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return None
+    def _current_sid(path, ref="main"):
+        # ref resolution mirrors tableformat._resolve_ref without
+        # importing it (this closure ships by value): main = the
+        # ``current`` pointer, else a branch pointer, else a tag
+        names = (
+            ["current"]
+            if ref == "main"
+            else [f"ref-{ref}", f"tag-{ref}"]
+        )
+        for n in names:
+            try:
+                with open(os.path.join(path, "metadata", n)) as f:
+                    return int(f.read().strip())
+            except FileNotFoundError:
+                continue
+        return None
 
     def _manifest(path, sid):
         with open(
@@ -114,6 +130,7 @@ def make_table_source():
                     "kblock_table source requires option 'path'"
                 )
             self._from = int(options.get("from_snapshot", 0))
+            self._ref = options.get("ref", "main")
             self._max_files = int(options.get("maxFilesPerTrigger", 0))
             self._max_bytes = int(options.get("maxBytesPerTrigger", 0))
             self._with_sid = _truthy(options.get("withSnapshotId", ""))
@@ -204,7 +221,7 @@ def make_table_source():
             return len(added), n_bytes
 
         def latestOffset(self):
-            head = _current_sid(self._path)
+            head = _current_sid(self._path, self._ref)
             target = max(self._from, head or 0)
             capped = self._max_files > 0 or self._max_bytes > 0
             if capped and self._cursor is None:
@@ -308,12 +325,16 @@ def make_table_source():
                 raise ValueError(
                     "kblock_table source requires option 'path'"
                 )
-            cur = _current_sid(path)
+            ref = self.options.get("ref", "main")
+            cur = _current_sid(path, ref)
             if cur is None:
-                raise ValueError(
-                    f"table at {path!r} has no snapshot yet — commit "
-                    "one (append_snapshot) before streaming from it"
+                what = (
+                    "no snapshot yet — commit one (append_snapshot) "
+                    "before streaming from it"
+                    if ref == "main"
+                    else f"no branch or tag {ref!r}"
                 )
+                raise ValueError(f"table at {path!r} has {what}")
             ddl = _manifest(path, cur)["schema"]
             if _truthy(self.options.get("withSnapshotId", "")):
                 # schema is a simpleString: struct<a:bigint,...>

@@ -272,3 +272,37 @@ def test_current_snapshot_unaffected_by_fixes(spark, tmp_path):
     t = str(tmp_path / "tbl")
     append_snapshot(_df(spark, 0, 10), t)
     assert current_snapshot_id(t) == 1
+
+
+def test_stream_from_branch_ref(spark, tmp_path):
+    """ref=<branch> streams the audit branch's commits while main's
+    readers see nothing unpublished — the read side of WAP."""
+    from kblock_spark.io.tableformat import create_branch, create_tag
+
+    register_table_source(spark)
+    t, out, ck, out2, ck2 = (
+        str(tmp_path / p) for p in ("tbl", "out", "ck", "out2", "ck2")
+    )
+    append_snapshot(_df(spark, 0, 10).coalesce(1), t)  # main sid 1
+    create_tag(t, "v1")
+    create_branch(t, "audit")
+    append_snapshot(_df(spark, 10, 30).coalesce(1), t, ref="audit")
+
+    def drain(ref, o, c):
+        q = (
+            spark.readStream.format("kblock_table")
+            .option("path", t)
+            .option("ref", ref)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", o)
+            .option("checkpointLocation", c)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["doc_id"] for r in spark.read.parquet(o).collect()}
+
+    assert drain("audit", out, ck) == set(range(30))
+    # a tag is a frozen endpoint: only the tagged snapshot's history
+    assert drain("v1", out2, ck2) == set(range(10))
