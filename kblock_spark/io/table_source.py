@@ -42,6 +42,14 @@ reader falls back to the unpaced first batch. After the first batch,
 every ``partitions`` call re-synchronizes the cursor, so pacing is
 always in force from the second batch onward regardless.
 
+``skipRewrites=true`` lets the stream SURVIVE table maintenance:
+replace/overwrite snapshots are treated as empty deltas instead of
+failing the query — correct when the rewrites are pure re-layout
+(compaction, z-order: same rows, new files), which is why it is an
+explicit opt-in exactly like Iceberg's
+``streaming-skip-overwrite-snapshots`` (a true overwrite's new rows
+would be silently skipped).
+
 ``ref=<name>`` streams a BRANCH (or tag) head instead of main — the
 read side of write-audit-publish (audit jobs stream the branch as
 crawls land on it, main's consumers never see unpublished data); a
@@ -131,6 +139,7 @@ def make_table_source():
                 )
             self._from = int(options.get("from_snapshot", 0))
             self._ref = options.get("ref", "main")
+            self._skip_rewrites = _truthy(options.get("skipRewrites", ""))
             self._max_files = int(options.get("maxFilesPerTrigger", 0))
             self._max_bytes = int(options.get("maxBytesPerTrigger", 0))
             self._with_sid = _truthy(options.get("withSnapshotId", ""))
@@ -272,12 +281,14 @@ def make_table_source():
                         (os.path.join(self._path, p), sid)
                         for p in m.get("added", [])
                     )
-                elif op not in empty_ops:
+                elif op not in empty_ops and not self._skip_rewrites:
                     raise ValueError(
                         f"snapshot {sid} is {op!r}: table content was "
                         "rewritten, which a streaming append scan "
                         "cannot express — restart the stream from a "
-                        "newer offset"
+                        "newer offset, or pass skipRewrites=true if "
+                        "the rewrites are pure maintenance "
+                        "(compaction / z-order re-layout)"
                     )
                 parent = m.get("parent_id")
                 sid = parent if parent is not None else lo

@@ -306,3 +306,37 @@ def test_stream_from_branch_ref(spark, tmp_path):
     assert drain("audit", out, ck) == set(range(30))
     # a tag is a frozen endpoint: only the tagged snapshot's history
     assert drain("v1", out2, ck2) == set(range(10))
+
+
+def test_stream_survives_compaction_with_skip_rewrites(spark, tmp_path):
+    """skipRewrites=true: table maintenance (compaction) landing
+    between micro-batches no longer kills the stream — the replace
+    snapshot is an empty delta (same rows, new layout) and later
+    appends keep flowing. Without the option the stream still fails
+    fast (a true overwrite must not be silently skipped)."""
+    from kblock_spark.io.tableformat import compact_data_files
+
+    register_table_source(spark)
+    t, out, ck = (str(tmp_path / p) for p in ("tbl", "out", "ck"))
+    append_snapshot(_df(spark, 0, 20).coalesce(1), t)
+
+    def drain():
+        q = (
+            spark.readStream.format("kblock_table")
+            .option("path", t)
+            .option("skipRewrites", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    assert drain() == set(range(20))
+    compact_data_files(spark, t, target_files=1)  # maintenance lands
+    append_snapshot(_df(spark, 20, 30).coalesce(1), t)
+    # resumes across the replace snapshot; only the new append arrives
+    assert drain() == set(range(30))
