@@ -1119,6 +1119,7 @@ def delete_keys_mor(
     path: str,
     keys: DataFrame,
     key_col: str,
+    ref: str = "main",
 ) -> dict:
     """Row-level delete by KEY as an equality-delete commit — the
     zero-read flavor of merge-on-read (Iceberg v2 equality deletes):
@@ -1128,10 +1129,11 @@ def delete_keys_mor(
     scoped by commit sequence so rows appended AFTER the delete with
     the same key survive (position deletes get that scoping for free
     by addressing files; equality deletes need the seq comparison).
-    Returns ``{"snapshot_id", "keys"}``."""
-    cur = current_snapshot_id(path)
+    ``ref`` commits against a branch head instead of main (the
+    write-audit-publish flow). Returns ``{"snapshot_id", "keys"}``."""
+    cur = ref_head(path, ref)
     if cur is None:
-        raise FileNotFoundError(f"no current snapshot in {path}")
+        raise FileNotFoundError(f"no snapshot on ref {ref!r} in {path}")
     m = read_manifest(path, cur)
     sub = os.path.join(path, "data", uuid.uuid4().hex)
     keys.select(key_col).distinct().repartition(1).write.mode(
@@ -1150,7 +1152,7 @@ def delete_keys_mor(
                 {"path": os.path.relpath(fpath, path), "rows": md.num_rows,
                  "kind": "eq", "col": key_col}
             )
-    batch = last_committed_batch(path)
+    batch = _last_batch_in_chain(path, cur)
     manifest = {
         "operation": "delete-mor",
         "schema": m.get("schema"),
@@ -1162,7 +1164,7 @@ def delete_keys_mor(
     }
     if batch is not None:
         manifest["batch_id"] = batch
-    sid = _commit(path, _carry_spec(manifest, m), cur)
+    sid = _commit(path, _carry_spec(manifest, m), cur, ref=ref)
     return {"snapshot_id": sid, "keys": n_keys}
 
 
@@ -1171,6 +1173,7 @@ def delete_where_mor(
     path: str,
     predicate: str,
     prune: tuple[str, object, object] | None = None,
+    ref: str = "main",
 ) -> dict:
     """Row-level DELETE as a MERGE-ON-READ commit (Iceberg v2
     position deletes): instead of rewriting every file containing a
@@ -1187,13 +1190,14 @@ def delete_where_mor(
     kilobyte-scale delete file instead of rewriting gigabytes.
 
     NULL semantics match SQL DELETE (rows where the predicate is TRUE
-    are deleted; FALSE or NULL are kept). Returns ``{"snapshot_id",
+    are deleted; FALSE or NULL are kept). ``ref`` commits against a
+    branch head instead of main. Returns ``{"snapshot_id",
     "rows_deleted", "delete_files"}``."""
     from pyspark.sql import functions as F
 
-    cur = current_snapshot_id(path)
+    cur = ref_head(path, ref)
     if cur is None:
-        raise FileNotFoundError(f"no current snapshot in {path}")
+        raise FileNotFoundError(f"no snapshot on ref {ref!r} in {path}")
     m = read_manifest(path, cur)
     candidates = plan_files(path, cur, prune=prune)
     hits = None
@@ -1224,7 +1228,7 @@ def delete_where_mor(
                     {"path": os.path.relpath(fpath, path),
                      "rows": md.num_rows}
                 )
-    batch = last_committed_batch(path)
+    batch = _last_batch_in_chain(path, cur)
     manifest = {
         "operation": "delete-mor",
         "schema": m.get("schema"),
@@ -1236,7 +1240,7 @@ def delete_where_mor(
     }
     if batch is not None:
         manifest["batch_id"] = batch
-    sid = _commit(path, _carry_spec(manifest, m), cur)
+    sid = _commit(path, _carry_spec(manifest, m), cur, ref=ref)
     return {
         "snapshot_id": sid,
         "rows_deleted": rows_deleted,
@@ -1250,6 +1254,7 @@ def merge_into_mor(
     updates: DataFrame,
     key_col: str,
     batch_id: int | None = None,
+    ref: str = "main",
 ) -> dict:
     """MERGE INTO as a merge-on-read commit: position-delete the
     matched rows and append the update rows — ONE snapshot, no data
@@ -1260,12 +1265,17 @@ def merge_into_mor(
     exact broadcast match of the CoW path, but the matched files only
     contribute ROW ADDRESSES, never bytes.
 
+    ``ref`` commits against a branch head instead of main — the
+    write-audit-publish upsert: stage a MERGE on an audit branch,
+    validate it there, then :func:`publish_branch`; main's readers
+    never see the unaudited upsert (Iceberg's branch-scoped MERGE).
+
     Returns ``{"snapshot_id", "rows_shadowed", "files_touched"}``."""
     from pyspark.sql import functions as F
 
-    cur = current_snapshot_id(path)
+    cur = ref_head(path, ref)
     if cur is None:
-        raise FileNotFoundError(f"no current snapshot in {path}")
+        raise FileNotFoundError(f"no snapshot on ref {ref!r} in {path}")
     m = read_manifest(path, cur)
     stat_cols = m.get("stat_cols") or []
     keys = updates.select(key_col).distinct()
@@ -1315,7 +1325,9 @@ def merge_into_mor(
     evolved = bool(m.get("schema_evolved")) or m.get("schema") != schema
     # an explicit batch_id tags THIS commit (the streaming upsert
     # sink's exactly-once marker); otherwise carry the last one
-    batch = last_committed_batch(path) if batch_id is None else int(batch_id)
+    batch = (
+        _last_batch_in_chain(path, cur) if batch_id is None else int(batch_id)
+    )
     manifest = {
         "operation": "merge-mor",
         "schema": m.get("schema") if not evolved else schema,
@@ -1327,7 +1339,7 @@ def merge_into_mor(
     }
     if batch is not None:
         manifest["batch_id"] = batch
-    sid = _commit(path, _carry_spec(manifest, m), cur)
+    sid = _commit(path, _carry_spec(manifest, m), cur, ref=ref)
     return {
         "snapshot_id": sid,
         "rows_shadowed": rows_shadowed,

@@ -4890,6 +4890,88 @@ FROM documents WHERE doc_id % 2 = 0
 """
 
 
+def tbl_branch_merge_scan(spark, sf_dir):
+    """Branch-scoped merge-on-read writes under a hard oracle —
+    Iceberg's branch-scoped MERGE (the write side of WAP, round 7):
+    an audit branch takes a MOR upsert (position deletes + appended
+    update rows, ``merge_into_mor(ref=...)``) and then a zero-read
+    equality delete (``delete_keys_mor(ref=...)``); main's
+    pre-publish read is untouched by BOTH (isolation: the branch
+    commits extend only the branch's manifest chain), and the
+    fast-forward publish makes the merged + erased view main's.
+    The eq delete's sequence scoping must shadow the branch-appended
+    update rows too (their commit seq precedes the delete's), which
+    the oracle pins by erasing the key from both generations."""
+    from .io.tableformat import (
+        append_snapshot,
+        create_branch,
+        delete_keys_mor,
+        merge_into_mor,
+        publish_branch,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    path = _scratch("tbl_brm_")
+    append_snapshot(
+        docs.where(F.col("doc_id") % 2 == 0).repartition(4), path,
+        stat_cols=["doc_id"],
+    )
+    create_branch(path, "audit")
+    upd = (
+        docs.where(F.col("doc_id") % 6 == 0)
+        .select(
+            "doc_id",
+            F.lit("zz").alias("lang"),
+            (F.col("n_chars") + 100).alias("n_chars"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                "lang",
+                "n_chars",
+            )
+        )
+    )
+    merge_into_mor(spark, path, upd, "doc_id", ref="audit")
+    delete_keys_mor(
+        spark, path,
+        docs.where(F.col("doc_id") % 10 == 4).select("doc_id"),
+        "doc_id", ref="audit",
+    )
+    pre = read_snapshot(spark, path).select(
+        F.lit("pre").alias("stage"), "doc_id", "lang", "n_chars"
+    )
+    publish_branch(path, "audit")
+    post = read_snapshot(spark, path).select(
+        F.lit("post").alias("stage"), "doc_id", "lang", "n_chars"
+    )
+    return pre.unionByName(post)
+
+
+TBL_BRANCH_MERGE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+  FROM documents WHERE doc_id % 2 = 0),
+upd AS (
+  SELECT doc_id, 'zz' AS lang, (n_chars + 100)::BIGINT AS n_chars
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, lang, n_chars::BIGINT AS n_chars
+  FROM documents WHERE doc_id % 10 = 5),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd))
+SELECT 'pre' AS stage, doc_id, lang, n_chars FROM base
+UNION ALL
+SELECT 'post' AS stage, doc_id, lang, n_chars
+FROM merged WHERE doc_id % 10 <> 4
+"""
+
+
 def tbl_spec_scan(spark, sf_dir):
     """Partition-spec evolution under a hard oracle: the table starts
     unpartitioned, evolves to identity(lang) (metadata-only commit —
@@ -5809,9 +5891,11 @@ REGISTRY: dict = {
     # single-pass batch sketch bit-for-bit (merge theorem) — oracle
     # is D19_SQL verbatim; rotated in for d05 (4x green r1-r4)
     "s08_stream_hll_merge": (s08_stream_hll_merge, D19_SQL),
+    # round 7 (late): branch-scoped MOR writes — merge + eq delete on
+    # an audit branch, isolation + publish in one result (rotated in
+    # for geo_knn, 3x green drivers r4-r6)
+    "tbl_branch_merge_scan": (tbl_branch_merge_scan, TBL_BRANCH_MERGE_SQL),
     # geospatial with hard oracles (rounds 4-5): SQL-reproducible inputs
-    "geo_knn": (geo_knn, GEO_KNN_SQL),
-    "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
     "geo_pip_oracle": (geo_pip_oracle, GEO_PIP_SQL),
     "geo_pip_oracle_shuffle": (geo_pip_oracle_shuffle, GEO_PIP_SQL),
     # hierarchical tiling (round 5 continuation): the H3 feature
@@ -5857,6 +5941,10 @@ REGISTRY: dict = {
     # oracle-backed queries outside the window (the q's are green in
     # CORRECTNESS_r01/r02/r03; all are run by the sf0.001 parity
     # suite and the self-check each round)
+    # rotated out late round 7 for tbl_branch_merge_scan / d28
+    # (3x green drivers r4-r6 each)
+    "geo_knn": (geo_knn, GEO_KNN_SQL),
+    "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),

@@ -340,3 +340,59 @@ def test_stream_survives_compaction_with_skip_rewrites(spark, tmp_path):
     append_snapshot(_df(spark, 20, 30).coalesce(1), t)
     # resumes across the replace snapshot; only the new append arrives
     assert drain() == set(range(30))
+
+
+def test_branch_scoped_mor_writes(spark, tmp_path):
+    """merge_into_mor / delete_where_mor / delete_keys_mor with
+    ref=<branch> extend only the branch's chain: main's row set is
+    untouched until publish, then sees the branch's merged state."""
+    from kblock_spark.io.tableformat import (
+        delete_where_mor,
+        merge_into_mor,
+        publish_branch,
+        ref_head,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 20).coalesce(1), t, stat_cols=["doc_id"])
+    main_head = current_snapshot_id(t)
+    create_branch(t, "audit")
+    upd = spark.createDataFrame([(5, 999), (100, 1)], "doc_id long, v long")
+    r = merge_into_mor(spark, t, upd, "doc_id", ref="audit")
+    assert r["rows_shadowed"] == 1
+    delete_where_mor(spark, t, "doc_id = 7", ref="audit")
+    delete_keys_mor(
+        spark, t, spark.createDataFrame([(9,)], "doc_id long"),
+        "doc_id", ref="audit",
+    )
+    # isolation: main's pointer and row set are untouched
+    assert current_snapshot_id(t) == main_head
+    main_rows = {
+        (r["doc_id"], r["v"]) for r in read_snapshot(spark, t).collect()
+    }
+    assert main_rows == {(i, i * 7 % 100) for i in range(20)}
+    # branch read sees merge + both deletes
+    br = {
+        (r["doc_id"], r["v"])
+        for r in read_snapshot(spark, t, ref="audit").collect()
+    }
+    expect = {(i, i * 7 % 100) for i in range(20) if i not in (5, 7, 9)}
+    expect |= {(5, 999), (100, 1)}
+    assert br == expect
+    publish_branch(t, "audit")
+    post = {
+        (r["doc_id"], r["v"]) for r in read_snapshot(spark, t).collect()
+    }
+    assert post == expect
+    # publish fast-forwards main and retires the branch pointer
+    assert ref_head(t, "audit") is None
+
+
+def test_branch_mor_unknown_ref_raises(spark, tmp_path):
+    from kblock_spark.io.tableformat import merge_into_mor
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 5).coalesce(1), t)
+    upd = spark.createDataFrame([(1, 2)], "doc_id long, v long")
+    with pytest.raises(FileNotFoundError, match="ref 'nope'"):
+        merge_into_mor(spark, t, upd, "doc_id", ref="nope")
