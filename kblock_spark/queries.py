@@ -4202,6 +4202,76 @@ FROM c GROUP BY 1
 """
 
 
+def d28_bigram_coherence(spark, sf_dir):
+    """Corpus-LM coherence scoring (round 7) — the CCNet/Gopher-style
+    "perplexity" filter re-expressed integer-exact: train a bigram
+    model ON the corpus itself (bigram counts + first-word totals,
+    two map-side-combining hash aggregations), then score every doc
+    by the mean conditional probability of its bigrams,
+    ``r_e6 = (c(w1,w2) * 1e6) DIV c(w1·)`` averaged with integer
+    division — no float anywhere, so the cross-engine hash is exact
+    (the float-log perplexity is a monotone transform of this for
+    ranking purposes). One corpus scan feeds both the model and the
+    scoring pass; the score join shuffles on the bigram key — no
+    collect, no crossJoin, no UDF (plan-swept).
+
+    Bigrams are built with ``zip_with`` over two array SLICES (array
+    arguments are evaluated once per row; a lambda body referencing a
+    captured outer expression would re-evaluate it per element — the
+    d06 lesson). Docs with fewer than 2 tokens carry no bigram and
+    are excluded on both engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    big = (
+        d.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+    )
+    model = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    modelr = model.withColumn("w1", F.split("bg", " ").getItem(0))
+    uni = modelr.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    ratio = modelr.join(uni, "w1").select(
+        "bg", F.expr("(c2 * 1000000) DIV c1").alias("r_e6")
+    )
+    return (
+        big.join(ratio, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("SUM(r_e6) DIV COUNT(*)").alias("coherence_e6"),
+        )
+    )
+
+
+D28_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+big AS (
+  SELECT doc_id, z[1] || ' ' || z[2] AS bg
+  FROM (SELECT doc_id, unnest(list_zip(w[:-2], w[2:])) AS z FROM toks) q),
+model AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+modelr AS (SELECT bg, c2, string_split(bg, ' ')[1] AS w1 FROM model),
+uni AS (SELECT w1, SUM(c2) AS c1 FROM modelr GROUP BY w1),
+ratio AS (
+  SELECT bg, ((c2 * 1000000) // c1)::BIGINT AS r_e6
+  FROM modelr JOIN uni USING (w1))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       (SUM(r_e6) // COUNT(*))::BIGINT AS coherence_e6
+FROM big JOIN ratio USING (bg)
+GROUP BY doc_id
+"""
+
+
 def s13_stream_paced_drain(spark, sf_dir):
     """Admission control through the driver gate (round 7): a
     5-commit backlog drains through the rate-limited kblock_table
@@ -5895,6 +5965,9 @@ REGISTRY: dict = {
     # an audit branch, isolation + publish in one result (rotated in
     # for geo_knn, 3x green drivers r4-r6)
     "tbl_branch_merge_scan": (tbl_branch_merge_scan, TBL_BRANCH_MERGE_SQL),
+    # round 7 (late): corpus-LM coherence scoring, integer-exact
+    # (rotated in for geo_linearity, 3x green drivers r4-r6)
+    "d28_bigram_coherence": (d28_bigram_coherence, D28_SQL),
     # geospatial with hard oracles (rounds 4-5): SQL-reproducible inputs
     "geo_pip_oracle": (geo_pip_oracle, GEO_PIP_SQL),
     "geo_pip_oracle_shuffle": (geo_pip_oracle_shuffle, GEO_PIP_SQL),
