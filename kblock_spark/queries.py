@@ -1952,6 +1952,72 @@ def q33_sql_surface(spark, sf_dir):
 Q33_SQL = _Q33_BODY.format(table="events", cast="::BIGINT")
 
 
+# q34 — interval-containment join (ops/interval_join.py): events
+# against derived campaign windows. The window dimension derives
+# from integer arithmetic IN BOTH ENGINES (the geo_knn recipe):
+# campaign c covers [c*6h, c*6h + (5 + c%7) hours] in micros from
+# the corpus epoch — adjacent windows overlap whenever the duration
+# exceeds the 6 h spacing, so events can land in 0, 1 or 2 windows.
+
+_Q34_N_CAMPAIGNS = 120
+_Q34_SPACING_US = 6 * 3_600_000_000
+_Q34_HOUR_US = 3_600_000_000
+
+
+def q34_interval_join(spark, sf_dir):
+    """Tiled interval join under a hard oracle: the plan is a hash
+    equi-join on the tile key + residual BETWEEN (never a nested
+    loop over |events| x |campaigns|); the oracle is the naive
+    BETWEEN join DuckDB can afford at sf0.01. Sums are e6-quantized
+    per row before aggregation (partition-invariant)."""
+    from .ops.interval_join import interval_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+        ).alias("us"),
+        F.expr("CAST(round(value * 1000000.0) AS BIGINT)").alias("v_e6"),
+    )
+    camp = spark.range(_Q34_N_CAMPAIGNS).select(
+        F.col("id").alias("campaign_id"),
+        (F.col("id") * _Q34_SPACING_US).alias("lo_us"),
+        (
+            F.col("id") * _Q34_SPACING_US
+            + (F.lit(5) + F.col("id") % 7) * _Q34_HOUR_US
+        ).alias("hi_us"),
+    )
+    return (
+        interval_join(
+            ev, camp, "us", "lo_us", "hi_us",
+            tile=_Q34_SPACING_US, broadcast_intervals=True,
+        )
+        .groupBy("campaign_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v_e6").alias("value_e6"),
+        )
+    )
+
+
+Q34_SQL = f"""
+WITH ev AS (
+  SELECT event_id,
+         epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS us,
+         round(value * 1000000.0)::BIGINT AS v_e6
+  FROM events),
+camp AS (
+  SELECT i AS campaign_id, i * {_Q34_SPACING_US} AS lo_us,
+         i * {_Q34_SPACING_US} + (5 + i % 7) * {_Q34_HOUR_US} AS hi_us
+  FROM range(0, {_Q34_N_CAMPAIGNS}) r(i))
+SELECT campaign_id, COUNT(*) AS n_events,
+       SUM(v_e6)::BIGINT AS value_e6
+FROM ev JOIN camp ON ev.us BETWEEN camp.lo_us AND camp.hi_us
+GROUP BY campaign_id
+"""
+
+
 # d24 — URL canonicalization (crawl-side exact dedup key): a crawl
 # sees the same page under many spellings — scheme case, www.,
 # tracking params. Canonicalize (lowercase, https-fold, strip www.,
@@ -6018,6 +6084,8 @@ REGISTRY: dict = {
     # (3x green drivers r4-r6 each)
     "geo_knn": (geo_knn, GEO_KNN_SQL),
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
+    # late round 7, waiting for a window slot: tiled interval join
+    "q34_interval_join": (q34_interval_join, Q34_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
