@@ -118,6 +118,12 @@ BENCH_QUERIES = [
     "geo_combine_oracle",
     "d27_domain_mixing",
     "s13_stream_paced_drain",
+    # late round 7: branch-scoped MOR, bigram LM filter, interval
+    # join, exact MIPS
+    "tbl_branch_merge_scan",
+    "d28_bigram_coherence",
+    "q34_interval_join",
+    "e11_mips_topk",
 ]
 
 GEO_NX = GEO_NY = 8

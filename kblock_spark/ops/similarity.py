@@ -1087,3 +1087,98 @@ def semantic_decontaminate(
             )
 
     return corpus.select("vec_id", vec_col).mapInPandas(run, out_schema)
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "qv",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT maximum-inner-product top-k (MIPS) — the retrieval
+    scoring of dot-product recommender / dual-encoder models. Unlike
+    cosine, inner product is not a metric (no triangle inequality),
+    so e02's IVF blocking proof does not apply; the textbook
+    reduction augments vectors by their norm deficit to turn MIPS
+    into NN search, but for EXACT top-k the one-pass blocked GEMM
+    with per-partition pruning is both simpler and shuffle-free:
+
+      the query matrix (the small side by definition) broadcasts
+      once per worker; each corpus partition computes its dot block
+      and emits only its LOCAL top-k per query under the total order
+      (dot DESC, id ASC) — the global top-k is a subset of the union
+      of local top-k's under the same order, so one bounded window
+      over #partitions * nq * k candidate rows finishes exactly.
+      Corpus vectors never leave their partitions; the only shuffle
+      moves candidate triples.
+
+    Inputs carry integer-quantized vectors (int64 GEMM is exact
+    below 2^53), so ``dot`` is a BIGINT and the result hashes
+    engine-identically. A corpus row with the same id as a query is
+    masked BEFORE local truncation (the e09 lesson: masking after
+    would make the result depend on which partition holds it).
+    Returns (query_id, neighbor_id, rank, dot)."""
+    spark = corpus.sparkSession
+    out_schema = "query_id long, neighbor_id long, dot long"
+    rows = queries.select(id_col, vec_col).collect()  # query-set-sized
+    if not rows:
+        return spark.createDataFrame([], out_schema + ", rank int").select(
+            "query_id", "neighbor_id", "rank", "dot"
+        )
+    rows.sort(key=lambda r: r[id_col])
+    q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+    kk = int(k)
+
+    def run(batches):
+        ids_, Q_ = bc.value
+        nq = len(ids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["__cid"].to_numpy()
+            X = np.array(pdf["__cvec"].tolist(), dtype=np.int64)
+            dots = X @ Q_.T  # (batch, nq) int64-exact
+            # self-mask before truncation: a corpus row that IS the
+            # query can never be its own neighbor. The mask must push
+            # the self row to the END of the local order (NOT occupy a
+            # top-k slot), so the sort key — not the dot — is masked:
+            # negating an int64.min-masked dot would overflow back to
+            # int64.min and sort the self row FIRST, silently evicting
+            # a true global top-k candidate from this partition.
+            self_m = cids[:, None] == ids_[None, :]
+            sortkey = -dots  # dot DESC == -dot ASC; |dot| << 2^53
+            if self_m.any():
+                sortkey[self_m] = np.iinfo(np.int64).max
+            top = min(kk, len(cids))
+            # per query column: local top-k by (dot DESC, id ASC)
+            order = np.lexsort(
+                (cids[:, None].repeat(nq, 1), sortkey), axis=0
+            )
+            sel = order[:top, :]  # (top, nq) row indices per query
+            qcol = np.tile(ids_, top)
+            rows_ = sel.ravel()
+            cols_ = np.tile(np.arange(nq), top)
+            keep = ~self_m[rows_, cols_]
+            d = dots[rows_, cols_]
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol[keep],
+                    "neighbor_id": cids[rows_][keep],
+                    "dot": d[keep],
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    ).mapInPandas(run, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )

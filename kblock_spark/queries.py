@@ -2660,6 +2660,40 @@ FROM rk WHERE rn = 1
 """
 
 
+# e11 — EXACT maximum-inner-product top-k (MIPS): the retrieval
+# scoring of dot-product dual-encoder / recommender models, which
+# e01's cosine ranking does NOT reduce to (ordering by <q,x> differs
+# from ordering by cosine whenever corpus norms vary — and the
+# quantized testdata norms do). Spark side is the shuffle-free
+# broadcast-GEMM local-top-k plan (ops/similarity.mips_topk): corpus
+# vectors never leave their partitions, only candidate triples
+# shuffle. Integer-quantized dots are BIGINT-exact on both engines.
+
+def e11_mips_topk(spark, sf_dir):
+    from .ops.similarity import mips_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized().alias("qv")
+    )
+    qs = e.where(F.col("vec_id") < _N_QUERIES)
+    return mips_topk(e, qs, _TOPK)
+
+
+E11_SQL = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL.format(c='embedding')} AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         list_dot_product(a.v, b.v)::BIGINT AS dot
+  FROM q a JOIN q b ON a.vec_id < {_N_QUERIES} AND a.vec_id != b.vec_id)
+SELECT query_id, neighbor_id, rank, dot FROM (
+  SELECT query_id, neighbor_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+WHERE rank <= {_TOPK}
+"""
+
+
 def e03_label_centroid(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", _quantized().alias("q"))
     # exact integer per-dimension sums per label, and count
@@ -6084,8 +6118,10 @@ REGISTRY: dict = {
     # (3x green drivers r4-r6 each)
     "geo_knn": (geo_knn, GEO_KNN_SQL),
     "geo_linearity": (geo_linearity, GEO_LINEARITY_SQL),
-    # late round 7, waiting for a window slot: tiled interval join
+    # late round 7, waiting for a window slot: tiled interval join,
+    # exact MIPS top-k
     "q34_interval_join": (q34_interval_join, Q34_SQL),
+    "e11_mips_topk": (e11_mips_topk, E11_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),

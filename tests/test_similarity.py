@@ -361,3 +361,70 @@ def test_ivfpq_recall_and_probe_candidacy(spark, emb, tmp_path):
         d2 = ((q[None, :] - C) ** 2).sum(axis=1)
         probes = set(np.argsort(d2)[:4].tolist())
         assert vec_list[r["neighbor_id"]] in probes, r
+
+
+def test_mips_topk_exact_vs_crossjoin(spark, emb):
+    """mips_topk (broadcast GEMM + local top-k) must equal the naive
+    cross-join MIPS ranking exactly, including when the corpus is
+    split so each partition holds fewer than k rows."""
+    from kblock_spark.ops.similarity import mips_topk
+
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+        ).alias("qv"),
+    )
+    qs = e.where(F.col("vec_id") < 10)
+    got = mips_topk(e.repartition(16), qs, k=5)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    from pyspark.sql import Window
+
+    pairs = (
+        qs.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q"))
+        .crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "qv"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("q"), F.col("qv")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    want = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_mips_topk_self_never_evicts_candidate(spark):
+    """Regression: the self row must not occupy a LOCAL top-k slot.
+    One partition holds the query itself plus exactly k rows that are
+    ALL in the global top-k; if self eats a slot, the k-th true
+    neighbor is lost. (The int64 negation overflow bug did this:
+    -int64.min wraps to itself, sorting the masked self row FIRST.)"""
+    from kblock_spark.ops.similarity import mips_topk
+
+    # query 0: vector [1, 0]; corpus dots descend with id
+    hot = [(0, [1000, 0])] + [(i, [900 - i, 0]) for i in range(1, 4)]  # dots 899..896
+    cold = [(i, [10, 0]) for i in range(10, 16)]
+    corpus = spark.createDataFrame(
+        hot, "vec_id long, qv array<long>"
+    ).coalesce(1).union(
+        spark.createDataFrame(cold, "vec_id long, qv array<long>").coalesce(1)
+    )
+    qs = corpus.where(F.col("vec_id") == 0)
+    out = mips_topk(corpus, qs, k=3)
+    rows = {(r["rank"], r["neighbor_id"]) for r in out.collect()}
+    # top-3 must be ids 1,2,3 (self id 0 excluded, no cold row promoted
+    # over a hot one, no hot one lost to the self slot)
+    assert rows == {(1, 1), (2, 2), (3, 3)}, rows
