@@ -924,6 +924,39 @@ def overwrite_snapshot(
     )
 
 
+# xxHash64 of one 64-bit value — the specialization Spark's
+# ``xxhash64`` expression applies to LongType inputs (public xxHash
+# spec; Spark seeds with 42). Needed so the PLANNER can compute the
+# bucket of a point predicate without a Spark session: at 100 TB a
+# point lookup on a bucket(col, N)-partitioned table must touch 1/N
+# of the files, and the decision has to be metadata-only.
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _xxh64_long(v: int, seed: int = 42) -> int:
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    h = (seed + _XX_P5 + 8) & _U64
+    k1 = ((v & _U64) * _XX_P2) & _U64
+    k1 = (rotl(k1, 31) * _XX_P1) & _U64
+    h ^= k1
+    h = (rotl(h, 27) * _XX_P1 + _XX_P4) & _U64
+    h ^= h >> 33
+    h = (h * _XX_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XX_P3) & _U64
+    h ^= h >> 32
+    # back to Java signed; Python % on a positive modulus then equals
+    # Spark's pmod
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def plan_files(
     path: str,
     snapshot_id: int | None = None,
@@ -937,29 +970,48 @@ def plan_files(
     Z-order clustering). A file is kept iff every predicate's
     [min_col, max_col] interval intersects its [lo, hi] (files
     lacking stats are conservatively kept). Files written under a
-    partition spec are ALSO pruned by their own partition tuple —
-    identity(col) values outside [lo, hi] skip the file even without
-    column stats; bucket/truncate partitions are conservatively kept
-    for range predicates (like Iceberg, bucket layout cannot answer a
-    range). Each file prunes by the spec it was written under, so the
-    plan is correct across spec evolution. This is manifest-driven:
-    no directory listing, no parquet footer reads at plan time."""
+    partition spec are ALSO pruned by their own partition tuple:
+
+    - identity(col): values outside [lo, hi] skip the file even
+      without column stats;
+    - bucket(col, n): a POINT predicate (lo == hi) on a bigint col
+      skips every file whose bucket differs from
+      ``pmod(xxhash64(lo), n)`` — computed planner-side by the same
+      xxHash64-of-long Spark evaluates, so a point lookup plans 1/n
+      of the files with zero footer reads. Range predicates stay
+      conservative (like Iceberg: bucket layout cannot answer a
+      range);
+    - truncate(col, w): the partition value t covers [t, t+w-1], so
+      a range predicate skips files with t+w-1 < lo or t > hi.
+
+    Bucket/truncate pruning applies only to files written under the
+    manifest's CURRENT spec (older spec ids don't record their n/w
+    here; those files stay conservative — Iceberg prunes them via
+    per-spec manifests, the same correctness posture). Each file
+    prunes by the spec it was written under, so the plan is correct
+    across spec evolution. This is manifest-driven: no directory
+    listing, no parquet footer reads at plan time."""
     m = read_manifest(path, snapshot_id)
     preds = (
         []
         if prune is None
         else ([prune] if isinstance(prune, tuple) else list(prune))
     )
+    cur_spec = {t["col"]: t for t in (m.get("spec") or [])}
+    cur_spec_id = m.get("spec_id")
+    schema_s = m.get("schema") or ""
     out = []
     for e in m["files"]:
         skip = False
+        part = e.get("partition") or {}
+        same_spec = part and e.get("spec_id") == cur_spec_id
         for c, lo, hi in preds:
             fmin, fmax = e.get(f"min_{c}"), e.get(f"max_{c}")
             if fmin is not None and fmax is not None:
                 if fmax < lo or fmin > hi:
                     skip = True
                     break
-            pv = (e.get("partition") or {}).get(f"identity_{c}")
+            pv = part.get(f"identity_{c}")
             if pv is not None:
                 # hive dir values are strings; coerce to the
                 # predicate's type, keep the file if uncoercible
@@ -971,6 +1023,38 @@ def plan_files(
                 if v < lo or v > hi:
                     skip = True
                     break
+            if not same_spec:
+                continue
+            t = cur_spec.get(c)
+            if t is None:
+                continue
+            if (
+                t["transform"] == "bucket"
+                and lo == hi
+                and isinstance(lo, int)
+                and not isinstance(lo, bool)
+                and f"{c}:bigint" in schema_s
+            ):
+                pv = part.get(f"bucket_{c}")
+                if pv is not None:
+                    try:
+                        b = int(pv)
+                    except ValueError:
+                        continue
+                    if b != _xxh64_long(int(lo)) % int(t["n"]):
+                        skip = True
+                        break
+            elif t["transform"] == "truncate":
+                pv = part.get(f"truncate_{c}")
+                if pv is not None:
+                    try:
+                        tv = int(pv)
+                    except ValueError:
+                        continue
+                    w = int(t["w"])
+                    if tv + w - 1 < lo or tv > hi:
+                        skip = True
+                        break
         if not skip:
             out.append(os.path.join(path, e["path"]))
     return out

@@ -122,3 +122,83 @@ def test_spec_survives_mor_and_compaction(spark, tmp_path):
         for e in m["files"] if e["path"] in added
     )
     assert read_snapshot(spark, t).count() == 145
+
+
+def test_bucket_point_lookup_prunes_files(spark, tmp_path):
+    """A point predicate on a bucket(col, n) table plans ~1/n of the
+    bucketed files, metadata-only — the 100 TB point-lookup path."""
+    from kblock_spark.io.tableformat import _xxh64_long
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 300), t)
+    set_partition_spec(t, [{"col": "doc_id", "transform": "bucket", "n": 8}])
+    append_snapshot(_df(spark, 300, 900), t)
+    m = read_manifest(t)
+    bucketed = [e for e in m["files"] if "bucket_doc_id" in (e.get("partition") or {})]
+    plain = len(m["files"]) - len(bucketed)
+    assert len(bucketed) >= 2
+    for probe in (300, 451, 899):
+        # planner-side hash must agree with Spark's pmod(xxhash64(v), n)
+        want_b = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(probe).cast("bigint")), F.lit(8)).alias("b")
+        ).collect()[0]["b"]
+        assert _xxh64_long(probe) % 8 == want_b
+        planned = plan_files(t, prune=("doc_id", probe, probe))
+        keep_b = [
+            e for e in bucketed if int(e["partition"]["bucket_doc_id"]) == want_b
+        ]
+        # all pre-spec files kept (conservative) + only the matching bucket
+        assert len(planned) == plain + len(keep_b)
+        assert len(planned) < len(m["files"])
+        got = read_snapshot(spark, t, prune=("doc_id", probe, probe)).where(
+            F.col("doc_id") == probe
+        )
+        assert got.count() == 1
+
+
+def test_bucket_pruning_skips_stale_spec_files(spark, tmp_path):
+    """Files written under an OLDER bucket spec (different n) must stay
+    conservative — their bucket number means something else."""
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+    set_partition_spec(t, [{"col": "doc_id", "transform": "bucket", "n": 4}])
+    append_snapshot(_df(spark, 10, 200), t)
+    set_partition_spec(t, [{"col": "doc_id", "transform": "bucket", "n": 8}])
+    append_snapshot(_df(spark, 200, 400), t)
+    m = read_manifest(t)
+    old = [e for e in m["files"]
+           if "bucket_doc_id" in (e.get("partition") or {}) and e["spec_id"] == 1]
+    assert old, "fixture must have old-spec bucketed files"
+    for probe in range(10, 200, 37):
+        planned = set(plan_files(t, prune=("doc_id", probe, probe)))
+        # every old-spec file survives the plan (no n recorded for it)
+        for e in old:
+            assert os.path.join(t, e["path"]) in planned
+        assert read_snapshot(spark, t, prune=("doc_id", probe, probe)).where(
+            F.col("doc_id") == probe
+        ).count() == 1
+
+
+def test_truncate_range_pruning(spark, tmp_path):
+    """truncate(col, w) partitions answer RANGE predicates: value t
+    covers [t, t+w-1]."""
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10), t)
+    set_partition_spec(t, [{"col": "doc_id", "transform": "truncate", "w": 100}])
+    append_snapshot(_df(spark, 10, 810), t)
+    m = read_manifest(t)
+    trunc = [e for e in m["files"] if "truncate_doc_id" in (e.get("partition") or {})]
+    plain = len(m["files"]) - len(trunc)
+    assert len({e["partition"]["truncate_doc_id"] for e in trunc}) >= 4
+    planned = plan_files(t, prune=("doc_id", 230, 260))
+    keep = [e for e in trunc if e["partition"]["truncate_doc_id"] == "200"]
+    assert len(planned) == plain + len(keep)
+    got = read_snapshot(spark, t, prune=("doc_id", 230, 260)).where(
+        (F.col("doc_id") >= 230) & (F.col("doc_id") <= 260)
+    )
+    assert got.count() == 31
+    # boundary-straddling range touches both covering partitions
+    planned2 = plan_files(t, prune=("doc_id", 195, 205))
+    keep2 = [e for e in trunc
+             if e["partition"]["truncate_doc_id"] in ("100", "200")]
+    assert len(planned2) == plain + len(keep2)
