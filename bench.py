@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "d28_bigram_coherence",
     "q34_interval_join",
     "e11_mips_topk",
+    "tbl_meta_scan",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -774,6 +774,117 @@ def last_committed_batch(path: str) -> int | None:
     return _last_batch_in_chain(path, current_snapshot_id(path))
 
 
+# --------------------------------------------------------- inspection
+# Iceberg exposes table metadata AS TABLES (`db.tbl.snapshots`,
+# `.files`, `.refs`, `.history`) so operators debug and monitor with
+# the same query engine that reads the data. Same surface here: each
+# returns a DataFrame built purely from manifests and ref pointers —
+# no data file is opened, so these stay metadata-cost even on a
+# 100 TB table with millions of files per snapshot (the files listing
+# is the only one proportional to file count, exactly like Iceberg's).
+
+
+def inspect_snapshots(
+    spark: SparkSession, path: str, ref: str = "main"
+) -> DataFrame:
+    """One row per reachable snapshot on ``ref``'s ancestry (oldest
+    first): commit-level accounting straight from the manifests.
+    Columns: snapshot_id, parent_id, operation, added_files,
+    added_rows, n_data_files, n_delete_files, total_rows,
+    total_bytes. Expired ancestors fall off the front of the lineage
+    (Iceberg history semantics)."""
+    sid = _resolve_ref(path, ref)
+    if sid is None:
+        raise FileNotFoundError(f"no ref {ref!r} in {path}")
+    rows = []
+    while sid is not None:
+        m = _read_manifest_expired_ok(path, sid)
+        if m is None:
+            break
+        added = set(m.get("added") or [])
+        files = m.get("files") or []
+        rows.append(
+            (
+                sid,
+                m.get("parent_id"),
+                m.get("operation"),
+                len(added),
+                sum(e["rows"] for e in files if e["path"] in added),
+                len(files),
+                len(m.get("delete_files") or []),
+                sum(e["rows"] for e in files),
+                sum(e.get("bytes") or 0 for e in files),
+            )
+        )
+        sid = m.get("parent_id")
+    rows.reverse()
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id bigint, parent_id bigint, operation string, "
+        "added_files bigint, added_rows bigint, n_data_files bigint, "
+        "n_delete_files bigint, total_rows bigint, total_bytes bigint",
+    )
+
+
+def inspect_files(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Per-file manifest entries of one snapshot: data files AND
+    delete files (content='data' | 'pos-delete' | 'eq-delete' —
+    Iceberg's `.files` content field). Columns: file_path (relative),
+    content, rows, bytes, spec_id, seq, partition (JSON string of the
+    file's partition tuple, null when unpartitioned)."""
+    m = read_manifest(path, snapshot_id)
+    rows = []
+    for e in m.get("files") or []:
+        rows.append(
+            (
+                e["path"],
+                "data",
+                e.get("rows"),
+                e.get("bytes"),
+                e.get("spec_id"),
+                e.get("seq"),
+                json.dumps(e["partition"], sort_keys=True)
+                if e.get("partition")
+                else None,
+            )
+        )
+    for e in m.get("delete_files") or []:
+        rows.append(
+            (
+                e["path"],
+                "eq-delete" if e.get("kind") == "eq" else "pos-delete",
+                e.get("rows"),
+                e.get("bytes"),
+                None,
+                e.get("seq"),
+                None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file_path string, content string, rows bigint, bytes bigint, "
+        "spec_id bigint, seq bigint, partition string",
+    )
+
+
+def inspect_refs(spark: SparkSession, path: str) -> DataFrame:
+    """Every live ref: main, branches, tags → (name, type,
+    snapshot_id). The WAP/audit surface: `SELECT * FROM refs` shows
+    what is published (main), staged (branches), and pinned (tags)."""
+    rows = []
+    for name in _all_refs(path):
+        sid = ref_head(path, name)
+        if sid is not None:
+            rows.append((name, "main" if name == "main" else "branch", sid))
+    for name, sid in sorted(list_tags(path).items()):
+        rows.append((name, "tag", sid))
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id bigint"
+    )
+
+
 def _last_batch_in_chain(path: str, sid: int | None) -> int | None:
     while sid is not None:
         m = _read_manifest_expired_ok(path, sid)

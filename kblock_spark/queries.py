@@ -5142,6 +5142,73 @@ FROM merged WHERE doc_id % 10 <> 4
 """
 
 
+def tbl_meta_scan(spark, sf_dir):
+    """Metadata INSPECTION tables under a hard oracle (Iceberg's
+    `.snapshots` / `.refs` surface — io/tableformat.py
+    inspect_snapshots/inspect_refs). Four deterministic commits
+    (append ×2, metadata-only set-spec, partitioned append) plus a
+    tag and a branch; the query reads ONLY manifests and ref
+    pointers, yet every accounting column — per-commit file count,
+    added rows, running total, refs-at-snapshot — is derivable from
+    the documents table because the commit layout is pinned
+    (repartition(2)/(3) → exactly 2/3 files; a 1-task partitioned
+    write → one file per distinct lang). Proves the inspection
+    surface reports commit history faithfully, not plausibly."""
+    from .io.tableformat import (
+        append_snapshot,
+        create_branch,
+        create_tag,
+        inspect_refs,
+        inspect_snapshots,
+        set_partition_spec,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _scratch("tbl_meta_")
+    append_snapshot(docs.where("doc_id % 2 = 0").repartition(2), path)
+    s2 = append_snapshot(docs.where("doc_id % 2 = 1").repartition(3), path)
+    set_partition_spec(path, [{"col": "lang", "transform": "identity"}])
+    append_snapshot(docs.where("doc_id % 5 = 0").repartition(1), path)
+    create_tag(path, "audit", s2)
+    create_branch(path, "wip")
+    refs_at = (
+        inspect_refs(spark, path)
+        .groupBy("snapshot_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        inspect_snapshots(spark, path)
+        .join(refs_at, "snapshot_id", "left")
+        .select(
+            "snapshot_id",
+            "operation",
+            "added_files",
+            "added_rows",
+            "total_rows",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_refs"),
+        )
+    )
+
+
+TBL_META_SQL = """
+WITH c AS (
+  SELECT
+    (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_even,
+    (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1) AS n_odd,
+    (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0) AS n_five,
+    (SELECT COUNT(DISTINCT lang) FROM documents WHERE doc_id % 5 = 0) AS l_five)
+SELECT 1::BIGINT AS snapshot_id, 'append' AS operation,
+       2::BIGINT AS added_files, n_even::BIGINT AS added_rows,
+       n_even::BIGINT AS total_rows, 0::BIGINT AS n_refs FROM c
+UNION ALL
+SELECT 2, 'append', 3, n_odd, n_even + n_odd, 1 FROM c
+UNION ALL
+SELECT 3, 'set-spec', 0, 0, n_even + n_odd, 0 FROM c
+UNION ALL
+SELECT 4, 'append', l_five, n_five, n_even + n_odd + n_five, 2 FROM c
+"""
+
+
 def tbl_spec_scan(spark, sf_dir):
     """Partition-spec evolution under a hard oracle: the table starts
     unpartitioned, evolves to identity(lang) (metadata-only commit —
@@ -6122,6 +6189,7 @@ REGISTRY: dict = {
     # exact MIPS top-k
     "q34_interval_join": (q34_interval_join, Q34_SQL),
     "e11_mips_topk": (e11_mips_topk, E11_SQL),
+    "tbl_meta_scan": (tbl_meta_scan, TBL_META_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),

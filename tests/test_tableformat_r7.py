@@ -396,3 +396,54 @@ def test_branch_mor_unknown_ref_raises(spark, tmp_path):
     upd = spark.createDataFrame([(1, 2)], "doc_id long, v long")
     with pytest.raises(FileNotFoundError, match="ref 'nope'"):
         merge_into_mor(spark, t, upd, "doc_id", ref="nope")
+
+
+def test_inspect_tables(spark, tmp_path):
+    """Iceberg-style metadata tables: snapshots/files/refs built from
+    manifests only, consistent with each other and with the data."""
+    from kblock_spark.io.tableformat import (
+        create_tag,
+        delete_where_mor,
+        inspect_files,
+        inspect_refs,
+        inspect_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 50).repartition(2), t)
+    append_snapshot(_df(spark, 50, 80).repartition(1), t)
+    delete_where_mor(spark, t, "doc_id < 5")
+    keys = spark.createDataFrame([(60,), (61,)], "doc_id long")
+    delete_keys_mor(spark, t, keys, "doc_id")
+    create_tag(t, "pin", 2)
+    create_branch(t, "wip")
+
+    snaps = {r["snapshot_id"]: r for r in inspect_snapshots(spark, t).collect()}
+    assert [snaps[i]["operation"] for i in (1, 2, 3, 4)] == [
+        "append", "append", "delete-mor", "delete-mor"]
+    assert snaps[1]["added_files"] == 2 and snaps[1]["added_rows"] == 50
+    assert snaps[2]["added_rows"] == 30 and snaps[2]["total_rows"] == 80
+    # MOR deletes leave data-file accounting untouched
+    assert snaps[4]["total_rows"] == 80 and snaps[4]["n_delete_files"] == 2
+    assert snaps[4]["total_bytes"] > 0
+
+    files = inspect_files(spark, t).collect()
+    kinds = {r["content"] for r in files}
+    assert kinds == {"data", "pos-delete", "eq-delete"}
+    data_rows = sum(r["rows"] for r in files if r["content"] == "data")
+    assert data_rows == snaps[4]["total_rows"]
+    eq = [r for r in files if r["content"] == "eq-delete"]
+    assert eq[0]["seq"] is not None  # eq deletes are sequence-scoped
+    # live row count = data rows minus both delete sets
+    assert read_snapshot(spark, t).count() == 80 - 5 - 2
+
+    refs = {(r["name"], r["type"]): r["snapshot_id"]
+            for r in inspect_refs(spark, t).collect()}
+    assert refs[("main", "main")] == 4
+    assert refs[("wip", "branch")] == 4
+    assert refs[("pin", "tag")] == 2
+
+    # time travel: the snapshot-2 files listing has no delete files
+    f2 = inspect_files(spark, t, snapshot_id=2).collect()
+    assert {r["content"] for r in f2} == {"data"}
+    assert sum(r["rows"] for r in f2) == 80
