@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "q34_interval_join",
     "e11_mips_topk",
     "tbl_meta_scan",
+    "e12_sparse_retrieval",
+    "s14_stream_outer_join",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -2694,6 +2694,114 @@ WHERE rank <= {_TOPK}
 """
 
 
+# e12 — sparse lexical retrieval: the inverted-index (BM25-family)
+# counterpart of e11's dense MIPS. Eight query documents retrieve
+# their top-5 most similar corpus documents by IDF-weighted term
+# overlap: score = Σ_t qtf·tf·idf, idf integer-quantized
+# (1e4·N DIV df — BIGINT-exact on both engines, no float log whose
+# last ulp differs between JVM and DuckDB). Terms are BIGRAMS (the
+# synthetic corpus' 31-word unigram vocabulary appears in nearly
+# every document — zero discrimination; the ~900-bigram vocabulary
+# has df ≈ 21-46/500, real signal), built with the zip_with-over-
+# slices shape (a captured expression inside a higher-order-function
+# lambda is re-evaluated PER ELEMENT — the measured O(n²) trap).
+# Stop-terms (df·2 > N) are dropped — standard posting-list pruning,
+# and the 100 TB scale guard: without it the hottest term's posting
+# list joins against every document.
+#
+# Scale shape: the term-frequency table is built once (one explode +
+# map-side-combined groupBy) and checkpointed against its three
+# consumers; corpus postings never move — the tiny query posting
+# list (nq·terms rows) broadcasts onto them, and the per-(query,doc)
+# score aggregate is the only shuffle, partially aggregated
+# map-side. A window bounded at nq partitions finalizes top-k.
+
+_SR_K = 5
+_SR_NQ = 8
+
+
+def _bigrams(col="text"):
+    toks = F.split(col, " ")
+    return F.zip_with(
+        F.slice(toks, F.lit(1), F.size(toks) - 1),
+        F.slice(toks, F.lit(2), F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def e12_sparse_retrieval(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(_bigrams()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") * 2 <= F.lit(n_docs))
+        .withColumn(
+            "idf_e4", F.expr(f"CAST(10000 * {n_docs} DIV df AS BIGINT)")
+        )
+    )
+    qp = (
+        tf.where(F.col("doc_id") < _SR_NQ)
+        .select(
+            F.col("doc_id").alias("query_id"), "tok", F.col("tf").alias("qtf")
+        )
+        .join(vocab, "tok")
+        .select("tok", "query_id", "qtf", "idf_e4")
+    )
+    cand = (
+        tf.join(F.broadcast(qp), "tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("qtf") * F.col("tf") * F.col("idf_e4"))
+            .cast("bigint")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _SR_K)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+E12_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS tok
+        FROM w, unnest(range(1, len(w))) AS t(i))
+  GROUP BY doc_id, tok),
+vocab AS (
+  SELECT tok, (10000 * (SELECT COUNT(*) FROM documents) // COUNT(*))::BIGINT AS idf_e4
+  FROM tf GROUP BY tok
+  HAVING COUNT(*) * 2 <= (SELECT COUNT(*) FROM documents)),
+qp AS (
+  SELECT tf.tok, doc_id AS query_id, tf AS qtf, idf_e4
+  FROM tf JOIN vocab ON tf.tok = vocab.tok WHERE doc_id < {_SR_NQ}),
+cand AS (
+  SELECT query_id, tf.doc_id,
+         SUM(qtf * tf * idf_e4)::BIGINT AS score
+  FROM tf JOIN qp ON tf.tok = qp.tok AND tf.doc_id <> qp.query_id
+  GROUP BY query_id, tf.doc_id)
+SELECT query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM cand)
+WHERE rank <= {_SR_K}
+"""
+
+
 def e03_label_centroid(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", _quantized().alias("q"))
     # exact integer per-dimension sums per label, and count
@@ -4431,6 +4539,141 @@ def s13_stream_paced_drain(spark, sf_dir):
 
 S13_SQL = """
 SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents
+"""
+
+
+# s14 — stream-stream LEFT OUTER join: attribution's other half. s07
+# answers "which purchases have a preceding-2h click"; the outer join
+# also emits the purchases that DON'T (click columns null) — exactly
+# the rows a funnel-drop report needs. Two hard-won tail lessons:
+#
+# 1. Spark only emits an unmatched left row once the watermark passes
+#    its join-window end, AND outer-join state eviction in batch N
+#    uses the watermark advanced at the end of batch N-1 — so one
+#    far-future sentinel in the FINAL batch flushes everything except
+#    the last join-window of real data (measured: exactly the last
+#    2 h of purchases were swallowed). Hence TWO sentinel files with
+#    maxFilesPerTrigger=1: the first advances the watermark past
+#    every real row, the second's batch evicts under it.
+# 2. The sentinel EXCLUSION must live OUTSIDE the streaming plan: a
+#    `where(p_user >= 0)` on the joined stream is pushed down below
+#    the watermark node (and, via the equi-join condition, onto the
+#    click scan as `c_user >= 0` too), so the sentinel rows die AT
+#    THE SCAN, the watermark never reaches 2030, and the tail is
+#    silently swallowed again (measured: checkpoint offsets showed
+#    both sentinel files admitted with numInputRows == 0 and
+#    batchWatermarkMs frozen). The streaming query therefore emits
+#    sentinels; the batch read-back filters them.
+#
+# With both, stream == batch LEFT JOIN exactly.
+
+def s14_stream_outer_join(spark, sf_dir):
+    import os
+    import shutil
+    import time as _time
+
+    from .streaming.ingest import idempotent_parquet_sink
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "user_id", "value"
+    )
+    base = _scratch("kblock_s14_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    os.makedirs(src, exist_ok=True)
+
+    def _sent(year: int, uid: int):
+        return spark.createDataFrame(
+            [("purchase",), ("click",)], "event_type string"
+        ).select(
+            "event_type",
+            F.lit(f"{year}-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+        )
+
+    now = _time.time()
+    for i, df in enumerate([e, _sent(2030, -1), _sent(2031, -2)]):
+        tmp = f"{base}/w{i}"
+        (df.coalesce(1) if i == 0 else df.repartition(1)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
+        )
+        dst = f"{src}/f{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        # the file source processes oldest-mtime first: pin the order
+        os.utime(dst, (now - 30 + i * 10, now - 30 + i * 10))
+    schema = "event_type string, ts timestamp, user_id long, value double"
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("p_value_e6"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts"))
+            & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 2 HOURS")),
+            "left_outer",
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "purchase_ts"
+            ),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "click_ts"
+            ),
+            "p_value_e6",
+            F.col("c_ts").isNull().alias("unattributed"),
+        )
+    )
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)  # batch-side sentinel exclusion
+        .select(
+            "user_id", "purchase_ts", "click_ts", "p_value_e6", "unattributed"
+        )
+    )
+
+
+S14_SQL = """
+SELECT p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       round(p.value * 1000000.0)::BIGINT AS p_value_e6,
+       c.ts IS NULL AS unattributed
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 2 HOUR
 """
 
 
@@ -6190,6 +6433,8 @@ REGISTRY: dict = {
     "q34_interval_join": (q34_interval_join, Q34_SQL),
     "e11_mips_topk": (e11_mips_topk, E11_SQL),
     "tbl_meta_scan": (tbl_meta_scan, TBL_META_SQL),
+    "e12_sparse_retrieval": (e12_sparse_retrieval, E12_SQL),
+    "s14_stream_outer_join": (s14_stream_outer_join, S14_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
