@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "tbl_meta_scan",
     "e12_sparse_retrieval",
     "s14_stream_outer_join",
+    "g01_pagerank",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -2802,6 +2802,97 @@ WHERE rank <= {_SR_K}
 """
 
 
+# g01 — PageRank, integer-exact: the canonical iterative graph
+# algorithm (the web-link authority score web-corpus pipelines use
+# for crawl prioritization and quality weighting), hard-oracled —
+# which float PageRank can never be, since per-engine float sum
+# order diverges. Every quantity is BIGINT: initial mass
+# 1e12 DIV N per node, per-edge contribution r DIV outdeg, damping
+# r' = (15·(1e12 DIV N)) DIV 100 + (85·Σ contrib) DIV 100. Both
+# engines floor-divide positive longs identically, so five
+# iterations stay bit-exact. The link graph derives from doc_id
+# arithmetic (i → (7i+1) mod N, (13i+5) mod N; outdeg 2), so the
+# oracle regenerates it relationally.
+#
+# Scale shape (the GraphX/Pregel layout in DataFrame terms): the
+# edge table is the LARGE static side — checkpointed once, its
+# shuffle partitioning by src REUSED by every iteration's
+# ranks-onto-edges join; each iteration then pays exactly one
+# shuffle (contributions → groupBy dst, map-side partial-summed).
+# Ranks are checkpointed per iteration so the lineage (and plan
+# size) stays O(1) across iterations instead of O(iterations).
+
+_PR_ITERS = 5
+_PR_MASS = 1_000_000_000_000
+
+
+def g01_pagerank(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("id"))
+    edges = (
+        nodes.select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.array(
+                    F.expr(f"(7*id+1) % {n}"), F.expr(f"(13*id+5) % {n}")
+                )
+            ).alias("dst"),
+        )
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    r0 = _PR_MASS // n
+    base = 15 * r0 // 100
+    ranks = nodes.select("id", F.lit(r0).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r DIV 2")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(s, 0) DIV 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("pr_rank"))
+
+
+def _pr_sql() -> str:
+    n = "(SELECT COUNT(*) FROM documents)"
+    s = f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % {n} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (13*doc_id+5) % {n} FROM documents),
+r0 AS (SELECT id, ({_PR_MASS} // {n})::BIGINT AS r FROM nodes)"""
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        s += f""",
+r{k} AS (
+  SELECT n.id,
+         ((15 * ({_PR_MASS} // {n})::BIGINT // 100)::BIGINT
+          + (85 * COALESCE(SUM((p.r // 2)::BIGINT), 0) // 100)::BIGINT
+         )::BIGINT AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.id
+  LEFT JOIN {prev} p ON p.id = e.src
+  GROUP BY n.id)"""
+        prev = f"r{k}"
+    return s + f"\nSELECT id AS doc_id, r AS pr_rank FROM {prev}"
+
+
+G01_SQL = _pr_sql()
+
+
 def e03_label_centroid(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", _quantized().alias("q"))
     # exact integer per-dimension sums per label, and count
@@ -6435,6 +6526,7 @@ REGISTRY: dict = {
     "tbl_meta_scan": (tbl_meta_scan, TBL_META_SQL),
     "e12_sparse_retrieval": (e12_sparse_retrieval, E12_SQL),
     "s14_stream_outer_join": (s14_stream_outer_join, S14_SQL),
+    "g01_pagerank": (g01_pagerank, G01_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
