@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "e12_sparse_retrieval",
     "s14_stream_outer_join",
     "g01_pagerank",
+    "d30_training_pipeline",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -2826,6 +2826,140 @@ _PR_ITERS = 5
 _PR_MASS = 1_000_000_000_000
 
 
+# d30 — the END-TO-END training-data pipeline under ONE oracle:
+# quality filter → exact dedup (md5 first-keep) → hash-bucket split →
+# domain mixing on the train split (equal-share integer resampling,
+# d27) → greedy sequence packing of the mixed corpus (distributed
+# prefix sum, d26) → per-training-window rollup. This is the corpus →
+# packed-training-sequences path a 100 TB webtext run executes as one
+# job; composing the stages in one plan (instead of materializing
+# between them) lets Catalyst share the single documents scan across
+# quality/dedup/split and keeps the only wide ops at: the dedup
+# first-keep aggregate, the mixing factor rollup (domain-cardinality
+# sized, broadcast back), and the two-pass prefix sum. Replicated
+# epochs enter the pack order via pk = doc_id·1024 + epoch (bounded:
+# equal-share factors are ≤ N/(nd·min_domain), asserted < 1024), so
+# the pack layout is total-ordered and engine-independent.
+
+_D30_EPOCH_K = 1024
+_PACK_W = 2048  # training-window token width (shared with d26)
+
+
+def d30_training_pipeline(spark, sf_dir):
+    from .ops.partitioning import running_offset
+    from .ops.sketch import _hash48
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.withColumn(
+        "n_toks", F.size(F.split("text", " ")).cast("bigint")
+    ).where(
+        (F.col("n_chars") >= _PIPE_MIN_CHARS)
+        & (F.col("n_toks") >= _PIPE_MIN_TOKS)
+    ).withColumn("fp", F.md5("text"))
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = q.join(keep, ["fp", "doc_id"]).select("doc_id", "source", "n_toks")
+    train = kept.where(
+        F.pmod(_hash48(F.col("doc_id").cast("string")), F.lit(1000)) < 800
+    )
+    counts = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in")
+    )
+    tot = counts.agg(
+        F.sum("n_in").alias("N"), F.count(F.lit(1)).alias("nd")
+    ).first()
+    big_n, nd = int(tot["N"]), int(tot["nd"])
+    factors = counts.withColumn(
+        "fm", F.expr(f"({1_000_000 * big_n}) DIV ({nd} * n_in)").cast("bigint")
+    )
+    bb = F.pmod(_hash48(F.col("doc_id").cast("string")), F.lit(1_000_000))
+    mixed = (
+        train.join(F.broadcast(factors), "source")
+        .withColumn(
+            "copies",
+            (
+                F.expr("fm DIV 1000000")
+                + F.when(
+                    bb < F.pmod(F.col("fm"), F.lit(1_000_000)), 1
+                ).otherwise(0)
+            ).cast("bigint"),
+        )
+        .where("copies >= 1")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.expr(
+                f"assert_true(epoch < {_D30_EPOCH_K}, 'epoch overflow')"
+            ).alias("__a"),
+            F.expr(f"doc_id * {_D30_EPOCH_K} + epoch - 1").alias("pk"),
+        )
+        .drop("__a")
+    )
+    off = running_offset(mixed, "n_toks", "pk", "off")
+    win = F.expr(f"off DIV {_PACK_W}")
+    end_win = F.expr(f"(off + n_toks - 1) DIV {_PACK_W}")
+    return (
+        off.select(
+            win.alias("window_id"),
+            "doc_id",
+            "n_toks",
+            (end_win != win).cast("int").alias("split"),
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_unique_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("split").cast("bigint").alias("n_boundary_docs"),
+        )
+    )
+
+
+D30_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source, text, len(string_split(text, ' '))::BIGINT AS n_toks
+  FROM documents
+  WHERE n_chars >= {_PIPE_MIN_CHARS}
+    AND len(string_split(text, ' ')) >= {_PIPE_MIN_TOKS}),
+keep AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM q GROUP BY 1),
+kept AS (
+  SELECT q.doc_id, q.source, q.n_toks
+  FROM q JOIN keep ON md5(q.text) = keep.fp AND q.doc_id = keep.doc_id),
+train AS (
+  SELECT * FROM kept
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 1000 < 800),
+n AS (SELECT source, COUNT(*)::BIGINT AS n_in FROM train GROUP BY 1),
+t AS (SELECT SUM(n_in)::BIGINT AS N, COUNT(*)::BIGINT AS nd FROM n),
+f AS (SELECT source, ((1000000 * t.N) // (t.nd * n_in))::BIGINT AS fm
+      FROM n, t),
+c AS (
+  SELECT tr.doc_id, tr.n_toks,
+         ((fm // 1000000)::BIGINT
+          + CASE WHEN ('0x' || substr(md5(tr.doc_id::VARCHAR), 1, 12))::BIGINT
+                      % 1000000 < fm % 1000000
+                 THEN 1 ELSE 0 END)::BIGINT AS copies
+  FROM train tr JOIN f USING (source)),
+m AS (
+  SELECT doc_id, n_toks,
+         (doc_id * {_D30_EPOCH_K} + e - 1)::BIGINT AS pk
+  FROM c, unnest(range(1, copies + 1)) AS u(e)
+  WHERE copies >= 1),
+o AS (
+  SELECT doc_id, n_toks,
+         (SUM(n_toks) OVER (ORDER BY pk
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_toks)::BIGINT AS off
+  FROM m)
+SELECT (off // {_PACK_W})::BIGINT AS window_id,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_unique_docs,
+       SUM(n_toks)::BIGINT AS n_tokens,
+       SUM(CASE WHEN (off + n_toks - 1) // {_PACK_W} <> off // {_PACK_W}
+                THEN 1 ELSE 0 END)::BIGINT AS n_boundary_docs
+FROM o GROUP BY 1
+"""
+
+
 def g01_pagerank(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     n = d.count()
@@ -4240,8 +4374,7 @@ def s09_stream_corpus_pipeline(spark, sf_dir):
 # per-range local windows + broadcast range offsets; no
 # single-partition exchange at any corpus size), BIGINT-exact so the
 # result is bit-stable under any partitioning.
-
-_PACK_W = 2048
+# (_PACK_W is defined up with d30, which composes this packer.)
 
 
 def d26_sequence_packing(spark, sf_dir):
@@ -6527,6 +6660,7 @@ REGISTRY: dict = {
     "e12_sparse_retrieval": (e12_sparse_retrieval, E12_SQL),
     "s14_stream_outer_join": (s14_stream_outer_join, S14_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
+    "d30_training_pipeline": (d30_training_pipeline, D30_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
