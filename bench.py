@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "s14_stream_outer_join",
     "g01_pagerank",
     "d30_training_pipeline",
+    "tbl_bucket_scan",
 ]
 
 GEO_NX = GEO_NY = 8

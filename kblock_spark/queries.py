@@ -5676,6 +5676,45 @@ SELECT 4, 'append', l_five, n_five, n_even + n_odd + n_five, 2 FROM c
 """
 
 
+def tbl_bucket_scan(spark, sf_dir):
+    """Bucket-partition point lookups under a hard oracle (round 7):
+    the table evolves to bucket(doc_id, 8); point reads plan via the
+    planner-side xxHash64-of-long (plan_files computes the probe's
+    bucket with zero footer reads — the 100 TB point-lookup path,
+    1/n of the files planned; pruning factor itself is asserted in
+    tests/test_tableformat_spec.py). Files are written WITHOUT
+    min/max stats, so any row the scan returns arrived through
+    bucket pruning alone; pre-spec files are kept conservatively.
+    The result is the union of three probes across both generations
+    plus a residual filter — equality with the oracle's plain IN
+    query proves pruned reads lose nothing."""
+    from .io.tableformat import (
+        append_snapshot,
+        read_snapshot,
+        set_partition_spec,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _scratch("tbl_bucket_")
+    append_snapshot(docs.where("doc_id % 2 = 0").repartition(4), path)
+    set_partition_spec(path, [{"col": "doc_id", "transform": "bucket", "n": 8}])
+    append_snapshot(docs.where("doc_id % 2 = 1").repartition(4), path)
+    probes = [7, 58, 201]
+    out = None
+    for p in probes:
+        got = read_snapshot(spark, path, prune=("doc_id", p, p)).where(
+            F.col("doc_id") == p
+        )
+        out = got if out is None else out.unionByName(got)
+    return out.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+TBL_BUCKET_SQL = """
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents WHERE doc_id IN (7, 58, 201)
+"""
+
+
 def tbl_spec_scan(spark, sf_dir):
     """Partition-spec evolution under a hard oracle: the table starts
     unpartitioned, evolves to identity(lang) (metadata-only commit —
@@ -6661,6 +6700,7 @@ REGISTRY: dict = {
     "s14_stream_outer_join": (s14_stream_outer_join, S14_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "d30_training_pipeline": (d30_training_pipeline, D30_SQL),
+    "tbl_bucket_scan": (tbl_bucket_scan, TBL_BUCKET_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
