@@ -766,6 +766,27 @@ def _resolve_ref(path: str, ref: str) -> int | None:
     return sid
 
 
+def snapshot_as_of(path: str, ts: float, ref: str = "main") -> int:
+    """Timestamp time travel (Iceberg's ``FOR TIMESTAMP AS OF``): the
+    newest snapshot on ``ref``'s ancestry committed at or before
+    ``ts`` (manifests stamp commit wall time at the claim). Raises
+    ValueError when the table has no snapshot that old — matching
+    Iceberg's error rather than silently reading something newer."""
+    sid = _resolve_ref(path, ref)
+    if sid is None:
+        raise FileNotFoundError(f"no ref {ref!r} in {path}")
+    while sid is not None:
+        m = _read_manifest_expired_ok(path, sid)
+        if m is None:
+            break  # expired past — nothing reachable that old
+        if float(m.get("ts") or 0) <= ts:
+            return sid
+        sid = m.get("parent_id")
+    raise ValueError(
+        f"no snapshot committed at or before {ts} on ref {ref!r} in {path}"
+    )
+
+
 def last_committed_batch(path: str) -> int | None:
     """Most recent streaming batch id committed to the table, or None.
     Walks the snapshot chain newest-first; micro-batch ids are
@@ -791,7 +812,8 @@ def inspect_snapshots(
     first): commit-level accounting straight from the manifests.
     Columns: snapshot_id, parent_id, operation, added_files,
     added_rows, n_data_files, n_delete_files, total_rows,
-    total_bytes. Expired ancestors fall off the front of the lineage
+    total_bytes, committed_at (epoch seconds — the AS OF travel
+    key). Expired ancestors fall off the front of the lineage
     (Iceberg history semantics)."""
     sid = _resolve_ref(path, ref)
     if sid is None:
@@ -814,6 +836,7 @@ def inspect_snapshots(
                 len(m.get("delete_files") or []),
                 sum(e["rows"] for e in files),
                 sum(e.get("bytes") or 0 for e in files),
+                float(m.get("ts") or 0),
             )
         )
         sid = m.get("parent_id")
@@ -822,7 +845,8 @@ def inspect_snapshots(
         rows,
         "snapshot_id bigint, parent_id bigint, operation string, "
         "added_files bigint, added_rows bigint, n_data_files bigint, "
-        "n_delete_files bigint, total_rows bigint, total_bytes bigint",
+        "n_delete_files bigint, total_rows bigint, total_bytes bigint, "
+        "committed_at double",
     )
 
 
@@ -1177,8 +1201,10 @@ def read_snapshot(
     snapshot_id: int | None = None,
     prune: tuple[str, object, object] | None = None,
     ref: str = "main",
+    as_of: float | None = None,
 ) -> DataFrame:
-    """Read a snapshot (time travel via ``snapshot_id``), optionally
+    """Read a snapshot (time travel via ``snapshot_id``, or by wall
+    time via ``as_of`` — Iceberg's FOR TIMESTAMP AS OF), optionally
     file-pruned. An empty post-prune plan still returns the right
     schema (read of the full plan's schema, filtered to nothing).
 
@@ -1189,6 +1215,10 @@ def read_snapshot(
     manifest records a schema change (``schema_evolved``). ``ref``
     reads a branch head (audit reads in the write-audit-publish
     flow)."""
+    if as_of is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either snapshot_id or as_of, not both")
+        snapshot_id = snapshot_as_of(path, as_of, ref)
     if snapshot_id is None and ref != "main":
         snapshot_id = _resolve_ref(path, ref)
         if snapshot_id is None:

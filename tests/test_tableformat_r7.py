@@ -447,3 +447,39 @@ def test_inspect_tables(spark, tmp_path):
     f2 = inspect_files(spark, t, snapshot_id=2).collect()
     assert {r["content"] for r in f2} == {"data"}
     assert sum(r["rows"] for r in f2) == 80
+
+
+def test_timestamp_as_of_travel(spark, tmp_path):
+    """FOR TIMESTAMP AS OF: wall-time travel resolves to the newest
+    snapshot committed at or before the timestamp, refs included."""
+    from kblock_spark.io.tableformat import read_snapshot, snapshot_as_of
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 10).coalesce(1), t)
+    t1 = time.time()
+    time.sleep(0.05)
+    append_snapshot(_df(spark, 10, 30).coalesce(1), t)
+    t2 = time.time()
+    time.sleep(0.05)
+    append_snapshot(_df(spark, 30, 35).coalesce(1), t)
+
+    assert snapshot_as_of(t, t1) == 1
+    assert snapshot_as_of(t, t2) == 2
+    assert snapshot_as_of(t, time.time()) == 3
+    assert read_snapshot(spark, t, as_of=t1).count() == 10
+    assert read_snapshot(spark, t, as_of=t2).count() == 30
+    # before the first commit → explicit error, never "latest"
+    with pytest.raises(ValueError, match="no snapshot"):
+        snapshot_as_of(t, t1 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, t, snapshot_id=1, as_of=t1)
+    # branch ancestry: a branch frozen at snapshot 2 never resolves
+    # past its own head even for a NOW timestamp
+    create_branch(t, "b2", at=2)
+    assert snapshot_as_of(t, time.time(), ref="b2") == 2
+    # committed_at surfaces in the snapshots inspection table
+    from kblock_spark.io.tableformat import inspect_snapshots
+
+    rows = {r["snapshot_id"]: r for r in inspect_snapshots(spark, t).collect()}
+    assert rows[1]["committed_at"] <= t1 and rows[2]["committed_at"] <= t2
+    assert rows[1]["committed_at"] < rows[3]["committed_at"]
