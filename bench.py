@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "g01_pagerank",
     "d30_training_pipeline",
     "tbl_bucket_scan",
+    "e13_centroid_classify",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -3054,6 +3054,84 @@ FROM cent GROUP BY label
 """
 
 
+# e13 — nearest-centroid classification (the Rocchio classifier /
+# kmeans assignment step): each vector is assigned to the closest
+# label centroid and the confusion matrix against the true labels is
+# the output — the quality-eval loop of an embedding space. Exactness
+# recipe: centroids are INTEGER-quantized per dimension
+# (sum DIV count — Spark DIV truncates toward zero, so the DuckDB
+# side spells the sign-symmetric CASE because // floors and the
+# per-dimension sums CAN be negative), distances are integer L2, and
+# ties break on the smaller label. The scan is vectors × centroids —
+# a broadcast of the label-cardinality centroid table, the same
+# bounded dense pattern as e01 (in _CARTESIAN_OK).
+
+def e13_centroid_classify(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quantized().alias("q")
+    )
+    dims = e.select("label", F.posexplode("q").alias("dim", "val"))
+    cent = dims.groupBy("label", "dim").agg(
+        F.expr("CAST(sum(val) DIV count(1) AS BIGINT)").alias("c")
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(dc, x -> x.c)").alias("cv"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", "c_label", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy(
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("c_label").cast("bigint").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+E13_SQL = f"""
+WITH q AS (SELECT vec_id, label, {_QUANT_SQL.format(c='embedding')} AS v FROM embeddings),
+dims AS (
+  SELECT vec_id, label, i - 1 AS dim, v[i] AS val
+  FROM q, UNNEST(range(1, len(v)+1)) AS t(i)),
+cent AS (
+  -- truncate-toward-zero integer division == Spark's DIV for BOTH
+  -- signs: (s - s % n) / n with C-style % (sign of dividend). This
+  -- build's // on DOUBLE operands is NOT a floor (true division +
+  -- round-on-cast — measured 900//46 -> 20), so // is unusable here.
+  SELECT label AS c_label, dim,
+         ((SUM(val)::BIGINT - (SUM(val)::BIGINT % COUNT(*)))
+          / COUNT(*))::BIGINT AS c
+  FROM dims GROUP BY 1, 2),
+d AS (
+  SELECT dm.vec_id, dm.label, c.c_label,
+         SUM((dm.val - c.c) * (dm.val - c.c))::BIGINT AS dist
+  FROM dims dm JOIN cent c ON dm.dim = c.dim
+  GROUP BY 1, 2, 3),
+a AS (
+  SELECT vec_id, label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, c_label ASC) AS rn
+  FROM d)
+SELECT label::BIGINT AS true_label, c_label::BIGINT AS assigned_label,
+       COUNT(*)::BIGINT AS n_vecs
+FROM a WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 # ============================================== geospatial (rows-only)
 # The geometry pipeline has no SQL equivalent; the driver records the
 # weaker rows-only check and pytest carries the golden invariants.
@@ -6701,6 +6779,7 @@ REGISTRY: dict = {
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "d30_training_pipeline": (d30_training_pipeline, D30_SQL),
     "tbl_bucket_scan": (tbl_bucket_scan, TBL_BUCKET_SQL),
+    "e13_centroid_classify": (e13_centroid_classify, E13_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),

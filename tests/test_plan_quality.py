@@ -100,6 +100,9 @@ _CARTESIAN_OK = {
     "geo_combine_full",
     "geo_zonal_oracle",
     "d15_stratified_rebalance",
+    # vectors x label-centroids broadcast scan — bounded by label
+    # cardinality, the e01 dense pattern
+    "e13_centroid_classify",
 }
     # queries that trigger driver-side work/iterations when the plan is
     # built — cheap but not needed for this static audit
