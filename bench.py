@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "d30_training_pipeline",
     "tbl_bucket_scan",
     "e13_centroid_classify",
+    "g02_triangle_count",
 ]
 
 GEO_NX = GEO_NY = 8

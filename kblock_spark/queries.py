@@ -3027,6 +3027,85 @@ r{k} AS (
 G01_SQL = _pr_sql()
 
 
+# g02 — triangle counting (clustering-coefficient numerator), the
+# second classic graph kernel: per-node triangle participation over
+# an undirected simple graph. The graph is a ring with chords
+# (i → i+1, i+2, 7i+1 mod N — the g01 functional graph is provably
+# triangle-free, probed before writing the oracle), derived from
+# doc_id arithmetic so the oracle regenerates it relationally.
+#
+# Scale shape: the standard oriented-edge-join algorithm — edges
+# canonicalized u < v (each triangle counted exactly once as
+# a < b < c), wedge join (e1.v = e2.u) then closure check against a
+# third edge scan. Both joins are hash equi-joins on ids; no
+# broadcast (both sides are edge-scale), no nested loop. Orientation
+# bounds wedge fan-out by out-degree of the SMALLER endpoint — with
+# degree-skewed real graphs the classic improvement is orienting by
+# degree, noted in the docstring as the 100 TB variant.
+
+def g02_triangle_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("id"))
+    e0 = nodes.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.array(
+                F.expr(f"(id+1) % {n}"),
+                F.expr(f"(id+2) % {n}"),
+                F.expr(f"(7*id+1) % {n}"),
+            )
+        ).alias("dst"),
+    )
+    ed = (
+        e0.where("src <> dst")
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wedge = ed.select(F.col("u").alias("a"), F.col("v").alias("b")).join(
+        ed.select(F.col("u").alias("b"), F.col("v").alias("c")), "b"
+    )
+    tri = wedge.join(
+        ed.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    per_node = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node.select(F.col("id").alias("doc_id"), "n_triangles")
+
+
+G02_SQL = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id+1) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id+2) % n.n FROM documents, n
+  UNION ALL
+  SELECT doc_id, (7*doc_id+1) % n.n FROM documents, n),
+ed AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e0 WHERE src <> dst),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ed e1
+  JOIN ed e2 ON e2.u = e1.v
+  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+x AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT id AS doc_id, COUNT(*)::BIGINT AS n_triangles
+FROM x GROUP BY 1
+"""
+
+
 def e03_label_centroid(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", _quantized().alias("q"))
     # exact integer per-dimension sums per label, and count
@@ -6780,6 +6859,7 @@ REGISTRY: dict = {
     "d30_training_pipeline": (d30_training_pipeline, D30_SQL),
     "tbl_bucket_scan": (tbl_bucket_scan, TBL_BUCKET_SQL),
     "e13_centroid_classify": (e13_centroid_classify, E13_SQL),
+    "g02_triangle_count": (g02_triangle_count, G02_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
