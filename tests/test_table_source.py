@@ -55,3 +55,40 @@ def test_stream_rejects_rewritten_history(spark, tmp_path):
     compact_data_files(spark, t, target_files=1)  # replace snapshot
     with pytest.raises(Exception, match="rewritten|replace"):
         _drain(spark, t, out, ck)
+
+
+def test_stream_from_snapshot_option(spark, tmp_path):
+    """from_snapshot=N starts the cursor past history — the backfill
+    vs tail control (Kafka's startingOffsets analogue): a consumer
+    attaching to a long-lived table skips the bulk-loaded past and
+    streams only commits AFTER the named snapshot."""
+    register_table_source(spark)
+    t, out, ck = (str(tmp_path / p) for p in ("tbl", "out", "ck"))
+    append_snapshot(_df(spark, 0, 100), t)      # sid 1: history
+    s2 = append_snapshot(_df(spark, 100, 130), t)  # sid 2: history
+    append_snapshot(_df(spark, 500, 520), t)    # sid 3: the tail
+    q = (
+        spark.readStream.format("kblock_table")
+        .option("path", t).option("from_snapshot", s2).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 20            # only sid 3's rows
+    assert got.agg(F.min("doc_id")).first()[0] == 500
+    # the option only seeds a FRESH cursor: after the checkpoint
+    # exists, new commits stream normally from the stored offset
+    append_snapshot(_df(spark, 900, 910), t)
+    q2 = (
+        spark.readStream.format("kblock_table")
+        .option("path", t).option("from_snapshot", s2).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 30
+    assert got2.where("doc_id >= 900").count() == 10
