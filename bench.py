@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "tbl_bucket_scan",
     "e13_centroid_classify",
     "g02_triangle_count",
+    "d31_incremental_dedup",
 ]
 
 GEO_NX = GEO_NY = 8

@@ -3027,6 +3027,86 @@ r{k} AS (
 G01_SQL = _pr_sql()
 
 
+# d31 — INCREMENTAL cross-corpus dedup: the production shape for
+# adding a new crawl to a 100 TB corpus — the new dump is deduped
+# against the EXISTING corpus' fingerprint index, never by
+# re-clustering history. Two stages, the same ladder as d22/d25 but
+# cross-set: (1) leading-prefix fingerprint match (md5 of the first
+# 8 tokens — the title/lead-paragraph dedup heuristic; full-text md5
+# finds zero cross-set dups in this corpus, probed), (2) banded
+# MinHash-LSH membership against the history side's band table
+# (d07's bands, computed ONCE over the union and filtered — at real
+# scale the history bands are a persisted index and both stages are
+# shuffle semi-joins against it, not broadcasts). Per-document
+# status (exact | near | kept) with exact taking precedence.
+
+_D31_PREFIX = 8
+
+
+def d31_incremental_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sh = _shingle_hashes(d)
+    mins = [
+        F.min(
+            F.pmod(F.lit(_MH_A[b]) * F.col("h") + F.lit(_MH_B[b]), F.lit(_MH_P))
+        ).alias(f"m{b}")
+        for b in range(_N_BANDS)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*mins).localCheckpoint(eager=False)
+    stack_expr = ", ".join(f"{b}, m{b}" for b in range(_N_BANDS))
+    bands = per_doc.selectExpr(
+        "doc_id", f"stack({_N_BANDS}, {stack_expr}) as (band, minhash)"
+    )
+    hb = bands.where("doc_id % 2 = 0").select("band", "minhash").distinct()
+    near = (
+        bands.where("doc_id % 2 = 1")
+        .join(hb, ["band", "minhash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    pfx = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, _D31_PREFIX)))
+    hfp = d.where("doc_id % 2 = 0").select(pfx.alias("fp")).distinct()
+    crawl = d.where("doc_id % 2 = 1").select("doc_id", "lang", pfx.alias("fp"))
+    exact = crawl.join(hfp, "fp", "left_semi").select("doc_id")
+    return (
+        crawl.select("doc_id", "lang")
+        .join(exact.withColumn("__e", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("__e") == 1, "exact")
+            .when(F.col("__n") == 1, "near")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+D31_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+per_doc AS (SELECT doc_id, {_D07_MINS} FROM sh GROUP BY doc_id),
+mh AS ({_D07_BANDS}),
+hb AS (SELECT DISTINCT band, minhash FROM mh WHERE doc_id % 2 = 0),
+near AS (SELECT DISTINCT m.doc_id FROM mh m SEMI JOIN hb USING (band, minhash)
+         WHERE m.doc_id % 2 = 1),
+fpd AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(string_split(text, ' ')[1:{_D31_PREFIX}], ' ')) AS fp
+  FROM documents),
+hfp AS (SELECT DISTINCT fp FROM fpd WHERE doc_id % 2 = 0),
+crawl AS (SELECT doc_id, lang, fp FROM fpd WHERE doc_id % 2 = 1),
+ex AS (SELECT doc_id FROM crawl SEMI JOIN hfp USING (fp))
+SELECT c.doc_id, c.lang,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'kept' END AS status
+FROM crawl c
+LEFT JOIN ex e ON c.doc_id = e.doc_id
+LEFT JOIN near n ON c.doc_id = n.doc_id
+"""
+
+
 # g02 — triangle counting (clustering-coefficient numerator), the
 # second classic graph kernel: per-node triangle participation over
 # an undirected simple graph. The graph is a ring with chords
@@ -6860,6 +6940,7 @@ REGISTRY: dict = {
     "tbl_bucket_scan": (tbl_bucket_scan, TBL_BUCKET_SQL),
     "e13_centroid_classify": (e13_centroid_classify, E13_SQL),
     "g02_triangle_count": (g02_triangle_count, G02_SQL),
+    "d31_incremental_dedup": (d31_incremental_dedup, D31_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
