@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "e13_centroid_classify",
     "g02_triangle_count",
     "d31_incremental_dedup",
+    "d32_contamination_spans",
 ]
 
 GEO_NX = GEO_NY = 8

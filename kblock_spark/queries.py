@@ -3027,6 +3027,68 @@ r{k} AS (
 G01_SQL = _pr_sql()
 
 
+# d32 — span-level contamination LOCALIZATION: d16 says how MUCH of
+# a document overlaps the benchmark set; d32 says WHERE — contiguous
+# runs of matched shingle positions (the span report an eval-
+# decontamination writeup needs: how many distinct contaminated
+# passages, how long the longest is, where the first one starts).
+# Positional shingles (posexplode — positions, not distinct hashes)
+# semi-join the broadcast benchmark shingle set; runs are classic
+# gaps-and-islands: grp = pos - row_number() over (doc ORDER BY pos)
+# is constant exactly on consecutive-position runs. Every window is
+# partitioned BY DOCUMENT (bounded by doc length — no global sort at
+# any corpus size).
+
+def d32_contamination_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pos_sh = d.select(
+        "doc_id",
+        F.posexplode(_trigram_shingles(F.split("text", " "))).alias(
+            "pos", "shingle"
+        ),
+    ).select("doc_id", "pos", _h12("shingle").alias("h"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = pos_sh.where(is_bench).select("h").distinct()
+    hits = pos_sh.where(~is_bench).join(F.broadcast(bench), "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = g.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("ln"), F.min("pos").alias("st")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("ln").cast("bigint").alias("n_matched_shingles"),
+        F.max("ln").cast("bigint").alias("max_span_len"),
+        F.min("st").cast("bigint").alias("first_span_start"),
+    )
+
+
+D32_SQL = f"""
+WITH psh AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_H12_SQL.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+  FROM (SELECT doc_id, string_split(text,' ') w FROM documents),
+       UNNEST(range(1, greatest(len(w)-1, 1))) AS t(i)),
+bench AS (SELECT DISTINCT h FROM psh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, pos FROM psh
+  WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM bench)),
+g AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits),
+spans AS (
+  SELECT doc_id, grp, COUNT(*) AS ln, MIN(pos) AS st
+  FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_spans,
+       SUM(ln)::BIGINT AS n_matched_shingles,
+       MAX(ln)::BIGINT AS max_span_len,
+       MIN(st)::BIGINT AS first_span_start
+FROM spans GROUP BY 1
+"""
+
+
 # d31 — INCREMENTAL cross-corpus dedup: the production shape for
 # adding a new crawl to a 100 TB corpus — the new dump is deduped
 # against the EXISTING corpus' fingerprint index, never by
@@ -6941,6 +7003,7 @@ REGISTRY: dict = {
     "e13_centroid_classify": (e13_centroid_classify, E13_SQL),
     "g02_triangle_count": (g02_triangle_count, G02_SQL),
     "d31_incremental_dedup": (d31_incremental_dedup, D31_SQL),
+    "d32_contamination_spans": (d32_contamination_spans, D32_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
