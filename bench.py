@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "g02_triangle_count",
     "d31_incremental_dedup",
     "d32_contamination_spans",
+    "s15_stream_upsert_branch",
 ]
 
 GEO_NX = GEO_NY = 8

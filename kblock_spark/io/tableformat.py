@@ -994,7 +994,10 @@ def streaming_table_sink(path: str, stat_cols: list[str] | None = None):
 
 
 def streaming_upsert_sink(
-    path: str, key_col: str, stat_cols: list[str] | None = None
+    path: str,
+    key_col: str,
+    stat_cols: list[str] | None = None,
+    ref: str = "main",
 ):
     """foreachBatch sink UPSERTING each micro-batch by key — the CDC
     table-maintenance pattern (Iceberg's streaming MERGE): every
@@ -1005,22 +1008,29 @@ def streaming_upsert_sink(
     time-travelable. Exactly-once like :func:`streaming_table_sink`:
     the batch id rides in the merge manifest and replayed batches
     no-op. Batches must not carry duplicate keys (reduce upstream —
-    e.g. max_by(seq) per key inside the batch)."""
+    e.g. max_by(seq) per key inside the batch).
+
+    ``ref`` targets a WAP branch (Iceberg's spark.wap.branch for
+    streams): the stream maintains the branch while main's readers
+    see nothing until :func:`publish_branch` — batch-id replay
+    bookkeeping is scoped to the branch's own chain."""
 
     def sink(batch_df: DataFrame, batch_id: int):
-        last = last_committed_batch(path)
+        head = ref_head(path, ref)
+        last = _last_batch_in_chain(path, head)
         if last is not None and batch_id <= last:
             return
         if batch_df.isEmpty():
             return  # a replayed empty batch upserts nothing anyway
-        if current_snapshot_id(path) is None:
+        if head is None:
             append_snapshot(
-                batch_df, path, stat_cols=stat_cols, batch_id=batch_id
+                batch_df, path, stat_cols=stat_cols, batch_id=batch_id,
+                ref=ref,
             )
         else:
             merge_into_mor(
                 batch_df.sparkSession, path, batch_df, key_col,
-                batch_id=batch_id,
+                batch_id=batch_id, ref=ref,
             )
 
     return sink

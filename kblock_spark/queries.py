@@ -4807,6 +4807,106 @@ FROM documents
 """
 
 
+# s15 — WAP FOR STREAMS: s10's streaming MOR upsert maintained on an
+# AUDIT BRANCH (streaming_upsert_sink(ref=...) — Iceberg's
+# spark.wap.branch applied to a continuous writer). The stream folds
+# two crawls into the branch while main still serves the pre-stream
+# state — the 'pre' half of the result is main read AFTER the stream
+# finished but BEFORE publish, so the isolation claim is in the
+# hashed output, not a side assertion — then one fast-forward
+# publish makes the fully-audited upsert state visible atomically.
+# Batch-id replay bookkeeping is scoped to the branch's own chain.
+
+def s15_stream_upsert_branch(spark, sf_dir):
+    import os
+    import shutil
+    import time as _time
+
+    from .io.tableformat import (
+        append_snapshot,
+        create_branch,
+        publish_branch,
+        read_snapshot,
+        streaming_upsert_sink,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _scratch("kblock_s15_")
+    src, tbl, ck = f"{base}/src", f"{base}/tbl", f"{base}/ck"
+    os.makedirs(src, exist_ok=True)
+    append_snapshot(
+        d.withColumn("crawl", F.lit(0)), tbl, stat_cols=["doc_id"]
+    )
+    create_branch(tbl, "audit")
+    crawls = [
+        d.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.lit("c1").alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+            F.lit(1).alias("crawl"),
+        ),
+        d.where(F.col("doc_id") % 4 == 0).select(
+            "doc_id", F.lit("c2").alias("lang"),
+            (F.col("n_chars") + 2000).alias("n_chars"),
+            F.lit(2).alias("crawl"),
+        ),
+    ]
+    now = _time.time()
+    for i, c in enumerate(crawls):
+        tmp = f"{base}/c{i}"
+        c.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
+        )
+        dst = f"{src}/crawl{i}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (now - 20 + i * 10, now - 20 + i * 10))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, lang string, n_chars long, crawl int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                streaming_upsert_sink(
+                    tbl, "doc_id", stat_cols=["doc_id"], ref="audit"
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cols = ["doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")]
+    pre = read_snapshot(spark, tbl).select(*cols)
+    pre_rows = pre.withColumn("stage", F.lit("pre"))
+    publish_branch(tbl, "audit")
+    post_rows = read_snapshot(spark, tbl).select(*cols).withColumn(
+        "stage", F.lit("post")
+    )
+    return pre_rows.unionByName(post_rows).select(
+        "stage", "doc_id", "lang", "n_chars"
+    )
+
+
+S15_SQL = """
+SELECT 'pre' AS stage, doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+UNION ALL
+SELECT 'post' AS stage, doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'c2'
+            WHEN doc_id % 2 = 0 THEN 'c1'
+            ELSE lang END AS lang,
+       (CASE WHEN doc_id % 4 = 0 THEN n_chars + 2000
+             WHEN doc_id % 2 = 0 THEN n_chars + 1000
+             ELSE n_chars END)::BIGINT AS n_chars
+FROM documents
+"""
+
+
 def s11_stream_table_source(spark, sf_dir):
     """The snapshot table as a STREAMING SOURCE (Spark 4 Python
     DataSource API, io/table_source.py — the Iceberg streaming-read
@@ -7004,6 +7104,7 @@ REGISTRY: dict = {
     "g02_triangle_count": (g02_triangle_count, G02_SQL),
     "d31_incremental_dedup": (d31_incremental_dedup, D31_SQL),
     "d32_contamination_spans": (d32_contamination_spans, D32_SQL),
+    "s15_stream_upsert_branch": (s15_stream_upsert_branch, S15_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
