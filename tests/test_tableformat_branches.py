@@ -226,3 +226,40 @@ def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path):
     expire_snapshots(t, keep_last=1)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, t, ref="v1")
+
+
+def test_streaming_branch_sink_and_publish_semantics(spark, tmp_path):
+    """streaming_upsert_sink(ref=...): batches maintain the branch
+    (main untouched); replayed batch ids no-op against the BRANCH
+    chain; publish with a diverged main refuses (the branch segment
+    holds merge-mor commits, which cherry-pick cannot re-base)."""
+    from kblock_spark.io.tableformat import streaming_upsert_sink
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(_df(spark, 0, 40).coalesce(1), t)
+    create_branch(t, "audit")
+    sink = streaming_upsert_sink(t, "doc_id", ref="audit")
+    upd = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit(999).cast("long").alias("v")
+    )
+    sink(upd, 0)
+    # replay of batch 0 no-ops (branch-scoped bookkeeping)
+    h = ref_head(t, "audit")
+    sink(upd, 0)
+    assert ref_head(t, "audit") == h
+    # main untouched; branch holds the upsert
+    assert read_snapshot(spark, t).where("v = 999").count() == 0
+    assert read_snapshot(spark, t, ref="audit").where("v = 999").count() == 10
+    # a NEW batch advances the branch
+    sink(spark.range(100, 105).select(
+        F.col("id").alias("doc_id"), F.lit(7).cast("long").alias("v")), 1)
+    assert read_snapshot(spark, t, ref="audit").count() == 45
+    # main advances during the audit: strict publish refuses, and so
+    # does cherry-pick — the branch segment holds merge-mor commits
+    append_snapshot(_df(spark, 200, 210).coalesce(1), t)
+    with pytest.raises(CommitConflict):
+        publish_branch(t, "audit", cherry_pick=False)
+    with pytest.raises(CommitConflict):
+        publish_branch(t, "audit")
+    # main's own writes are intact either way
+    assert read_snapshot(spark, t).count() == 50
