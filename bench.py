@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "d31_incremental_dedup",
     "d32_contamination_spans",
     "s15_stream_upsert_branch",
+    "q35_cube_status_priority",
+    "d33_cms_sketch",
 ]
 
 GEO_NX = GEO_NY = 8

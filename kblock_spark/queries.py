@@ -749,6 +749,36 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+# q35 — CUBE: the full grouping lattice (all 2^k grouping sets at
+# once — the OLAP dashboard query ROLLUP's prefix lattice can't
+# serve). Spark computes it as ONE expand + hash aggregate; gid
+# disambiguates which dimensions each row aggregates over.
+
+def q35_cube_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+    )
+
+
+Q35_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+       COUNT(*) AS n_orders,
+       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # q27 — as-of join (ops/asof.py): each event picks the user's most
 # recent order at or before the event time — the point-in-time lookup
 # of every event/training pipeline, formulated as ONE shuffle + sort
@@ -3025,6 +3055,77 @@ r{k} AS (
 
 
 G01_SQL = _pr_sql()
+
+
+# d33 — count-min sketch: the point-frequency estimator that
+# complements d19/s08's HLL (cardinality) and d23's exact heavy
+# hitters — at 100 TB the sketch is D×W counters built by one
+# map-side-combined aggregate (every mapper collapses its tokens to
+# ≤ D·W cells before the shuffle), mergeable across corpora by
+# elementwise +. The estimate for a token is MIN over the D rows of
+# its counter cells; determinism comes from the repo's md5-prefix
+# hash family (seeded by cell row index), so the ESTIMATES — not
+# just the ≥-true property — hash-match DuckDB exactly. Output per
+# token: true count, CMS estimate, overcount (always ≥ 0; the CMS
+# one-sided error, asserted by the oracle equality). Width 32 is
+# deliberately TIGHT for the ~31-token unigram vocabulary so cells
+# genuinely collide (7 tokens overcounted at sf0.01 — probed; at
+# width 256 every overcount was 0 and the MIN was vacuous).
+
+_CMS_D, _CMS_W = 4, 32
+
+
+def d33_cms_sketch(spark, sf_dir):
+    from .ops.sketch import _hash48
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    rows = toks.select(
+        "tok",
+        F.explode(F.array([F.lit(j) for j in range(_CMS_D)])).alias("j"),
+    )
+    cell = F.pmod(
+        _hash48(F.concat(F.col("tok"), F.lit("#"), F.col("j").cast("string"))),
+        F.lit(_CMS_W),
+    )
+    cells = rows.select("tok", "j", cell.alias("cell")).localCheckpoint(
+        eager=False
+    )
+    cms = cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = cells.select("tok", "j", "cell").distinct()
+    est = (
+        probes.join(F.broadcast(cms), ["j", "cell"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return truth.join(est, "tok").select(
+        "tok",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        F.col("cms_n").cast("bigint").alias("cms_n"),
+        (F.col("cms_n") - F.col("true_n")).cast("bigint").alias("overcount"),
+    )
+
+
+D33_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+r AS (SELECT tok, j FROM toks, unnest(range(0, {_CMS_D})) AS t(j)),
+cells AS (
+  SELECT tok, j,
+         ('0x' || substr(md5(tok || '#' || j::VARCHAR), 1, 12))::BIGINT
+           % {_CMS_W} AS cell
+  FROM r),
+cms AS (SELECT j, cell, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+truth AS (SELECT tok, COUNT(*) AS true_n FROM toks GROUP BY 1),
+probes AS (SELECT DISTINCT tok, j, cell FROM cells),
+est AS (
+  SELECT p.tok, MIN(c) AS cms_n
+  FROM probes p JOIN cms USING (j, cell) GROUP BY 1)
+SELECT t.tok, true_n::BIGINT AS true_n, cms_n::BIGINT AS cms_n,
+       (cms_n - true_n)::BIGINT AS overcount
+FROM truth t JOIN est USING (tok)
+"""
 
 
 # d32 — span-level contamination LOCALIZATION: d16 says how MUCH of
@@ -7105,6 +7206,8 @@ REGISTRY: dict = {
     "d31_incremental_dedup": (d31_incremental_dedup, D31_SQL),
     "d32_contamination_spans": (d32_contamination_spans, D32_SQL),
     "s15_stream_upsert_branch": (s15_stream_upsert_branch, S15_SQL),
+    "q35_cube_status_priority": (q35_cube_status_priority, Q35_SQL),
+    "d33_cms_sketch": (d33_cms_sketch, D33_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),
