@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "s15_stream_upsert_branch",
     "q35_cube_status_priority",
     "d33_cms_sketch",
+    "e14_mmr_rerank",
 ]
 
 GEO_NX = GEO_NY = 8

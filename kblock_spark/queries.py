@@ -2832,6 +2832,157 @@ WHERE rank <= {_SR_K}
 """
 
 
+# e14 — MMR diversified re-ranking (maximal marginal relevance): the
+# RAG/retrieval post-processor that trades relevance against
+# redundancy — greedily pick the candidate maximizing
+# 70·rel − 30·max_sim-to-already-picked. Inherently sequential in k,
+# so both engines run the SAME five unrolled stages: Spark as five
+# DataFrame iterations (pure Catalyst — the per-query pool is tiny,
+# every stage is an equi-join + window argmax with the shared
+# (score DESC, id ASC) tie-break), DuckDB as five generated CTE
+# stages. All quantities integer (quantized dots), so the greedy
+# trajectory is bit-identical — a sequential algorithm under a value
+# hash. Scale shape: the pool build is e11's bounded top-P; pairwise
+# sims are P² rows per query; the five stages touch only pool-sized
+# tables.
+
+_MMR_P = 12  # rerank pool per query
+_MMR_K = 5
+_MMR_LAM = 70  # relevance weight (of 100)
+
+
+def e14_mmr_rerank(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized().alias("q")
+    )
+    qs = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    cands = qs.join(
+        e.select(F.col("vec_id").alias("cand"), F.col("q").alias("cv")),
+        F.col("query_id") != F.col("cand"),
+    ).select(
+        "query_id", "cand", "cv", _dot(F.col("qv"), F.col("cv")).alias("rel")
+    )
+    wpool = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("cand")
+    )
+    pool = (
+        cands.withColumn("rn", F.row_number().over(wpool))
+        .where(F.col("rn") <= _MMR_P)
+        .select("query_id", "cand", "cv", "rel")
+        .localCheckpoint(eager=False)
+    )
+    a = pool.select("query_id", F.col("cand").alias("a"), F.col("cv").alias("va"))
+    b = pool.select("query_id", F.col("cand").alias("b"), F.col("cv").alias("vb"))
+    sims = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b", _dot(F.col("va"), F.col("vb")).alias("sim")
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        pool.withColumn("rn", F.row_number().over(wpool))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("cand").alias("sel_id"), F.lit(1).alias("pick"))
+    )
+    for i in range(2, _MMR_K + 1):
+        remaining = pool.join(
+            sel.select("query_id", F.col("sel_id").alias("cand")),
+            ["query_id", "cand"],
+            "left_anti",
+        )
+        maxsim = (
+            sims.join(
+                sel.select("query_id", F.col("sel_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("cand"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        scored = remaining.join(maxsim, ["query_id", "cand"]).select(
+            "query_id",
+            "cand",
+            (
+                F.lit(_MMR_LAM) * F.col("rel")
+                - F.lit(100 - _MMR_LAM) * F.col("ms")
+            ).alias("score"),
+        )
+        wsel = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("cand")
+        )
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(wsel))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id", F.col("cand").alias("sel_id"), F.lit(i).alias("pick")
+            )
+        )
+        sel = sel.unionByName(nxt).localCheckpoint(eager=False)
+    return sel.select(
+        "query_id",
+        F.col("sel_id").alias("vec_id"),
+        F.col("pick").cast("bigint").alias("pick"),
+    )
+
+
+def _mmr_sql() -> str:
+    s = f"""
+WITH q AS (SELECT vec_id, {_QUANT_SQL.format(c='embedding')} AS v FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand,
+         list_dot_product(a.v, b.v)::BIGINT AS rel
+  FROM q a JOIN q b ON a.vec_id < {_N_QUERIES} AND a.vec_id != b.vec_id),
+pool AS (
+  SELECT query_id, cand, rel FROM (
+    SELECT query_id, cand, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand ASC) AS rn
+    FROM cand) WHERE rn <= {_MMR_P}),
+sims AS (
+  SELECT p1.query_id, p1.cand AS a, p2.cand AS b,
+         list_dot_product(v1.v, v2.v)::BIGINT AS sim
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id AND p1.cand != p2.cand
+  JOIN q v1 ON v1.vec_id = p1.cand
+  JOIN q v2 ON v2.vec_id = p2.cand),
+sel1 AS (
+  SELECT query_id, cand AS sel_id, 1 AS pick FROM (
+    SELECT query_id, cand,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand ASC) AS rn
+    FROM pool) WHERE rn = 1)"""
+    prev_all = "sel1"
+    for i in range(2, _MMR_K + 1):
+        s += f""",
+ms{i} AS (
+  SELECT s.query_id, s.a AS cand, MAX(s.sim) AS ms
+  FROM sims s JOIN {prev_all} t
+    ON t.query_id = s.query_id AND t.sel_id = s.b
+  WHERE s.a NOT IN (SELECT sel_id FROM {prev_all} u
+                    WHERE u.query_id = s.query_id)
+  GROUP BY 1, 2),
+pick{i} AS (
+  SELECT query_id, cand AS sel_id, {i} AS pick FROM (
+    SELECT m.query_id, m.cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.query_id
+             ORDER BY ({_MMR_LAM} * p.rel - {100 - _MMR_LAM} * m.ms) DESC,
+                      m.cand ASC) AS rn
+    FROM ms{i} m JOIN pool p
+      ON p.query_id = m.query_id AND p.cand = m.cand)
+  WHERE rn = 1),
+sel{i} AS (SELECT * FROM {prev_all} UNION ALL SELECT * FROM pick{i})"""
+        prev_all = f"sel{i}"
+    return s + f"""
+SELECT query_id, sel_id AS vec_id, pick::BIGINT AS pick FROM {prev_all}"""
+
+
+E14_SQL = _mmr_sql()
+
+
 # g01 — PageRank, integer-exact: the canonical iterative graph
 # algorithm (the web-link authority score web-corpus pipelines use
 # for crawl prioritization and quality weighting), hard-oracled —
@@ -7208,6 +7359,7 @@ REGISTRY: dict = {
     "s15_stream_upsert_branch": (s15_stream_upsert_branch, S15_SQL),
     "q35_cube_status_priority": (q35_cube_status_priority, Q35_SQL),
     "d33_cms_sketch": (d33_cms_sketch, D33_SQL),
+    "e14_mmr_rerank": (e14_mmr_rerank, E14_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_trailing_week_spend": (q31_trailing_week_spend, Q31_SQL),
     "e06_embedding_dup_clusters": (e06_embedding_dup_clusters, E06_SQL),

@@ -103,6 +103,8 @@ _CARTESIAN_OK = {
     # vectors x label-centroids broadcast scan — bounded by label
     # cardinality, the e01 dense pattern
     "e13_centroid_classify",
+    # e01-style bounded dense pool build (queries x corpus)
+    "e14_mmr_rerank",
 }
     # queries that trigger driver-side work/iterations when the plan is
     # built — cheap but not needed for this static audit
