@@ -30,28 +30,29 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # lazy: the first round's own actions materialize both (reused
+    sym = sym.distinct()
+    # self-loops fold the vertex's OWN label into the neighbor-min
+    # aggregation, so each round is join+groupBy — the former
+    # labels⨝nbr left join (one exchange per round) is gone
+    verts = sym.select(F.col("u").alias("id")).distinct()
+    # lazy: the first round's own action materializes both (reused
     # from the checkpoint thereafter) — eager would spend two extra
     # jobs before any propagation work
-    sym = sym.distinct().localCheckpoint(eager=False)
-    labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=False)
+    sym = sym.unionByName(
+        verts.select(F.col("id").alias("u"), F.col("id").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = verts.withColumn("component", F.col("id")).localCheckpoint(
+        eager=False
     )
+    prev_sum = None
     for _ in range(max_iter):
-        # (1) min neighbor label per vertex (hash-to-min)
-        nbr = (
+        # (1) min label over N(u) ∪ {u} (hash-to-min; the self-loop
+        # carries u's current label, so no separate keep-own-label join)
+        stepped = (
             sym.join(labels, sym.v == labels.id)
             .groupBy("u")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        stepped = labels.join(nbr, labels.id == nbr.u, "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("component"),
+            .agg(F.min("component").alias("component"))
+            .withColumnRenamed("u", "id")
         )
         # (2) pointer jumping: component ← component's component —
         # plain hash-to-min needs O(diameter) rounds (a 30-vertex
@@ -60,9 +61,9 @@ def connected_components(
         lut = stepped.select(
             F.col("id").alias("__lid"), F.col("component").alias("__lcomp")
         )
-        # lazy checkpoint: the convergence count below is the action
-        # that materializes it — one job per round instead of two
-        # (an eager checkpoint ran its own job before the count)
+        # lazy checkpoint: the convergence aggregate below is the
+        # action that materializes it — one job per round instead of
+        # two (an eager checkpoint ran its own job before the check)
         jumped = (
             stepped.join(lut, stepped.component == F.col("__lid"), "left")
             .select(
@@ -73,15 +74,18 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # labels are elementwise non-increasing round over round, so
+        # an unchanged SUM ⟺ no label changed — one tiny aggregate
+        # replaces the old per-round jumped⨝labels compare join.
+        # decimal(38,0) keeps the sum exact for 64-bit id spaces
+        # (a long sum would hit ANSI overflow at hash-id scale)
+        cur_sum = jumped.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = jumped
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

@@ -4756,7 +4756,11 @@ def s07_stream_stream_join(spark, sf_dir):
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
         "p_value_e6",
     )
-    with _stream_shuffle(spark):
+    # a stream-stream join holds 4 state stores PER partition and the
+    # join state here is a few hundred rows: 4 partitions halves the
+    # per-batch store-commit count vs 8 (measured 3.2→2.5 s; state
+    # sizing is per-stream, by keyed-state volume — see _stream_shuffle)
+    with _stream_shuffle(spark, 4):
         q = (
             joined.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(out))
@@ -5383,10 +5387,19 @@ def s13_stream_paced_drain(spark, sf_dir):
     batch_rows: list[int] = []
 
     def sink(bdf, bid):
-        rows = bdf.count()
+        # one action per batch: the row count rides the write job as
+        # an observed metric instead of a separate count() job (5
+        # paced batches × 1 saved job; empty batches write an empty
+        # part file, which adds no rows to the read-back)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"s13_rows_{bid}")
+        bdf.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).parquet(out)
+        rows = obs.get["n"]
         if rows:
             batch_rows.append(rows)
-            bdf.write.mode("append").parquet(out)
 
     with _stream_shuffle(spark):
         q = (
@@ -5520,7 +5533,10 @@ def s14_stream_outer_join(spark, sf_dir):
             F.col("c_ts").isNull().alias("unattributed"),
         )
     )
-    with _stream_shuffle(spark):
+    # 4 state partitions: same per-stream state sizing as s07 (outer
+    # join = 4 stores/partition over ~hundreds of keyed rows; measured
+    # 6.4→5.0 s vs 8 partitions across this query's 5 micro-batches)
+    with _stream_shuffle(spark, 4):
         q = (
             joined.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(out))
