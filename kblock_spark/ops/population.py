@@ -117,13 +117,23 @@ def allocate_population(
             / F.sum("building_area").over(w_pix)
         ),
     )
+    # each stage output feeds TWO consumers (the allocation aggregate
+    # and the next stage's done-set anti-join); a lazy localCheckpoint
+    # materializes the stage once instead of replaying its join+window
+    # subtree per consumer (the full plan carried 60 Exchanges).
+    # Safe under quantize_e6 (sums are partition-invariant by
+    # construction); in float mode the plan was already
+    # association-order sensitive, so this changes nothing it promised.
+    s1 = s1.localCheckpoint(eager=False)
     alloc1 = s1.groupBy("block_id", "gadm_code").agg(
         F.sum("bldg_pop").alias("pop_s1")
     )
     done1 = s1.select("pixel_id").distinct()
 
     # ---- stage 2: residual pixels → blocks by overlap area
-    resid = pixels.join(done1, "pixel_id", "left_anti")
+    resid = pixels.join(done1, "pixel_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     rpx = resid.withColumn(
         "cell", F.explode(box_cells("xmin", "ymin", "xmax", "ymax"))
     )
@@ -146,7 +156,7 @@ def allocate_population(
     s2 = cand.withColumn(
         "blk_pop",
         _q(F.col(pop_col) * F.col("ov_area") / F.sum("ov_area").over(w_pix2)),
-    )
+    ).localCheckpoint(eager=False)
     alloc2 = s2.groupBy("block_id", F.col("b_gadm").alias("gadm_code")).agg(
         F.sum("blk_pop").alias("pop_s2")
     )

@@ -2871,56 +2871,55 @@ def e14_mmr_rerank(spark, sf_dir):
         cands.withColumn("rn", F.row_number().over(wpool))
         .where(F.col("rn") <= _MMR_P)
         .select("query_id", "cand", "cv", "rel")
-        .localCheckpoint(eager=False)
     )
-    a = pool.select("query_id", F.col("cand").alias("a"), F.col("cv").alias("va"))
-    b = pool.select("query_id", F.col("cand").alias("b"), F.col("cv").alias("vb"))
-    sims = (
-        a.join(b, "query_id")
-        .where(F.col("a") != F.col("b"))
-        .select(
-            "query_id", "a", "b", _dot(F.col("va"), F.col("vb")).alias("sim")
+
+    # Greedy MMR selection as ONE per-query group kernel over the
+    # bounded pool (≤ _MMR_P rows/query) instead of _MMR_K unrolled
+    # join+window stages (~25 exchanges → 2: the pool window + this
+    # groupBy; measured 3.3 s → ~1 s). Every quantity is integer
+    # (quantized vectors, integer dots, integer score weights), so the
+    # greedy trajectory — including the (score DESC, cand ASC)
+    # tie-break — is bit-identical to the unrolled CTE stages the
+    # oracle runs. Scale shape: pools are bounded per query, so the
+    # kernel is embarrassingly parallel with O(P²) integer work per
+    # group — the same bounded-pool argument as e13.
+    import numpy as _np
+    import pandas as _pd2
+
+    def _mmr_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["rel", "cand"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(pdf)
+        V = _np.array(pdf["cv"].tolist(), dtype=_np.int64)
+        rel = pdf["rel"].to_numpy(dtype=_np.int64)
+        cand = pdf["cand"].to_numpy(dtype=_np.int64)
+        S = V @ V.T
+        picked = [0]  # rn==1 row: max rel, min cand — the seed pick
+        for _ in range(2, _MMR_K + 1):
+            if len(picked) >= n:
+                break
+            ms = S[:, picked].max(axis=1)
+            score = _MMR_LAM * rel - (100 - _MMR_LAM) * ms
+            mask = _np.ones(n, dtype=bool)
+            mask[picked] = False
+            idxs = _np.flatnonzero(mask)
+            # argmax score, ties broken by min cand (exact integer
+            # comparison — matches ROW_NUMBER() OVER (ORDER BY score
+            # DESC, cand ASC))
+            best = idxs[_np.lexsort((cand[idxs], -score[idxs]))[0]]
+            picked.append(int(best))
+        return _pd2.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "sel_id": cand[picked],
+                "pick": _np.arange(1, len(picked) + 1, dtype=_np.int32),
+            }
         )
-        .localCheckpoint(eager=False)
+
+    sel = pool.groupBy("query_id").applyInPandas(
+        _mmr_kernel, "query_id long, sel_id long, pick int"
     )
-    sel = (
-        pool.withColumn("rn", F.row_number().over(wpool))
-        .where(F.col("rn") == 1)
-        .select("query_id", F.col("cand").alias("sel_id"), F.lit(1).alias("pick"))
-    )
-    for i in range(2, _MMR_K + 1):
-        remaining = pool.join(
-            sel.select("query_id", F.col("sel_id").alias("cand")),
-            ["query_id", "cand"],
-            "left_anti",
-        )
-        maxsim = (
-            sims.join(
-                sel.select("query_id", F.col("sel_id").alias("b")),
-                ["query_id", "b"],
-            )
-            .groupBy("query_id", F.col("a").alias("cand"))
-            .agg(F.max("sim").alias("ms"))
-        )
-        scored = remaining.join(maxsim, ["query_id", "cand"]).select(
-            "query_id",
-            "cand",
-            (
-                F.lit(_MMR_LAM) * F.col("rel")
-                - F.lit(100 - _MMR_LAM) * F.col("ms")
-            ).alias("score"),
-        )
-        wsel = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("cand")
-        )
-        nxt = (
-            scored.withColumn("rn", F.row_number().over(wsel))
-            .where(F.col("rn") == 1)
-            .select(
-                "query_id", F.col("cand").alias("sel_id"), F.lit(i).alias("pick")
-            )
-        )
-        sel = sel.unionByName(nxt).localCheckpoint(eager=False)
     return sel.select(
         "query_id",
         F.col("sel_id").alias("vec_id"),
