@@ -465,6 +465,83 @@ def append_snapshot(
     raise AssertionError("unreachable")
 
 
+def append_snapshots_split(
+    df: DataFrame,
+    path: str,
+    split_col: str,
+    values: list,
+    stat_cols: list[str] | None = None,
+    commit_retries: int = 3,
+    ref: str = "main",
+) -> list[int]:
+    """Stage MANY append snapshots with ONE Spark write job, then
+    commit them in ``values`` order — the N-commit backlog builder.
+
+    ``df`` is written once, hive-partitioned by ``split_col``; each
+    value's rows become that value's own append snapshot, committed in
+    the given order exactly as N :func:`append_snapshot` calls would
+    (same manifests, same chain) but without N separate write jobs.
+    Repartition to 1 upstream if each snapshot must be a single file.
+    Spec-less tables only (the staging layout realizes the split, not
+    a table partition spec). Returns the new snapshot ids in order."""
+    head = ref_head(path, ref)
+    if head is not None:
+        hm = read_manifest(path, head)
+        if hm.get("spec"):
+            raise ValueError(
+                "append_snapshots_split requires a spec-less table"
+            )
+        if stat_cols is None:
+            stat_cols = hm.get("stat_cols")
+    stat_cols = stat_cols or []
+    schema = df.drop(split_col).schema.simpleString()
+    sub = os.path.join(path, "data", uuid.uuid4().hex)
+    df.write.mode("overwrite").partitionBy(split_col).parquet(sub)
+    sids: list[int] = []
+    for v in values:
+        vdir = os.path.join(sub, f"{split_col}={v}")
+        entries = []
+        if os.path.isdir(vdir):
+            for name in sorted(os.listdir(vdir)):
+                if name.endswith(".parquet"):
+                    fpath = os.path.join(vdir, name)
+                    entries.append(
+                        {
+                            "path": os.path.relpath(fpath, path),
+                            **_file_stats(fpath, stat_cols),
+                        }
+                    )
+        for attempt in range(commit_retries + 1):
+            parent = ref_head(path, ref)
+            base: list[dict] = []
+            dels: list[dict] = []
+            evolved = False
+            if parent is not None:
+                m = read_manifest(path, parent)
+                base = m["files"]
+                dels = m.get("delete_files") or []
+                evolved = (
+                    bool(m.get("schema_evolved")) or m.get("schema") != schema
+                )
+            manifest = {
+                "operation": "append",
+                "schema": schema,
+                "stat_cols": stat_cols,
+                "schema_evolved": evolved,
+                "files": base + entries,
+                "added": [e["path"] for e in entries],
+            }
+            if dels:
+                manifest["delete_files"] = dels
+            try:
+                sids.append(_commit(path, manifest, parent, ref=ref))
+                break
+            except CommitConflict:
+                if attempt == commit_retries:
+                    raise
+    return sids
+
+
 def _carry_spec(manifest: dict, m: dict) -> dict:
     """Copy the partition spec + id from a parent manifest onto a new
     one (rewrite ops emit unpartitioned files — tagged with no
@@ -1514,7 +1591,21 @@ def merge_into_mor(
     m = read_manifest(path, cur)
     stat_cols = m.get("stat_cols") or []
     keys = updates.select(key_col).distinct()
-    lo, hi = updates.agg(F.min(key_col), F.max(key_col)).first()
+    # the update rows are staged FIRST, with the key min/max riding
+    # the write as observed metrics — one Spark job instead of a
+    # separate agg pass over the batch (staged-but-uncommitted files
+    # are invisible orphans either way, so the reorder is free)
+    from pyspark.sql import Observation
+
+    obs = Observation(f"mor_{uuid.uuid4().hex}")
+    new = _write_data_files(
+        updates.observe(
+            obs, F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ),
+        path,
+        stat_cols,
+    )
+    lo, hi = obs.get["lo"], obs.get["hi"]
     candidates = (
         plan_files(path, cur, prune=(key_col, lo, hi))
         if lo is not None
@@ -1555,7 +1646,6 @@ def merge_into_mor(
                     .column("file_path").to_pylist()
                 )
         files_touched = len(touched)
-    new = _write_data_files(updates, path, stat_cols)
     schema = updates.schema.simpleString()
     evolved = bool(m.get("schema_evolved")) or m.get("schema") != schema
     # an explicit batch_id tags THIS commit (the streaming upsert

@@ -5005,15 +5005,22 @@ def _upsert_crawl_table(spark, sf_dir):
             (F.col("n_chars") + 2000).alias("n_chars"), F.lit(2).alias("crawl"),
         ),
     ]
+    # all three crawl files staged by ONE partitioned write job
+    # (repartition(1) → exactly one file per crawl) instead of three
+    # separate coalesce(1) writes
+    stage = f"{base}/stage"
+    u = crawls[0].withColumn("__f", F.lit(0))
+    for i, c in enumerate(crawls[1:], start=1):
+        u = u.unionByName(c.withColumn("__f", F.lit(i)))
+    u.repartition(1).write.mode("overwrite").partitionBy("__f").parquet(stage)
     now = _time.time()
-    for i, c in enumerate(crawls):
-        tmp = f"{base}/c{i}"
-        c.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for i in range(len(crawls)):
+        vdir = f"{stage}/__f={i}"
         part = next(
-            n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
+            n for n in sorted(os.listdir(vdir)) if n.endswith(".parquet")
         )
         dst = f"{src}/crawl{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
+        shutil.move(f"{vdir}/{part}", dst)
         # the file source processes oldest-mtime first: pin the order
         os.utime(dst, (now - 30 + i * 10, now - 30 + i * 10))
     stream = (
@@ -5174,7 +5181,7 @@ def s11_stream_table_source(spark, sf_dir):
     closed form."""
     from .io.table_source import register_table_source
     from .io.tableformat import (
-        append_snapshot,
+        append_snapshots_split,
         delete_where_mor,
         merge_into_mor,
     )
@@ -5185,8 +5192,13 @@ def s11_stream_table_source(spark, sf_dir):
     )
     base = _scratch("tbl_src_")
     t, out, ck = f"{base}/tbl", f"{base}/out", f"{base}/ck"
-    append_snapshot(docs.where(F.col("doc_id") % 2 == 0), t)
-    append_snapshot(docs.where(F.col("doc_id") % 2 == 1), t)
+    # both parity appends staged in one write job (same two snapshots)
+    append_snapshots_split(
+        docs.withColumn("__b", F.pmod(F.col("doc_id"), F.lit(2))),
+        t,
+        "__b",
+        [0, 1],
+    )
     delete_where_mor(spark, t, "doc_id % 5 = 2")
     upd = docs.where(F.col("doc_id") % 13 == 0).select(
         "doc_id", F.lit("zz").alias("lang"), "source",
@@ -5371,7 +5383,7 @@ def s13_stream_paced_drain(spark, sf_dir):
     import os
 
     from .io.table_source import register_table_source
-    from .io.tableformat import append_snapshot
+    from .io.tableformat import append_snapshots_split
 
     register_table_source(spark)
     docs = _t(spark, sf_dir, "documents").select(
@@ -5379,10 +5391,16 @@ def s13_stream_paced_drain(spark, sf_dir):
     )
     base = _scratch("kblock_s13_")
     t, out, ck = f"{base}/tbl", f"{base}/out", f"{base}/ck"
-    for i in range(5):
-        append_snapshot(
-            docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == i).coalesce(1), t
-        )
+    # 5-commit backlog staged in ONE write job (repartition(1) → one
+    # file per snapshot, which the maxFilesPerTrigger=1 pacing assert
+    # depends on) instead of five separate filtered writes
+    append_snapshots_split(
+        docs.withColumn("__b", F.pmod(F.col("doc_id"), F.lit(5)))
+        .repartition(1),
+        t,
+        "__b",
+        list(range(5)),
+    )
     batch_rows: list[int] = []
 
     def sink(bdf, bid):
@@ -5478,17 +5496,24 @@ def s14_stream_outer_join(spark, sf_dir):
             F.lit(0.0).alias("value"),
         )
 
+    # events + both sentinel files staged by ONE partitioned write job
+    # (repartition(1) → exactly one file per trigger step) instead of
+    # three separate writes
+    stage = f"{base}/stage"
+    u = (
+        e.withColumn("__f", F.lit(0))
+        .unionByName(_sent(2030, -1).withColumn("__f", F.lit(1)))
+        .unionByName(_sent(2031, -2).withColumn("__f", F.lit(2)))
+    )
+    u.repartition(1).write.mode("overwrite").partitionBy("__f").parquet(stage)
     now = _time.time()
-    for i, df in enumerate([e, _sent(2030, -1), _sent(2031, -2)]):
-        tmp = f"{base}/w{i}"
-        (df.coalesce(1) if i == 0 else df.repartition(1)).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+    for i in range(3):
+        vdir = f"{stage}/__f={i}"
         part = next(
-            n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
+            n for n in sorted(os.listdir(vdir)) if n.endswith(".parquet")
         )
         dst = f"{src}/f{i}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
+        shutil.move(f"{vdir}/{part}", dst)
         # the file source processes oldest-mtime first: pin the order
         os.utime(dst, (now - 30 + i * 10, now - 30 + i * 10))
     schema = "event_type string, ts timestamp, user_id long, value double"
