@@ -48,6 +48,10 @@ def weighted_buckets(
     """
     spark = df.sparkSession
     parts = partitions or spark.sparkContext.defaultParallelism
+    # the input feeds THREE passes (quantile probe, partial sums, the
+    # final windowed plan); materialize it once — without this every
+    # pass replays the caller's full upstream pipeline
+    df = df.localCheckpoint(eager=False)
     w = F.col(weight_col).cast("decimal(28,4)")
     # deterministic coarse range id from driver-held quantile
     # boundaries (spark_partition_id after repartitionByRange is NOT
@@ -127,6 +131,9 @@ def running_offset(
     bit-stable under any plan."""
     spark = df.sparkSession
     parts = partitions or spark.sparkContext.defaultParallelism
+    # three passes consume the input (quantile, partials, final plan)
+    # — materialize once, same as weighted_buckets
+    df = df.localCheckpoint(eager=False)
     w = F.col(weight_col).cast("bigint")
     probs = [i / parts for i in range(1, parts)]
     bounds = sorted(

@@ -638,13 +638,6 @@ def pq_fit(
     construction: fixed sample, fixed order, fixed init (first ksub
     sample rows per subspace) — the codebooks never depend on
     partition layout."""
-    dim_row = emb.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("pq_fit: empty embedding table")
-    dim = int(dim_row["d"])
-    if dim % m:
-        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
-    dsub = dim // m
     sample = (
         emb.select(id_col, vec_col)
         .withColumn("__h", F.xxhash64(F.col(id_col)))
@@ -652,6 +645,14 @@ def pq_fit(
         .limit(fit_cap)
         .collect()
     )
+    if not sample:
+        raise ValueError("pq_fit: empty embedding table")
+    # dim read off the sample rows — a separate size() probe job was
+    # a full extra action for one scalar
+    dim = len(sample[0][vec_col])
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     X /= np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
     k = max(1, min(ksub, len(X)))

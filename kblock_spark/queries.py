@@ -1577,15 +1577,28 @@ def d17_segment_dedup(spark, sf_dir):
         F.floor((F.size(toks) + F.lit(_SEG_S - 1)) / F.lit(_SEG_S)).cast("bigint"),
         F.lit(1),
     )
-    segs = d.select(
-        "doc_id",
-        toks.alias("w"),
-        F.explode(F.sequence(F.lit(0), (n_segs - 1).cast("int"))).alias("seg_id"),
-    ).select(
-        "doc_id",
-        F.col("seg_id").cast("bigint").alias("seg_id"),
-        F.array_join(F.slice(F.col("w"), F.col("seg_id") * _SEG_S + 1, _SEG_S), " ").alias("seg"),
-    ).withColumn("fp", _h12(F.col("seg")))
+    # one split per document: the segment strings come from a single
+    # transform over the seg-id range (subexpression elimination
+    # evaluates split(text) once per row inside the one projection),
+    # then posexplode. The previous explode→slice(split(...)) shape
+    # re-split the text for EVERY segment row, twice (filter +
+    # project). The checkpoint materializes the segment stream once
+    # for its two consumers (first-occurrence aggregate + mark join)
+    # instead of re-running scan+split+md5 per consumer.
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * _SEG_S + 1, _SEG_S), " "),
+    )
+    segs = (
+        d.select("doc_id", F.posexplode(seg_arr).alias("seg_id", "seg"))
+        .select(
+            "doc_id",
+            F.col("seg_id").cast("bigint").alias("seg_id"),
+            "seg",
+        )
+        .withColumn("fp", _h12(F.col("seg")))
+        .localCheckpoint(eager=False)
+    )
     # (doc_id, seg_id) packed into ONE bigint: min(packed) is
     # order-identical to min(struct(doc_id, seg_id)) while staying
     # HashAggregate-eligible — min over a struct falls back to
@@ -3030,12 +3043,22 @@ def d30_training_pipeline(spark, sf_dir):
     from .ops.sketch import _hash48
 
     d = _t(spark, sf_dir, "documents")
-    q = d.withColumn(
-        "n_toks", F.size(F.split("text", " ")).cast("bigint")
-    ).where(
-        (F.col("n_chars") >= _PIPE_MIN_CHARS)
-        & (F.col("n_toks") >= _PIPE_MIN_TOKS)
-    ).withColumn("fp", F.md5("text"))
+    # ONE corpus scan: project (fp, doc_id, source, n_toks) — text
+    # dropped — and materialize; the dedup aggregate, the keeper join,
+    # the mixing-count action and the prefix-sum passes all read this
+    # checkpoint instead of re-scanning + re-hashing the corpus
+    # (the plan replayed the scan 4× before)
+    q = (
+        d.withColumn(
+            "n_toks", F.size(F.split("text", " ")).cast("bigint")
+        )
+        .where(
+            (F.col("n_chars") >= _PIPE_MIN_CHARS)
+            & (F.col("n_toks") >= _PIPE_MIN_TOKS)
+        )
+        .select("doc_id", "source", "n_toks", F.md5("text").alias("fp"))
+        .localCheckpoint(eager=False)
+    )
     keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = q.join(keep, ["fp", "doc_id"]).select("doc_id", "source", "n_toks")
     train = kept.where(
