@@ -45,10 +45,15 @@ def _next_job_id(sc) -> int:
 
 
 def main():
-    from bench import BENCH_QUERIES
+    from bench import BENCH_QUERIES, _burn_host
 
     from kblock_spark.queries import REGISTRY
     from kblock_spark.session import get_spark
+
+    # same steady-state discipline as bench.py: drain the host's burst
+    # credits so the profile runs in the regime the driver measures in
+    if os.environ.get("BURN", "1") == "1":
+        _burn_host(45)
 
     wanted = sys.argv[1:]
     if wanted:

@@ -1754,17 +1754,23 @@ def d21_boilerplate_removal(spark, sf_dir):
         F.floor((F.size(toks) + F.lit(_SEG_S - 1)) / F.lit(_SEG_S)).cast("bigint"),
         F.lit(1),
     )
-    segs = d.select(
-        "doc_id",
-        toks.alias("w"),
-        F.explode(F.sequence(F.lit(0), (n_segs - 1).cast("int"))).alias("seg_id"),
-    ).select(
-        "doc_id",
-        F.col("seg_id").cast("bigint").alias("seg_id"),
-        F.array_join(
-            F.slice(F.col("w"), F.col("seg_id") * _SEG_S + 1, _SEG_S), " "
-        ).alias("seg"),
-    ).withColumn("fp", _h12(F.col("seg")))
+    # same shape as d17: one split per document via a single transform
+    # (not one split per segment row), and the segment stream
+    # checkpointed for its two consumers (df table + mark join)
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * _SEG_S + 1, _SEG_S), " "),
+    )
+    segs = (
+        d.select("doc_id", F.posexplode(seg_arr).alias("seg_id", "seg"))
+        .select(
+            "doc_id",
+            F.col("seg_id").cast("bigint").alias("seg_id"),
+            "seg",
+        )
+        .withColumn("fp", _h12(F.col("seg")))
+        .localCheckpoint(eager=False)
+    )
     df_tbl = (
         segs.select("fp", "doc_id")
         .distinct()
