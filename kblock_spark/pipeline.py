@@ -225,7 +225,12 @@ def compute_k(
     compute-k from the delineation streets layer (batch_4:521-549).
     """
     spark = blocks.sparkSession
-    nparts = nparts or spark.sparkContext.defaultParallelism * 4
+    # 2× cores (was 4×): balanced-greedy placement already bounds the
+    # straggler tail by the single biggest block, so halving the task
+    # count halves per-task mapInPandas/Arrow overhead without a
+    # balance cost — interleaved A/B at 720k pages/32c: 413-449 vs
+    # 346-402 blocks/s, np2x won all 5 pairs (bench_runs/r8_geo_ab_np.json)
+    nparts = nparts or spark.sparkContext.defaultParallelism * 2
     packed = _pack_blocks(blocks, buildings, streets, cell_deg, nparts)
     return packed.mapInPandas(_packed_k_iter, K_SCHEMA)
 
@@ -283,7 +288,8 @@ def compute_layers(
     from .kernels.complexity import LAYERS_SCHEMA
 
     spark = blocks.sparkSession
-    nparts = nparts or spark.sparkContext.defaultParallelism * 4
+    # same 2×-cores packing as compute_k (see the A/B note there)
+    nparts = nparts or spark.sparkContext.defaultParallelism * 2
     packed = _pack_blocks(
         blocks, buildings, streets, cell_deg, nparts, with_urls=True
     )
