@@ -109,15 +109,19 @@ def polygon_side_fits_broadcast(polys: DataFrame) -> bool:
     )
 
 
-def suggest_pip_cell_deg(polys: DataFrame, fraction: float = 0.25) -> float:
+def suggest_pip_cell_deg(polys: DataFrame, fraction: float = 0.18) -> float:
     """Data-derived tile size for the PIP cell join: a fixed grid
     mis-sizes one way or the other (cells ≫ polygon → every point
     carries several candidate polygons through the refine kernel;
     cells ≪ polygon → the broadcast cell map explodes). A cell of
-    ~¼ the MEDIAN polygon bbox dimension keeps the candidate ratio
-    near 1 while growing the cell map only ~4× — measured on the
-    bench city: candidates 2.85M → 1.63M, PIP stage 3.4 → 2.1 s.
-    One cheap aggregate over the polygon dim table."""
+    ~1/5 the MEDIAN polygon bbox dimension keeps the candidate ratio
+    near 1 while the cell map stays broadcast-small — r3 measured
+    0.25 vs a fixed grid (candidates 2.85M → 1.63M, PIP 3.4 → 2.1 s);
+    the r8 interleaved A/B moved the default 0.25 → 0.18 (f18 won 4/5
+    pairs at 720k pages/32c, 428-483 vs 381-450 blocks/s,
+    bench_runs/r8_geo_ab_frac.json — fewer refine candidates still
+    outweigh the ~2× larger cell map). One cheap aggregate over the
+    polygon dim table; results are exact at ANY cell size."""
     xs = F.filter(
         F.transform(F.col("coords"), lambda v, i: F.when(i % 2 == 0, v)),
         lambda v: v.isNotNull(),
