@@ -29,20 +29,35 @@ def connected_components(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     )
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct()
     # self-loops fold the vertex's OWN label into the neighbor-min
     # aggregation, so each round is join+groupBy — the former
-    # labels⨝nbr left join (one exchange per round) is gone
-    verts = sym.select(F.col("u").alias("id")).distinct()
-    # lazy: the first round's own action materializes both (reused
-    # from the checkpoint thereafter) — eager would spend two extra
-    # jobs before any propagation work
-    sym = sym.unionByName(
-        verts.select(F.col("id").alias("u"), F.col("id").alias("v"))
-    ).localCheckpoint(eager=False)
-    labels = verts.withColumn("component", F.col("id")).localCheckpoint(
-        eager=False
+    # labels⨝nbr left join (one exchange per round) is gone. They are
+    # generated IN THE SAME single pass over the edge list (4-way
+    # explode + one distinct): building them from a separate
+    # vertex-distinct would give the labels table a second full
+    # lineage over the caller's (often expensive) pair-generation
+    # subtree — measured as a whole extra LSH/IVF pass in d10/e06.
+    quad = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                F.struct(F.col("u").alias("u"), F.col("u").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("v").alias("v")),
+            )
+        ).alias("s")
+    ).select("s.u", "s.v")
+    # lazy: the first round's own action materializes it (reused from
+    # the checkpoint thereafter) — eager would spend an extra job
+    # before any propagation work
+    sym = quad.distinct().localCheckpoint(eager=False)
+    # vertex set = the self-loop rows of the CHECKPOINTED table: a
+    # cheap filter over the materialized sym, no second distinct and
+    # no re-run of the edge lineage
+    labels = (
+        sym.where(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("id"), F.col("u").alias("component"))
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iter):
