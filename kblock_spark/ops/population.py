@@ -45,6 +45,38 @@ def make_box_cells_udf(cell_deg: float = DEFAULT_CELL_DEG):
     return box_cells
 
 
+def _cell_expr(lon, lat, cell_deg: float) -> F.Column:
+    """Catalyst twin of geo.tiling.cell_of: floor-index the grid and
+    pack (ix<<32)|iy. Bit-identical to the numpy path (same double
+    division, same IEEE floor, iy ≥ 0 for valid latitudes so OR ==
+    add) — but pure JVM, so the hot point-in-box stage never crosses
+    the Python boundary (guide §4.1)."""
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(float(cell_deg)))
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(float(cell_deg)))
+    return F.shiftleft(ix, 32).bitwiseOR(iy)
+
+
+def _box_cells_expr(xmin, ymin, xmax, ymax, cell_deg: float) -> F.Column:
+    """Catalyst twin of cells_covering_bbox: all cell ids whose tile
+    intersects the box, as nested sequence/transform — same SET of
+    cells as the numpy meshgrid (order differs; every consumer is an
+    order-insensitive join/aggregate)."""
+    c = F.lit(float(cell_deg))
+    ix0 = F.floor((xmin + F.lit(180.0)) / c)
+    ix1 = F.floor((xmax + F.lit(180.0)) / c)
+    iy0 = F.floor((ymin + F.lit(90.0)) / c)
+    iy1 = F.floor((ymax + F.lit(90.0)) / c)
+    return F.flatten(
+        F.transform(
+            F.sequence(ix0, ix1),
+            lambda ix: F.transform(
+                F.sequence(iy0, iy1),
+                lambda iy: F.shiftleft(ix, 32).bitwiseOR(iy),
+            ),
+        )
+    )
+
+
 def _overlap_area_udf():
     @pandas_udf(DoubleType())
     def overlap(
@@ -89,21 +121,30 @@ def allocate_population(
         return (
             F.round(col * F.lit(1e6)).cast("bigint") if quantize_e6 else col
         )
-    box_cells = make_box_cells_udf(cell_deg)
     # a raster carrying a per-pixel admin assignment drives the
     # per-admin stage-3 residual; rename it so it never collides with
     # the buildings'/blocks' gadm_code through stages 1-2
     if "gadm_code" in pixels.columns:
         pixels = pixels.withColumnRenamed("gadm_code", "__px_gadm")
+    # cell ids as pure Catalyst expressions (bit-identical to the
+    # numpy tiling, see _cell_expr): stages 1-2's candidate
+    # generation runs entirely in the JVM — the former pandas UDFs
+    # made the hot join stage hostage to python-worker churn
+    # (measured: a 3× slow mode when the worker pool was cold/evicted
+    # mid-bench)
     px = pixels.withColumn(
-        "cell", F.explode(box_cells("xmin", "ymin", "xmax", "ymax"))
+        "cell",
+        F.explode(
+            _box_cells_expr(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                cell_deg,
+            )
+        ),
     )
 
     # ---- stage 1: pixel ⋈ buildings (point-in-box via cell equi-join)
     b = buildings.select("block_id", "gadm_code", "lon", "lat", "building_area")
-    from ..kernels.extract import make_cell_udf
-
-    b = b.withColumn("cell", make_cell_udf(cell_deg)(F.col("lon"), F.col("lat")))
+    b = b.withColumn("cell", _cell_expr(F.col("lon"), F.col("lat"), cell_deg))
     pb = px.join(b, "cell", "inner").where(
         (F.col("lon") >= F.col("xmin")) & (F.col("lon") < F.col("xmax"))
         & (F.col("lat") >= F.col("ymin")) & (F.col("lat") < F.col("ymax"))
@@ -135,7 +176,13 @@ def allocate_population(
         eager=False
     )
     rpx = resid.withColumn(
-        "cell", F.explode(box_cells("xmin", "ymin", "xmax", "ymax"))
+        "cell",
+        F.explode(
+            _box_cells_expr(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                cell_deg,
+            )
+        ),
     )
     bc = polygons_with_cells(
         blocks.select("block_id", "gadm_code", "ring_sizes", "coords"), cell_deg
