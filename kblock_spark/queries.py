@@ -5586,10 +5586,11 @@ def s14_stream_outer_join(spark, sf_dir):
             F.col("c_ts").isNull().alias("unattributed"),
         )
     )
-    # 4 state partitions: same per-stream state sizing as s07 (outer
+    # 2 state partitions: same per-stream state sizing as s07 (outer
     # join = 4 stores/partition over ~hundreds of keyed rows; measured
-    # 6.4→5.0 s vs 8 partitions across this query's 5 micro-batches)
-    with _stream_shuffle(spark, 4):
+    # 8→4: 6.4→5.0 s, 4→2: won all 4 A/B pairs 4.3-4.7 vs 4.8-5.5 s
+    # across this query's 5 micro-batches)
+    with _stream_shuffle(spark, 2):
         q = (
             joined.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(out))
