@@ -847,18 +847,17 @@ def save_ivfpq_index(
     C = np.asarray(centroids, dtype=np.float64)
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, ksub, dsub = books.shape
+    # one metadata table for centroids AND codebooks (kind 0/1): both
+    # are driver-held kilobyte tables, so two separate parquet writes
+    # (and two collect jobs on the read side) were pure job overhead
+    meta = [(0, i, 0, row.tolist()) for i, row in enumerate(C)] + [
+        (1, s, c, books[s, c].tolist())
+        for s in range(m)
+        for c in range(ksub)
+    ]
     spark.createDataFrame(
-        [(i, row.tolist()) for i, row in enumerate(C)],
-        "list_id int, centroid array<double>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [
-            (s, c, books[s, c].tolist())
-            for s in range(m)
-            for c in range(ksub)
-        ],
-        "sub int, code int, word array<double>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        meta, "kind int, i int, j int, vec array<double>"
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     bc = spark.sparkContext.broadcast((C, books))
 
     def assign_encode(batches):
@@ -921,17 +920,16 @@ def ivfpq_topk_from_index(
     amortization must not silently widen a query's candidate pool);
     exact rerank of the k·rerank_mult shortlist against the
     full-precision vectors repairs quantization error."""
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
-    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
-    brows = spark.read.parquet(f"{path}/codebooks").orderBy(
-        "sub", "code"
-    ).collect()
-    m = max(r["sub"] for r in brows) + 1
-    ksub = max(r["code"] for r in brows) + 1
-    dsub = len(brows[0]["word"])
+    mrows = spark.read.parquet(f"{path}/meta").collect()  # kB-scale
+    crows = sorted((r for r in mrows if r["kind"] == 0), key=lambda r: r["i"])
+    C = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in crows])
+    brows = [r for r in mrows if r["kind"] == 1]
+    m = max(r["i"] for r in brows) + 1
+    ksub = max(r["j"] for r in brows) + 1
+    dsub = len(brows[0]["vec"])
     books = np.empty((m, ksub, dsub))
     for r in brows:
-        books[r["sub"], r["code"]] = np.asarray(r["word"], dtype=np.float64)
+        books[r["i"], r["j"]] = np.asarray(r["vec"], dtype=np.float64)
     qrows = queries.select(id_col, vec_col).collect()  # query-set-sized
     qrows.sort(key=lambda r: r[id_col])
     if not qrows:
