@@ -1102,7 +1102,14 @@ def _trigram_shingles(toks):
     i -> element_at(toks, i+…)) shape re-ran the captured split()
     expression inside the lambda body for EVERY index: O(n²) per
     document — the d11 round-4 lesson, same trap here). Docs with
-    < 3 tokens yield no shingles."""
+    < 3 tokens yield no shingles.
+
+    Kept for array-valued consumers (s06's per-row array_distinct);
+    batch shingle streams use :func:`_trigram_zip` + post-explode
+    concat instead — zip_with lambda bodies evaluate INTERPRETED per
+    element, while arrays_zip + concat_ws stay in whole-stage codegen
+    (measured ~1.7× on the shingle build at 10× corpus scale,
+    bench_runs/r8_relational_scale_probe.json)."""
     n = F.size(toks)
     return F.when(
         n >= 3,
@@ -1118,14 +1125,38 @@ def _trigram_shingles(toks):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _trigram_zip(toks):
+    """3-token shingles as array<struct<a,b,c>> — arrays_zip is a
+    NATIVE expression (no higher-order lambda), so building and
+    exploding it runs in whole-stage codegen; the shingle string is
+    assembled AFTER the explode by a codegen concat_ws. Identical
+    strings to _trigram_shingles (concat_ws(" ", a, b, c) ==
+    concat_ws(" ", concat_ws(" ", a, b), c) on non-null tokens)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 2).alias("a"),
+            F.slice(toks, 2, n - 2).alias("b"),
+            F.slice(toks, 3, n - 2).alias("c"),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
+
+
+def _zip_shingle_str(z) -> F.Column:
+    return F.concat_ws(
+        " ", F.col(f"{z}.a"), F.col(f"{z}.b"), F.col(f"{z}.c")
+    )
+
+
 def _shingle_hashes(d: DataFrame) -> DataFrame:
     """documents → distinct (doc_id, h) 3-token shingle hash rows."""
     return (
         d.select(
             "doc_id",
-            F.explode(_trigram_shingles(F.split("text", " "))).alias("shingle"),
+            F.explode(_trigram_zip(F.split("text", " "))).alias("z"),
         )
-        .select("doc_id", _h12("shingle").alias("h"))
+        .select("doc_id", _h12(_zip_shingle_str("z")).alias("h"))
         .distinct()
     )
 
@@ -1334,14 +1365,12 @@ _WINNOW_W = 4
 
 def d12_winnowing_fingerprints(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    # zip_with shingles — see _trigram_shingles for why not
-    # transform(sequence, element_at) (O(n²) lambda-body re-eval)
+    # arrays_zip shingles (codegen) — see _trigram_zip; position is
+    # preserved (same array length as the zip_with shape)
     sh = d.select(
         "doc_id",
-        F.posexplode(_trigram_shingles(F.split("text", " "))).alias(
-            "pos", "shingle"
-        ),
-    ).select("doc_id", "pos", _h12("shingle").alias("h"))
+        F.posexplode(_trigram_zip(F.split("text", " "))).alias("pos", "z"),
+    ).select("doc_id", "pos", _h12(_zip_shingle_str("z")).alias("h"))
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -2285,36 +2314,40 @@ def d11_repetition_filter(spark, sf_dir):
     # a row-count mismatch the fixture can't catch (no null texts)
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     n = F.size(toks)
-    # Bigrams via zip_with over two slices — NOT
-    # transform(sequence, i -> element_at(toks, i+1) ...): a Catalyst
-    # lambda BODY is re-evaluated per element, so referencing the
-    # captured split() expression inside it recomputes the full token
-    # array n times → O(n²) per document (measured: 339 s for one
-    # 50k-token doc). zip_with's lambda only touches its element
-    # arguments; the sliced arrays are evaluated once per row.
-    big = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = d.select("doc_id", toks.alias("t"), big.alias("b"), n.alias("n"))
-    units = base.select(
+    # One codegen pass, zero higher-order lambdas (their bodies
+    # evaluate INTERPRETED per element — the arrays_zip lesson in
+    # _trigram_zip; the earlier transform(sequence, element_at) trap
+    # is documented there too). arrays_zip pads the shorter bigram
+    # tail with null, so each exploded struct carries the unigram in
+    # `a` and (when `b` is non-null) the bigram pair — stack() then
+    # fans each into its kind-tagged unit row, all whole-stage
+    # codegen. Token arrays from split() never contain nulls, so
+    # `u IS NULL` filters exactly the padded bigram tail.
+    base = d.select("doc_id", toks.alias("t"), n.alias("n"))
+    z = base.select(
         "doc_id",
         "n",
         F.explode(
-            F.concat(
-                F.transform("t", lambda x: F.struct(F.lit(0).alias("k"), x.alias("u"))),
-                F.transform("b", lambda x: F.struct(F.lit(1).alias("k"), x.alias("u"))),
+            F.arrays_zip(
+                F.col("t").alias("a"),
+                F.when(
+                    F.col("n") >= 2, F.slice("t", 2, F.col("n") - 1)
+                )
+                .otherwise(F.array().cast("array<string>"))
+                .alias("b"),
             )
-        ).alias("ku"),
+        ).alias("z"),
     )
-    cnt = units.groupBy("doc_id", "n", "ku").agg(F.count("*").alias("c"))
+    units = z.selectExpr(
+        "doc_id",
+        "n",
+        "stack(2, 0, z.a, 1, CASE WHEN z.b IS NULL THEN NULL "
+        "ELSE concat_ws(' ', z.a, z.b) END) AS (k, u)",
+    ).where(F.col("u").isNotNull())
+    cnt = units.groupBy("doc_id", "n", "k", "u").agg(F.count("*").alias("c"))
     per = cnt.groupBy("doc_id", "n").agg(
-        F.max(F.when(F.col("ku.k") == 0, F.col("c"))).alias("mt"),
-        F.max(F.when(F.col("ku.k") == 1, F.col("c"))).alias("mb"),
+        F.max(F.when(F.col("k") == 0, F.col("c"))).alias("mt"),
+        F.max(F.when(F.col("k") == 1, F.col("c"))).alias("mb"),
     )
     return per.select(
         "doc_id",
@@ -3323,10 +3356,8 @@ def d32_contamination_spans(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pos_sh = d.select(
         "doc_id",
-        F.posexplode(_trigram_shingles(F.split("text", " "))).alias(
-            "pos", "shingle"
-        ),
-    ).select("doc_id", "pos", _h12("shingle").alias("h"))
+        F.posexplode(_trigram_zip(F.split("text", " "))).alias("pos", "z"),
+    ).select("doc_id", "pos", _h12(_zip_shingle_str("z")).alias("h"))
     is_bench = F.col("doc_id") % 97 == 0
     bench = pos_sh.where(is_bench).select("h").distinct()
     hits = pos_sh.where(~is_bench).join(F.broadcast(bench), "h", "left_semi")
@@ -5342,11 +5373,11 @@ def d28_bigram_coherence(spark, sf_dir):
     scoring pass; the score join shuffles on the bigram key — no
     collect, no crossJoin, no UDF (plan-swept).
 
-    Bigrams are built with ``zip_with`` over two array SLICES (array
-    arguments are evaluated once per row; a lambda body referencing a
-    captured outer expression would re-evaluate it per element — the
-    d06 lesson). Docs with fewer than 2 tokens carry no bigram and
-    are excluded on both engines."""
+    Bigrams are built with ``arrays_zip`` over two array SLICES and a
+    post-explode codegen concat (no higher-order lambda — their
+    bodies evaluate interpreted per element; see _trigram_zip). Docs
+    with fewer than 2 tokens carry no bigram and are excluded on both
+    engines."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
     n = F.size(toks)
@@ -5355,12 +5386,15 @@ def d28_bigram_coherence(spark, sf_dir):
         .select(
             "doc_id",
             F.explode(
-                F.zip_with(
-                    F.slice(toks, 1, n - 1),
-                    F.slice(toks, 2, n - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
+                F.arrays_zip(
+                    F.slice(toks, 1, n - 1).alias("a"),
+                    F.slice(toks, 2, n - 1).alias("b"),
                 )
-            ).alias("bg"),
+            ).alias("z"),
+        )
+        .select(
+            "doc_id",
+            F.concat(F.col("z.a"), F.lit(" "), F.col("z.b")).alias("bg"),
         )
     )
     model = big.groupBy("bg").agg(F.count("*").alias("c2"))
