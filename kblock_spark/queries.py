@@ -3292,22 +3292,34 @@ def d33_cms_sketch(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
-    rows = toks.select(
+    # aggregate BEFORE the ×D explode and the md5 (guide §2.3): the
+    # CMS cell count over token INSTANCES equals the SUM of per-token
+    # counts over the distinct vocabulary (partial-aggregation
+    # identity, so results are unchanged) — the hash and the D-way
+    # fanout then run at vocabulary scale, not corpus scale, and the
+    # old instance-level (tok, j, cell) checkpoint disappears. The
+    # truth table feeds the cell build AND the final join →
+    # materialize once.
+    truth = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("true_n")
+    ).localCheckpoint(eager=False)
+    rows = truth.select(
         "tok",
+        "true_n",
         F.explode(F.array([F.lit(j) for j in range(_CMS_D)])).alias("j"),
     )
     cell = F.pmod(
         _hash48(F.concat(F.col("tok"), F.lit("#"), F.col("j").cast("string"))),
         F.lit(_CMS_W),
     )
-    cells = rows.select("tok", "j", cell.alias("cell")).localCheckpoint(
+    # vocab×D rows feed the counter build and the probe join → one
+    # materialization
+    cells = rows.select("tok", "true_n", "j", cell.alias("cell")).localCheckpoint(
         eager=False
     )
-    cms = cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
-    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
-    probes = cells.select("tok", "j", "cell").distinct()
+    cms = cells.groupBy("j", "cell").agg(F.sum("true_n").alias("c"))
     est = (
-        probes.join(F.broadcast(cms), ["j", "cell"])
+        cells.join(F.broadcast(cms), ["j", "cell"])
         .groupBy("tok")
         .agg(F.min("c").alias("cms_n"))
     )

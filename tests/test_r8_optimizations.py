@@ -144,3 +144,90 @@ def test_box_cells_expr_matches_numpy(spark):
     for (x0, y0, x1, y1), r in zip(rows, got):
         want = set(cells_covering_bbox(x0, y0, x1, y1, cell_deg).tolist())
         assert set(r["cells"]) == want, (x0, y0, x1, y1)
+
+
+# ---- late-round internals: arrays_zip shingles and aggregate-first CMS
+
+
+def test_trigram_zip_matches_zip_with_builder(spark):
+    """_trigram_zip + post-explode concat_ws must produce exactly the
+    shingle strings of the zip_with builder it replaced, including the
+    <3-token edge cases (empty arrays on both shapes)."""
+    from kblock_spark.queries import (
+        _trigram_shingles,
+        _trigram_zip,
+        _zip_shingle_str,
+    )
+
+    texts = [
+        "", "one", "one two", "a b c", "a b c d",
+        "x x x x x", "t1 t2 t3 t4 t5 t6 t7",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = F.split("text", " ")
+    old = (
+        d.select(
+            "doc_id",
+            F.posexplode(_trigram_shingles(toks)).alias("pos", "s"),
+        )
+        .collect()
+    )
+    new = (
+        d.select(
+            "doc_id", F.posexplode(_trigram_zip(toks)).alias("pos", "z")
+        )
+        .select("doc_id", "pos", _zip_shingle_str("z").alias("s"))
+        .collect()
+    )
+    assert sorted(map(tuple, old)) == sorted(map(tuple, new))
+
+
+def test_d33_aggregate_first_matches_instance_level_cms(spark, tmp_path):
+    """d33's vocabulary-scale build (count per token first, then SUM
+    counts into cells) must equal a brute-force CMS built by hashing
+    every token INSTANCE — the partial-aggregation identity the
+    restructure relies on."""
+    import hashlib
+
+    from kblock_spark.queries import _CMS_D, _CMS_W, d33_cms_sketch
+
+    texts = [
+        "a a a b", "b c a", "c c c c d", "d e", "a b c d e f",
+        "f f a", "g", "g g h h h",
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["tok"]: (r["true_n"], r["cms_n"], r["overcount"])
+        for r in d33_cms_sketch(spark, str(tmp_path)).collect()
+    }
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    counters = {}
+    truth = {}
+    for t in texts:
+        for tok in t.split(" "):
+            truth[tok] = truth.get(tok, 0) + 1
+            for j in range(_CMS_D):
+                cell = h48(f"{tok}#{j}") % _CMS_W
+                counters[(j, cell)] = counters.get((j, cell), 0) + 1
+    want = {
+        tok: (
+            n,
+            min(
+                counters[(j, h48(f"{tok}#{j}") % _CMS_W)]
+                for j in range(_CMS_D)
+            ),
+        )
+        for tok, n in truth.items()
+    }
+    assert set(got) == set(want)
+    for tok, (n, est) in want.items():
+        assert got[tok] == (n, est, est - n), tok
