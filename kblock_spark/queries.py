@@ -1714,20 +1714,31 @@ def d18_token_rarity(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()  # one-row scalar, driver-side by design
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    df_tbl = (
-        toks.distinct()
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
+    # aggregate-first (guide §2.3): collapse instances to per-doc term
+    # frequencies ONCE (map-side combine), then derive df from the
+    # same table and join at (doc, tok) scale instead of instance
+    # scale. n_rare/sum_df over instances == tf-weighted sums over
+    # (doc, tok) — identical integers. The tf table feeds the df
+    # aggregate AND the join → materialize once. df_tbl is
+    # vocabulary-sized; the planner broadcasts it when it fits (no
+    # forced hint — a 100 TB crawl's vocabulary may not).
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    per_tok = toks.join(df_tbl, "tok")
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_tok = tf.join(df_tbl, "tok")
     return (
         per_tok.groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum((F.col("df") * 5 < F.lit(n_docs)).cast("int"))
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * (F.col("df") * 5 < F.lit(n_docs)).cast("int")
+            )
             .cast("bigint")
             .alias("n_rare"),
-            F.sum("df").alias("sum_df"),
+            F.sum(F.col("tf") * F.col("df")).alias("sum_df"),
         )
         .select(
             "doc_id",

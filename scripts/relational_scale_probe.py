@@ -291,6 +291,19 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
     spark.stop()
 
+    path = os.path.join(REPO, "bench_runs", "r8_relational_scale_probe.json")
+    # merge with any prior record (subset re-runs must not clobber the
+    # full-suite rows); a re-measured query replaces its old row
+    merged: dict[str, dict] = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                merged = {r["q"]: r for r in json.load(fh).get("rows", [])}
+        except (OSError, ValueError, KeyError):
+            merged = {}
+    for r in rows:
+        merged[r["q"]] = r
+    rows = list(merged.values())
     out = {
         "k": args.k,
         "src": SRC,
@@ -301,7 +314,6 @@ def main() -> int:
         "n_superlinear": sum(1 for r in rows if r["superlinear"]),
         "rows": rows,
     }
-    path = os.path.join(REPO, "bench_runs", "r8_relational_scale_probe.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"\nwrote {path}: sum={out['sum_10x']}s err={out['n_err']} "
