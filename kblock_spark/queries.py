@@ -2795,9 +2795,10 @@ WHERE rank <= {_TOPK}
 # last ulp differs between JVM and DuckDB). Terms are BIGRAMS (the
 # synthetic corpus' 31-word unigram vocabulary appears in nearly
 # every document — zero discrimination; the ~900-bigram vocabulary
-# has df ≈ 21-46/500, real signal), built with the zip_with-over-
-# slices shape (a captured expression inside a higher-order-function
-# lambda is re-evaluated PER ELEMENT — the measured O(n²) trap).
+# has df ≈ 21-46/500, real signal), built with arrays_zip over two
+# slices + post-explode codegen concat (no higher-order lambda —
+# see _trigram_zip; and a captured expression inside a lambda body
+# would be re-evaluated PER ELEMENT, the measured O(n²) trap).
 # Stop-terms (df·2 > N) are dropped — standard posting-list pruning,
 # and the 100 TB scale guard: without it the hottest term's posting
 # list joins against every document.
@@ -2813,12 +2814,22 @@ _SR_K = 5
 _SR_NQ = 8
 
 
-def _bigrams(col="text"):
-    toks = F.split(col, " ")
-    return F.zip_with(
-        F.slice(toks, F.lit(1), F.size(toks) - 1),
-        F.slice(toks, F.lit(2), F.size(toks) - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+def _bigram_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, tok) bigram rows via arrays_zip + post-explode codegen
+    concat — no higher-order lambda (see _trigram_zip; the interpreted
+    lambda body was the measured per-element cost here too)."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, F.lit(1), n - 1).alias("a"),
+                F.slice(toks, F.lit(2), n - 1).alias("b"),
+            )
+        ).alias("z"),
+    ).select(
+        "doc_id", F.concat(F.col("z.a"), F.lit(" "), F.col("z.b")).alias("tok")
     )
 
 
@@ -2826,7 +2837,7 @@ def e12_sparse_retrieval(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()
     tf = (
-        d.select("doc_id", F.explode(_bigrams()).alias("tok"))
+        _bigram_rows(d)
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
